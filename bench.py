@@ -1,0 +1,79 @@
+"""Headline benchmark — prints ONE JSON line the driver records per round.
+
+Runs the headline query keys at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Per-query time is the
+wall time of executing the DataFrame plan and materializing the (small
+aggregated) result; Spark session startup is excluded, a single warm-up
+count ensures codegen/classloading doesn't bill the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_realtime_spark import registry
+from flink_realtime_spark.session import get_spark
+
+# Headline set: one representative per major category (keys missing from the
+# registry — not yet implemented this round — are skipped silently).
+HEADLINE = [
+    "agg_star_flagship",
+    "agg_groupby_basic",
+    "agg_count_distinct",
+    "agg_rollup",
+    "join_inner_equi",
+    "join_dim_broadcast",
+    "join_asof_temporal",
+    "win_tumble",
+    "win_session",
+    "over_topn_pergroup",
+    "scalar_json_props",
+    "cdc_latest_image",
+    "llm_dedup_exact",
+    "llm_dedup_minhash",
+    "llm_knn_cosine",
+    "llm_text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry.load_all()
+    spark = get_spark("flink-realtime-spark-bench")
+    # Warm up JVM / parquet footer reads / codegen off the clock.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    times: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = registry.QUERIES.get(key)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[key] = round(time.perf_counter() - t0, 4)
+        print(f"# {key}: {times[key]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,45 @@
+"""Shared expression builders for cross-engine determinism.
+
+Double SUM/AVG results depend on accumulation order, which differs between
+Spark (partial/final over shuffle partitions) and DuckDB. We make money-style
+aggregates exact instead of hoping rounding hides the drift: cast each row to
+DECIMAL(18,4) (a double that is not an exact decimal tie rounds identically
+in both engines), SUM in exact decimal arithmetic, cast the result back to
+DOUBLE. The pair (dsum, dsum_sql) / (davg, davg_sql) keep the Spark plan and
+the oracle SQL in lock-step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,4)"
+
+
+def dsum(col: Column) -> Column:
+    """Order-independent SUM of a double expression (exact decimal path)."""
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+def davg(col: Column) -> Column:
+    """Order-independent AVG: exact decimal sum divided by count, one final
+    double division (deterministic)."""
+    return (F.sum(col.cast(DEC)).cast("double") / F.count(col)).cast("double")
+
+
+def dsum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def davg_sql(expr: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+        f" / COUNT({expr}) AS DOUBLE)"
+    )
+
+
+def bigint(col: Column) -> Column:
+    """Spark's year()/month()/... return int32; DuckDB's return int64.
+    Normalize every computed integer column to BIGINT on both sides."""
+    return col.cast("long")

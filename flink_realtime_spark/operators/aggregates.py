@@ -1,0 +1,284 @@
+"""Aggregation operators — SURVEY.md §2.4.
+
+Reference capability: Flink SQL GROUP BY aggregates feeding the DWS/ADS
+layers of a real-time warehouse (provenance FLINK/ARCH; the snapshot itself
+is README-only, /root/reference/README.md:1-2). Spark-first design: plain
+``groupBy().agg()`` — Catalyst plans two-phase (partial→final) hash
+aggregation automatically, so map-side combine is free; rollup/cube lower to
+a single Expand + aggregate.
+
+Scale notes (100 TB): group-by keys here are low-cardinality flags/priorities
+→ partial aggregation collapses almost all rows map-side and the shuffle
+carries only (groups × partitions) rows. High-cardinality distincts should
+use agg_approx_distinct (HLL) instead of exact COUNT(DISTINCT); AQE handles
+skewed keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_spark.exprs import bigint, davg, davg_sql, dsum, dsum_sql
+from flink_realtime_spark.registry import query
+from flink_realtime_spark.tables import Warehouse
+
+_FLAGSHIP_ORACLE = f"""
+SELECT
+  r.r_name,
+  o.o_orderpriority,
+  l.l_returnflag,
+  {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+  COUNT(*) AS n_items,
+  {davg_sql('l.l_quantity')} AS avg_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY r.r_name, o.o_orderpriority, l.l_returnflag
+"""
+
+
+@query("agg_star_flagship", _FLAGSHIP_ORACLE)
+def agg_star_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship star query (SURVEY.md §7.3): revenue by region × priority ×
+    returnflag over a ship-date year. Exercises parquet scan with pushed
+    filter, three shuffle joins + two broadcast dim joins, two-phase hash
+    agg, and sort. The DWS-layer signature query of a 实时数仓."""
+    wh = Warehouse(spark, sf_dir)
+    li = wh.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(wh.orders, li["l_orderkey"] == wh.orders["o_orderkey"])
+        .join(wh.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(wh.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(wh.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "o_orderpriority", "l_returnflag")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+@query(
+    "agg_groupby_basic",
+    f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {dsum_sql('l_quantity')} AS sum_qty,
+      {dsum_sql('l_extendedprice')} AS sum_price,
+      {davg_sql('l_discount')} AS avg_disc,
+      MIN(l_quantity) AS min_qty,
+      MAX(l_extendedprice) AS max_price,
+      COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM/COUNT/AVG/MIN/MAX per key — Flink SQL GROUP BY (TPC-H q1 shape).
+    Catalyst plans partial+final HashAggregate; no manual combine needed."""
+    wh = Warehouse(spark, sf_dir)
+    return wh.lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        davg(F.col("l_discount")).alias("avg_disc"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    """
+    SELECT
+      o_orderpriority,
+      COUNT(DISTINCT o_custkey) AS uniq_cust,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group — the warehouse UV metric. Catalyst expands
+    distinct aggregates into a two-level Expand plan (Flink's
+    SPLIT_DISTINCT_AGG equivalent) automatically."""
+    wh = Warehouse(spark, sf_dir)
+    return wh.orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("uniq_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (HLL) — the 100 TB path for UV counting where
+    exact COUNT(DISTINCT) would shuffle every key. No SQL oracle (estimator
+    internals differ across engines); tests/test_llm_props.py asserts the
+    estimate is within 5% of exact."""
+    wh = Warehouse(spark, sf_dir)
+    return wh.orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_uniq_cust"),
+        bigint(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey"))).alias(
+            "hll_uniq_cust"
+        ),
+    )
+
+
+@query(
+    "agg_stats",
+    """
+    SELECT
+      l_returnflag,
+      ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty,
+      ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+      ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      ROUND(MEDIAN(l_quantity), 4) AS med_qty,
+      ROUND(QUANTILE_CONT(l_quantity, 0.9), 4) AS p90_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/var/corr/median/percentile) — Flink SQL
+    stat library. Exact interpolated percentiles; at 100 TB switch to
+    percentile_approx (t-digest) to avoid the global sort."""
+    wh = Warehouse(spark, sf_dir)
+    return wh.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.percentile("l_quantity", 0.9), 4).alias("p90_qty"),
+    )
+
+
+@query(
+    "agg_collect",
+    """
+    SELECT
+      o_orderstatus,
+      ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderpriority)), ',')
+        AS priorities,
+      COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group collection aggregates (Flink SQL COLLECT/LISTAGG). Collected
+    sets are sorted then joined to a string so the result is order-stable
+    for the oracle hash."""
+    wh = Warehouse(spark, sf_dir)
+    return wh.orders.groupBy("o_orderstatus").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_rollup",
+    f"""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+      COUNT(*) AS n_orders,
+      {dsum_sql('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP multi-granularity aggregates — the ADS-layer pattern (daily /
+    daily+status / grand-total in one pass via a single Expand)."""
+    wh = Warehouse(spark, sf_dir)
+    return (
+        wh.orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            bigint(F.grouping("o_orderstatus")).alias("g_status"),
+            bigint(F.grouping("o_orderpriority")).alias("g_prio"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "g_status",
+            "g_prio",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+      {dsum_sql('l_quantity')} AS sum_qty,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 4 grouping sets in one Expand pass."""
+    wh = Warehouse(spark, sf_dir)
+    return (
+        wh.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            bigint(F.grouping("l_returnflag")).alias("g_flag"),
+            bigint(F.grouping("l_linestatus")).alias("g_status"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n")
+    )
+
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "agg_pivot",
+    f"""
+    SELECT
+      c_nationkey,
+      {', '.join(f"CAST(COUNT(CASE WHEN c_mktsegment = '{s}' THEN 1 END) AS BIGINT) AS {s}" for s in _SEGMENTS)}
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key→column pivot (ARCH reporting layer). Pivot values are declared
+    explicitly — never inferred — so the plan is one pass and the output
+    schema is stable at any scale. Missing combinations surface as 0 (not
+    null) so both engines agree on type and value."""
+    wh = Warehouse(spark, sf_dir)
+    pivoted = (
+        wh.customer.groupBy("c_nationkey")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "c_nationkey",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(s) for s in _SEGMENTS],
+    )

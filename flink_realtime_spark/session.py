@@ -1,0 +1,67 @@
+"""SparkSession factory and defensive per-query session preparation.
+
+The driver constructs its own SparkSession and hands it to each query, so
+nothing here may assume our builder ran. ``prepare(spark)`` pins the
+runtime-settable confs every query depends on for oracle determinism and
+scale posture; it is cheap and idempotent, and every registered query calls
+it through tables.Warehouse.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs (safe to set on a live session).
+_RUNTIME_CONF = {
+    # Oracle determinism: DuckDB compares naive UTC timestamps.
+    "spark.sql.session.timeZone": "UTC",
+    # Scale posture: AQE re-plans joins, coalesces partitions, splits skew.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any toPandas/createDataFrame crossings.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Pin runtime confs on an externally provided session. Idempotent."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked by the host session; proceed with its value
+    # Size the shuffle for the host machine unless the host already chose.
+    try:
+        if "spark.sql.shuffle.partitions" not in os.environ.get(
+            "SPARK_GRAFT_LOCKED_CONFS", ""
+        ):
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(default_parallelism())
+            )
+    except Exception:
+        pass
+    return spark
+
+
+def get_spark(app_name: str = "flink-realtime-spark") -> SparkSession:
+    """Local session for tests/bench. On a real cluster, submit with the
+    same confs via spark-submit; the engine code itself is deploy-agnostic."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return prepare(builder.getOrCreate())

@@ -1,0 +1,67 @@
+"""Fixed-schema loaders for the ten warehouse tables (FIXTURES.md).
+
+Parquet is self-describing, so no inference runs; we assert the schema we
+depend on instead of inferring one (inference is nondeterministic at 100 TB).
+``Warehouse`` is the single entry point queries use — it pins session confs
+(session.prepare) and serves cached DataFrames per (session, sf_dir).
+
+Scale notes (100 TB posture):
+- A production deployment points sf_dir at a partitioned lake path; the scan
+  benefits from partition pruning when layers are written partitioned by
+  date (see streaming/sinks.py).
+- Small dimensions (region/nation/supplier at warehouse scale) are served
+  broadcast-ready; fact tables are never collected or cached driver-side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_realtime_spark.session import prepare
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimensions small enough to broadcast at any realistic scale factor.
+BROADCAST_DIMS = {"region", "nation"}
+
+
+def path_for(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    return spark.read.parquet(path_for(sf_dir, name))
+
+
+class Warehouse:
+    """Per-(session, sf_dir) table accessor used by every registered query."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = prepare(spark)
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = load_table(self.spark, self.sf_dir, name)
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLE_NAMES:
+            return self.table(name)
+        raise AttributeError(name)
