@@ -1,1 +1,374 @@
-"""Placeholder — populated in a later milestone."""
+"""Join operators — SURVEY.md §2.3.
+
+Reference capability: Flink SQL regular/interval/temporal/lookup joins and
+DataStream connect/cogroup (provenance FLINK/ARCH; snapshot is README-only,
+/root/reference/README.md:1-2). Spark-first: equi-joins are plain
+``df.join`` — Catalyst chooses broadcast vs shuffle strategy and AQE
+re-plans at runtime; the dimension-lookup join (the signature real-time-
+warehouse op, async KV lookup in Flink) becomes an explicit
+``F.broadcast(dim)`` hash join, which at 100 TB is the only formulation
+that avoids shuffling the fact table.
+
+The as-of/temporal join is a composed plan (plans/asof.py): union + keyed
+window fill — one shuffle, no N×M pair blow-up.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_spark.exprs import dsum, dsum_sql
+from flink_realtime_spark.plans.asof import asof_join
+from flink_realtime_spark.registry import query
+from flink_realtime_spark.tables import Warehouse
+
+
+@query(
+    "join_inner_equi",
+    """
+    SELECT
+      l.l_orderkey,
+      l.l_linenumber,
+      p.p_brand,
+      p.p_size,
+      CAST(l.l_extendedprice - p.p_retailprice AS DOUBLE) AS price_delta
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 10
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact × part (Flink SQL regular join). Catalyst picks
+    broadcast (part is small) or shuffle hash/SMJ by stats; the p_size
+    filter pushes below the join into the part scan."""
+    wh = Warehouse(spark, sf_dir)
+    p = wh.part.filter(F.col("p_size") <= 10)
+    return wh.lineitem.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_brand",
+        "p_size",
+        (F.col("l_extendedprice") - F.col("p_retailprice"))
+        .cast("double")
+        .alias("price_delta"),
+    )
+
+
+@query(
+    "join_outer_left",
+    """
+    SELECT
+      o.o_orderkey,
+      o.o_orderstatus,
+      COALESCE(l.l_linenumber, -1) AS linenumber,
+      CAST(COALESCE(l.l_quantity, 0) AS DOUBLE) AS qty
+    FROM orders o
+    LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 49) l
+      ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def join_outer_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every order, null-extended where no bulk line
+    exists. Nulls are coalesced to sentinels so both engines agree on
+    output types (nullable ints become float64 in pandas otherwise)."""
+    wh = Warehouse(spark, sf_dir)
+    bulk = wh.lineitem.filter(F.col("l_quantity") >= 49)
+    return wh.orders.join(
+        bulk, F.col("o_orderkey") == F.col("l_orderkey"), "left"
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.coalesce(F.col("l_linenumber"), F.lit(-1)).alias("linenumber"),
+        F.coalesce(F.col("l_quantity"), F.lit(0.0)).cast("double").alias("qty"),
+    )
+
+
+@query(
+    "join_outer_full",
+    """
+    SELECT
+      COALESCE(c.k, s.k) AS nationkey,
+      COALESCE(c.n, 0) AS n_rich_cust,
+      COALESCE(s.n, 0) AS n_rich_supp
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS n FROM customer
+          WHERE c_acctbal > 9000 GROUP BY c_nationkey) c
+    FULL JOIN (SELECT s_nationkey AS k, COUNT(*) AS n FROM supplier
+               WHERE s_acctbal > 5000 GROUP BY s_nationkey) s
+      ON c.k = s.k
+    """,
+)
+def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregated sides with asymmetric key sets."""
+    wh = Warehouse(spark, sf_dir)
+    c = (
+        wh.customer.filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    s = (
+        wh.supplier.filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("sn"))
+    )
+    return c.join(s, c["ck"] == s["sk"], "full").select(
+        F.coalesce(F.col("ck"), F.col("sk")).alias("nationkey"),
+        F.coalesce(F.col("cn"), F.lit(0)).alias("n_rich_cust"),
+        F.coalesce(F.col("sn"), F.lit(0)).alias("n_rich_supp"),
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join — EXISTS filtering without duplication (Flink SQL
+    IN/EXISTS rewrite)."""
+    wh = Warehouse(spark, sf_dir)
+    bulk = wh.lineitem.filter(F.col("l_quantity") >= 49)
+    return wh.orders.join(
+        bulk, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+    )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — absence filtering (customers with no finished
+    order)."""
+    wh = Warehouse(spark, sf_dir)
+    finished = wh.orders.filter(F.col("o_orderstatus") == "F")
+    return wh.customer.join(
+        finished, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "join_dim_broadcast",
+    f"""
+    SELECT
+      r.r_name,
+      n.n_name,
+      COUNT(*) AS n_lines,
+      {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_dim_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature 实时数仓 dimension-lookup join: fact stream enriched
+    against small DIM tables. Flink does async KV lookups; Spark-first is an
+    explicit broadcast hash join — the fact table never shuffles for the
+    enrichment, which is the only viable plan at 100 TB."""
+    wh = Warehouse(spark, sf_dir)
+    return (
+        wh.lineitem.join(
+            F.broadcast(wh.supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(wh.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(wh.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "join_interval_time",
+    """
+    SELECT
+      c.user_id,
+      c.event_id AS click_id,
+      p.event_id AS purchase_id,
+      CAST(DATE_DIFF('second', c.ts, p.ts) AS BIGINT) AS lag_sec
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def join_interval_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (Flink intervalJoin): click×purchase pairs of the same
+    user within 30 minutes. Batch analog of the stream-stream time-bounded
+    join; the streaming variant adds withWatermark on both sides so state
+    is bounded (streaming/stateful.py notes)."""
+    wh = Warehouse(spark, sf_dir)
+    ev = wh.events
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")
+        ).alias("lag_sec"),
+    )
+
+
+@query(
+    "join_asof_temporal",
+    """
+    SELECT
+      p.event_id AS purchase_id,
+      p.user_id,
+      c.event_id AS click_id,
+      CAST(c.value AS DOUBLE) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal/as-of join (Flink FOR SYSTEM_TIME AS OF): each purchase
+    joins the user's latest click at-or-before purchase time. Composed plan
+    from plans/asof.py (union + keyed window fill — one shuffle); oracle is
+    DuckDB's native ASOF JOIN, a deliberately independent implementation."""
+    wh = Warehouse(spark, sf_dir)
+    ev = wh.events
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    versions = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").cast("double").alias("click_value"),
+    )
+    return asof_join(
+        facts,
+        versions,
+        key="user_id",
+        fact_ts="ts",
+        version_ts="click_ts",
+        version_cols=["click_id", "click_value"],
+        how="inner",
+    ).select("purchase_id", "user_id", "click_id", "click_value")
+
+
+@query(
+    "join_theta_range",
+    """
+    SELECT
+      n1.n_regionkey,
+      n1.n_name AS nation_a,
+      n2.n_name AS nation_b
+    FROM nation n1
+    JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey
+     AND n1.n_nationkey < n2.n_nationkey
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta / non-equi join: unordered nation pairs within a region. The
+    equi component keeps it a hash join with a residual predicate (not a
+    cartesian product) — the formulation that survives scale-up."""
+    wh = Warehouse(spark, sf_dir)
+    n1 = wh.nation.select(
+        "n_regionkey",
+        F.col("n_nationkey").alias("k1"),
+        F.col("n_name").alias("nation_a"),
+    )
+    n2 = wh.nation.select(
+        F.col("n_regionkey").alias("r2"),
+        F.col("n_nationkey").alias("k2"),
+        F.col("n_name").alias("nation_b"),
+    )
+    return n1.join(
+        n2, (F.col("n_regionkey") == F.col("r2")) & (F.col("k1") < F.col("k2"))
+    ).select("n_regionkey", "nation_a", "nation_b")
+
+
+_COGROUP_SCHEMA = (
+    "key long, n_events long, n_orders long, sum_value double"
+)
+
+
+def _cogroup_profile(events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-key profile across two keyed inputs. math.fsum gives a correctly
+    rounded sum independent of row order, keeping the result deterministic."""
+    if len(events_pdf):
+        key = int(events_pdf["user_id"].iloc[0])
+    else:
+        key = int(orders_pdf["o_custkey"].iloc[0])
+    sv = round(math.fsum(events_pdf["value"].tolist()), 4) if len(events_pdf) else 0.0
+    return pd.DataFrame(
+        {
+            "key": [key],
+            "n_events": [len(events_pdf)],
+            "n_orders": [len(orders_pdf)],
+            "sum_value": [sv],
+        }
+    )
+
+
+@query(
+    "cogroup_apply",
+    """
+    SELECT
+      COALESCE(e.k, o.k) AS key,
+      COALESCE(e.n, 0) AS n_events,
+      COALESCE(o.n, 0) AS n_orders,
+      COALESCE(e.sv, 0.0) AS sum_value
+    FROM (SELECT user_id AS k, COUNT(*) AS n, ROUND(SUM(value), 4) AS sv
+          FROM events GROUP BY user_id) e
+    FULL JOIN (SELECT o_custkey AS k, COUNT(*) AS n
+               FROM orders GROUP BY o_custkey) o
+      ON e.k = o.k
+    """,
+)
+def cogroup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two keyed inputs processed together (Flink connect/CoProcessFunction):
+    cogroup + Arrow-batched applyInPandas. The pandas path is justified here
+    — the operator models arbitrary per-key two-stream logic; this instance
+    (a per-key profile) also has a SQL equivalent, so it stays
+    oracle-checked."""
+    wh = Warehouse(spark, sf_dir)
+    ev = wh.events.select("user_id", "value")
+    od = wh.orders.select("o_custkey")
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("o_custkey"))
+        .applyInPandas(_cogroup_profile, _COGROUP_SCHEMA)
+    )

@@ -1,1 +1,272 @@
-"""Placeholder — populated in a later milestone."""
+"""Row-level operators, sorts, limits, set operations — SURVEY.md §2.2/§2.7.
+
+Reference capability: Flink DataStream map/filter/flatMap and SQL
+SELECT/WHERE/UNNEST/ORDER BY/LIMIT/UNION/INTERSECT/EXCEPT (provenance
+FLINK/ARCH; snapshot is README-only, /root/reference/README.md:1-2).
+Spark-first: these are pure narrow/exchange built-ins — Catalyst pushes the
+filters and pruned columns into the parquet scan, so at 100 TB the scan
+reads only the referenced columns and skips row groups via min/max stats.
+
+Determinism notes: dedup uses DISTINCT (keyed keep-one dedup lives in
+streaming/stateful.py as cdc_latest_image with a total-order tiebreak);
+top-k sorts always carry a unique tiebreak column so the selected set is
+engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_spark.registry import query
+from flink_realtime_spark.tables import Warehouse
+
+
+@query(
+    "proj_compute",
+    """
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS net_price,
+      CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE) AS charge,
+      l_returnflag || '/' || l_linestatus AS flag_status,
+      CAST(l_quantity >= 25 AS BOOLEAN) AS bulk
+    FROM lineitem
+    """,
+)
+def proj_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row computed columns / renames / casts (Flink map, SQL SELECT).
+    Pure narrow op: whole-stage codegen, no shuffle, column-pruned scan."""
+    wh = Warehouse(spark, sf_dir)
+    li = wh.lineitem
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("double")
+        .alias("net_price"),
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        )
+        .cast("double")
+        .alias("charge"),
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+        (F.col("l_quantity") >= 25).alias("bulk"),
+    )
+
+
+@query(
+    "filter_predicates",
+    """
+    SELECT
+      o_orderkey,
+      o_orderstatus,
+      o_orderpriority,
+      CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+      CASE
+        WHEN o_totalprice >= 200000 THEN 'high'
+        WHEN o_totalprice >= 100000 THEN 'mid'
+        ELSE 'low'
+      END AS price_band
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice BETWEEN 50000 AND 400000
+      AND NOT (o_orderstatus = 'P')
+      AND o_orderpriority LIKE '%-%'
+      AND o_custkey IS NOT NULL
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate suite: AND/OR/NOT, IN, BETWEEN, LIKE, IS NULL, CASE WHEN
+    (Flink filter / SQL WHERE). All predicates reach the parquet scan as
+    PushedFilters — verified in tests/test_plans.py."""
+    wh = Warehouse(spark, sf_dir)
+    o = wh.orders
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(50000, 400000)
+        & ~(F.col("o_orderstatus") == "P")
+        & F.col("o_orderpriority").like("%-%")
+        & F.col("o_custkey").isNotNull()
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.when(F.col("o_totalprice") >= 200000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+    )
+
+
+@query(
+    "flatmap_explode",
+    """
+    SELECT d.doc_id, w.word
+    FROM documents d, UNNEST(STR_SPLIT(d.text, ' ')) AS w(word)
+    WHERE LENGTH(w.word) > 0
+    """,
+)
+def flatmap_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row → N rows (Flink flatMap, SQL UNNEST/LATERAL): tokenize each
+    document. Generate runs inside codegen; no shuffle."""
+    wh = Warehouse(spark, sf_dir)
+    return (
+        wh.documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+    )
+
+
+@query(
+    "dedup_exact",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate elimination (Flink ROW_NUMBER()=1 dedup pattern; the
+    bounded analog of streaming dropDuplicatesWithinWatermark). DISTINCT is
+    used (not dropDuplicates-on-subset) so the surviving row is
+    deterministic; keyed keep-latest dedup is cdc_latest_image."""
+    wh = Warehouse(spark, sf_dir)
+    return wh.events.select("user_id", "event_type").distinct()
+
+
+@query(
+    "setop_union_all",
+    """
+    SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, user_id, event_type FROM events WHERE event_type = 'purchase'
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of same-schema branches (Flink union). unionByName avoids
+    silent positional mismatches."""
+    wh = Warehouse(spark, sf_dir)
+    ev = wh.events.select("event_id", "user_id", "event_type")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return clicks.unionByName(purchases)
+
+
+@query(
+    "setop_union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-semantics UNION: nations having customers or suppliers."""
+    wh = Warehouse(spark, sf_dir)
+    c = wh.customer.select(F.col("c_nationkey").alias("nationkey"))
+    s = wh.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@query(
+    "setop_intersect",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers with both finished and open orders."""
+    wh = Warehouse(spark, sf_dir)
+    f = wh.orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    o = wh.orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return f.intersect(o)
+
+
+@query(
+    "setop_except",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers whose orders are all non-finished (set
+    difference with a non-empty result at every scale factor)."""
+    wh = Warehouse(spark, sf_dir)
+    o = wh.orders.select(F.col("o_custkey").alias("custkey"))
+    f = wh.orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return o.subtract(f)
+
+
+@query(
+    "sort_multi_key",
+    """
+    SELECT
+      o_orderkey,
+      o_orderpriority,
+      CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+      CAST(ROW_NUMBER() OVER (
+        ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+      ) AS BIGINT) AS pos
+    FROM orders
+    WHERE o_totalprice > 350000
+    """,
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-key sort (Flink SQL ORDER BY, bounded). The emitted
+    ``pos`` column makes the total order value-checkable by an
+    order-insensitive oracle; the tiebreak key (o_orderkey, unique) makes it
+    deterministic. At scale this is a range-partitioned sort (Spark samples
+    ranges; no single-node bottleneck)."""
+    from pyspark.sql import Window
+
+    wh = Warehouse(spark, sf_dir)
+    w = Window.orderBy(
+        F.col("o_orderpriority").asc(),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey").asc(),
+    )
+    return (
+        wh.orders.filter(F.col("o_totalprice") > 350000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .orderBy("pos")
+    )
+
+
+@query(
+    "sort_topk",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k of a global sort (Flink SQL LIMIT). Spark plans
+    TakeOrderedAndProject — per-partition heaps, no full sort/shuffle; the
+    unique o_orderkey tiebreak keeps the selected set deterministic."""
+    wh = Warehouse(spark, sf_dir)
+    return (
+        wh.orders.select(
+            "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )

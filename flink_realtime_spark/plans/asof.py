@@ -1,0 +1,90 @@
+"""As-of (temporal) join as a composed logical plan — SURVEY.md §2.3/§4.
+
+Reference capability: Flink SQL ``FOR SYSTEM_TIME AS OF`` temporal join —
+each fact row picks the dimension version valid at the fact's event time
+(provenance FLINK; snapshot is README-only, /root/reference/README.md:1-2).
+
+Spark has no dedicated as-of operator, and the naive formulation
+(range join + per-fact row_number) explodes to N×M pairs before pruning.
+This implementation is the scale-correct composition:
+
+    union(facts tagged 1, versions tagged 0)
+      → single hash-partition shuffle on the key
+      → window last_value(version cols, ignoreNulls) ordered by (ts, tag)
+      → filter back to fact rows
+
+One shuffle, no pair blow-up, linear state per key — the same merge-style
+algorithm DuckDB's ASOF JOIN (our oracle) uses, expressed as DataFrame ops
+so Catalyst/Tungsten execute it fully JVM-side. At 100 TB both inputs
+shuffle once on the join key; skewed keys fall to AQE.
+
+Tie rule: a version with ts equal to the fact ts IS visible (tag orders
+versions before facts within equal timestamps), matching DuckDB ASOF
+``fact.ts >= version.ts``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TAG = "__asof_tag"
+
+
+def asof_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    key: str,
+    fact_ts: str,
+    version_ts: str,
+    version_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """For every fact row, attach ``version_cols`` from the latest version
+    row of the same ``key`` with ``version_ts <= fact_ts``.
+
+    ``how='left'`` keeps facts with no visible version (nulls); ``'inner'``
+    drops them.
+    """
+    fact_cols = facts.columns
+    left = facts.withColumn(_TAG, F.lit(1)).withColumn(
+        "__ts", F.col(fact_ts).cast("timestamp")
+    )
+    for c in version_cols:
+        if c not in left.columns:
+            left = left.withColumn(c, F.lit(None))
+    right = versions.select(
+        F.col(key),
+        F.lit(0).alias(_TAG),
+        F.col(version_ts).cast("timestamp").alias("__ts"),
+        *[F.col(c) for c in version_cols],
+    )
+    for c in fact_cols:
+        if c not in right.columns:
+            right = right.withColumn(c, F.lit(None))
+
+    merged = left.select(sorted(left.columns)).unionByName(
+        right.select(sorted(right.columns))
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").asc(), F.col(_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        *fact_cols,
+        F.col(_TAG),
+        *[
+            F.last(F.when(F.col(_TAG) == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"__v_{c}")
+            for c in version_cols
+        ],
+    )
+    out = filled.filter(F.col(_TAG) == 1).select(
+        *fact_cols,
+        *[F.col(f"__v_{c}").alias(c) for c in version_cols],
+    )
+    if how == "inner":
+        out = out.filter(F.col(version_cols[0]).isNotNull())
+    return out

@@ -23,6 +23,11 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any toPandas/createDataFrame crossings.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects outright
+    # (PARQUET_TYPE_ILLEGAL). Read nanos as long; tables.load_table converts
+    # back to a microsecond TimestampType (lossless here — the fixture has
+    # no sub-microsecond components, verified against DuckDB).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flink_realtime_spark.session import prepare
 
@@ -45,7 +46,15 @@ def path_for(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    return spark.read.parquet(path_for(sf_dir, name))
+    prepare(spark)  # nanosAsLong must be set before the events read resolves
+    df = spark.read.parquet(path_for(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos-as-long → microsecond TimestampType. Integer DIV keeps the
+        # conversion exact (ns-since-epoch exceeds double's 2^53 mantissa).
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+        )
+    return df
 
 
 class Warehouse:

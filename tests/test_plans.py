@@ -1,0 +1,66 @@
+"""Physical-plan assertions — the 100 TB posture checks (SURVEY.md §4/§6).
+
+Correctness says the operator computes the right answer; these say it
+computes it with the plan that survives scale-up: filters pushed into the
+parquet scan, dimension joins broadcast (fact table never shuffles for
+enrichment), global top-k as per-partition heaps."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from flink_realtime_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def plan_of(spark, key: str) -> str:
+    df = registry.QUERIES[key](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown(spark):
+    plan = plan_of(spark, "filter_predicates")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "In(o_orderpriority" in pushed[0]
+    assert "GreaterThanOrEqual(o_totalprice" in pushed[0]
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "proj_compute")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read  # narrow scan only
+    for col in ["l_orderkey", "l_extendedprice", "l_discount"]:
+        assert col in read
+    assert "l_partkey" not in read  # unreferenced column pruned
+
+
+def test_dim_join_broadcasts(spark):
+    plan = plan_of(spark, "join_dim_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "sort_topk")
+
+
+def test_flagship_no_cartesian(spark):
+    plan = plan_of(spark, "agg_star_flagship")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("key", ["agg_groupby_basic", "join_dim_broadcast"])
+def test_partial_aggregation_present(spark, key):
+    # Two-phase agg: a partial HashAggregate must appear below the exchange
+    # (map-side combine — mandatory at 100 TB).
+    plan = plan_of(spark, key)
+    assert plan.count("HashAggregate") >= 2
