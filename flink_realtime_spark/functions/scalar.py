@@ -1,1 +1,257 @@
-"""Placeholder — populated in a later milestone."""
+"""Scalar function library — SURVEY.md §2.8.
+
+Reference capability: the Flink SQL built-in function library (string,
+temporal, math, collection, JSON families) that every 实时数仓 job leans on
+for the ODS→DWD cleanse step (provenance FLINK/ARCH; snapshot is
+README-only, /root/reference/README.md:1-2). The engine surface is the whole
+``pyspark.sql.functions`` namespace — JVM expressions inside whole-stage
+codegen, never Python-row UDFs; each query here is one oracle-checked
+representative per family.
+
+Cross-engine notes baked into the oracles: DuckDB regexp_replace needs the
+'g' flag to match Spark's replace-all; DuckDB has no initcap; Spark
+year()/ceil() type quirks are normalized with BIGINT casts; transcendental
+results (exp/ln) are rounded to 6 decimals since libm may differ in the last
+ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_spark.exprs import bigint
+from flink_realtime_spark.registry import query
+from flink_realtime_spark.tables import Warehouse
+
+
+@query(
+    "scalar_string",
+    """
+    SELECT
+      p_partkey,
+      upper(p_name) AS name_upper,
+      lower(p_brand) AS brand_lower,
+      substring(p_type, 1, 7) AS type_prefix,
+      split_part(p_type, ' ', 1) AS type_head,
+      lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+      CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num,
+      regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+      translate(p_brand, '#', '-') AS brand_dashed,
+      CAST(levenshtein(p_brand, 'Brand#00') AS BIGINT) AS lev_to_base,
+      md5(p_name) AS name_md5,
+      CAST(length(p_name) AS BIGINT) AS name_len,
+      concat(p_brand, ':', trim(p_type)) AS brand_type
+    FROM part
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, substring/split, pad/trim, regex extract +
+    replace-all, translate, levenshtein, md5, length, concat."""
+    wh = Warehouse(spark, sf_dir)
+    return wh.part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 7).alias("type_prefix"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).cast("long").alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.levenshtein("p_brand", F.lit("Brand#00")).cast("long").alias("lev_to_base"),
+        F.md5("p_name").alias("name_md5"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat("p_brand", F.lit(":"), F.trim("p_type")).alias("brand_type"),
+    )
+
+
+@query(
+    "scalar_datetime",
+    """
+    SELECT
+      o_orderkey,
+      CAST(year(o_orderdate) AS BIGINT) AS yr,
+      CAST(month(o_orderdate) AS BIGINT) AS mo,
+      CAST(day(o_orderdate) AS BIGINT) AS dy,
+      date_trunc('month', o_orderdate) AS month_start,
+      CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
+      CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+        AS days_since_epoch_start,
+      CAST(epoch(o_orderdate) AS BIGINT) AS unix_ts,
+      o_orderdate + INTERVAL 6 HOUR AS noon_ish,
+      CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS weekday_iso
+    FROM orders
+    """,
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal family: extract, truncate, date add/diff, epoch seconds,
+    interval arithmetic, ISO weekday (Spark weekday()+1 == DuckDB isodow)."""
+    wh = Warehouse(spark, sf_dir)
+    return wh.orders.select(
+        "o_orderkey",
+        bigint(F.year("o_orderdate")).alias("yr"),
+        bigint(F.month("o_orderdate")).alias("mo"),
+        bigint(F.dayofmonth("o_orderdate")).alias("dy"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30)
+        .cast("timestamp")
+        .alias("due_date"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.unix_timestamp("o_orderdate").alias("unix_ts"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 6 HOURS")).alias("noon_ish"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("weekday_iso"),
+    )
+
+
+@query(
+    "scalar_math",
+    """
+    SELECT
+      c_custkey,
+      CAST(abs(c_acctbal) AS DOUBLE) AS abs_bal,
+      CAST(round(c_acctbal, 1) AS DOUBLE) AS bal_round1,
+      CAST(ceil(CAST(c_acctbal AS DOUBLE)) AS BIGINT) AS bal_ceil,
+      CAST(floor(CAST(c_acctbal AS DOUBLE)) AS BIGINT) AS bal_floor,
+      CAST(sqrt(abs(c_acctbal)) AS DOUBLE) AS bal_sqrt,
+      ROUND(ln(abs(c_acctbal) + 1), 6) AS bal_ln,
+      ROUND(exp(c_acctbal / 10000), 6) AS bal_exp,
+      CAST(sign(c_acctbal) AS DOUBLE) AS bal_sign,
+      CAST(greatest(c_acctbal, 0.0) AS DOUBLE) AS bal_pos,
+      CAST(least(c_acctbal, 1000.0) AS DOUBLE) AS bal_capped,
+      CAST(((CAST(c_custkey AS BIGINT) % 7) + 7) % 7 AS BIGINT) AS key_mod7
+    FROM customer
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: abs/round/ceil/floor/sqrt/ln/exp/sign/greatest/least and
+    positive modulo (Spark pmod == the ((x%n)+n)%n rewrite)."""
+    wh = Warehouse(spark, sf_dir)
+    return wh.customer.select(
+        "c_custkey",
+        F.abs("c_acctbal").cast("double").alias("abs_bal"),
+        F.round("c_acctbal", 1).cast("double").alias("bal_round1"),
+        F.ceil(F.col("c_acctbal").cast("double")).cast("long").alias("bal_ceil"),
+        F.floor(F.col("c_acctbal").cast("double")).cast("long").alias("bal_floor"),
+        F.sqrt(F.abs("c_acctbal")).cast("double").alias("bal_sqrt"),
+        F.round(F.log(F.abs("c_acctbal") + 1), 6).alias("bal_ln"),
+        F.round(F.exp(F.col("c_acctbal") / 10000), 6).alias("bal_exp"),
+        F.signum("c_acctbal").cast("double").alias("bal_sign"),
+        F.greatest("c_acctbal", F.lit(0.0)).cast("double").alias("bal_pos"),
+        F.least("c_acctbal", F.lit(1000.0)).cast("double").alias("bal_capped"),
+        F.pmod(F.col("c_custkey").cast("long"), F.lit(7)).cast("long").alias("key_mod7"),
+    )
+
+
+@query(
+    "scalar_array",
+    """
+    SELECT
+      vec_id,
+      CAST(len(embedding) AS BIGINT) AS dim,
+      CAST(embedding[1] AS DOUBLE) AS first_dim,
+      CAST(embedding[len(embedding)] AS DOUBLE) AS last_dim,
+      CAST(list_max(embedding) AS DOUBLE) AS max_dim,
+      CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+      CAST(len(list_distinct([label % 3, label % 5, label % 3])) AS BIGINT)
+        AS n_distinct_mods,
+      CAST(list_sum(generate_series(1, CAST(label AS BIGINT) + 1)) AS BIGINT)
+        AS tri_sum
+    FROM embeddings
+    """,
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/collection family incl. higher-order functions: size, index
+    access, max, lambda filter, distinct, sequence + aggregate (all
+    JVM-side codegen — the idiomatic replacement for per-row UDF loops)."""
+    wh = Warehouse(spark, sf_dir)
+    e = wh.embeddings
+    lbl = F.col("label").cast("long")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_dim"),
+        F.element_at("embedding", F.size("embedding")).cast("double").alias(
+            "last_dim"
+        ),
+        F.array_max("embedding").cast("double").alias("max_dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias(
+            "n_positive"
+        ),
+        F.size(
+            F.array_distinct(F.array(lbl % 3, lbl % 5, lbl % 3))
+        )
+        .cast("long")
+        .alias("n_distinct_mods"),
+        F.aggregate(
+            F.sequence(F.lit(1).cast("long"), lbl + 1),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        .cast("long")
+        .alias("tri_sum"),
+    )
+
+
+@query(
+    "scalar_map",
+    """
+    SELECT
+      event_id,
+      'etype,uid' AS key_list,
+      event_type AS etype_val,
+      CAST(user_id AS VARCHAR) AS uid_val,
+      CAST(TRUE AS BOOLEAN) AS has_etype,
+      CAST(2 AS BIGINT) AS map_size
+    FROM events
+    """,
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: construct, keys (sorted), element_at lookup, contains,
+    size. The oracle states the expected scalars directly — DuckDB's MAP
+    indexing semantics differ, so the check is on the extracted values."""
+    wh = Warehouse(spark, sf_dir)
+    m = F.create_map(
+        F.lit("etype"),
+        F.col("event_type"),
+        F.lit("uid"),
+        F.col("user_id").cast("string"),
+    )
+    return wh.events.select(
+        "event_id",
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("key_list"),
+        F.element_at(m, "etype").alias("etype_val"),
+        F.element_at(m, "uid").alias("uid_val"),
+        F.map_contains_key(m, "etype").alias("has_etype"),
+        F.size(m).cast("long").alias("map_size"),
+    )
+
+
+@query(
+    "scalar_json_props",
+    """
+    SELECT
+      event_id,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_variant,
+      CAST(to_json(struct_pack(user_id := user_id, event_type := event_type))
+           AS VARCHAR) AS rowjson
+    FROM events
+    """,
+)
+def scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family — the ODS→DWD signature op: path extraction
+    (get_json_object), schema-ful parse (from_json), Spark 4 VARIANT
+    (parse_json + variant_get), and serialization (to_json). All three
+    extraction routes must agree with the oracle's json_extract."""
+    wh = Warehouse(spark, sf_dir)
+    return wh.events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_path"),
+        F.from_json("props", "k LONG").getField("k").alias("k_struct"),
+        F.try_variant_get(F.parse_json("props"), "$.k", "long").alias("k_variant"),
+        F.to_json(F.struct("user_id", "event_type")).alias("rowjson"),
+    )

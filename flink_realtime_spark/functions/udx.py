@@ -1,1 +1,127 @@
-"""Placeholder — populated in a later milestone."""
+"""User-defined function surface — SURVEY.md §2.11.
+
+Reference capability: Flink ScalarFunction / AggregateFunction /
+TableFunction (provenance FLINK; snapshot is README-only,
+/root/reference/README.md:1-2). Spark-first policy: the slow path is
+opt-in and always Arrow-vectorized — ``pandas_udf`` scalar and grouped-agg
+variants move columnar batches, never rows; the table function is a Spark 4
+``F.udtf``. Row-at-a-time ``F.udf`` is deliberately absent from the engine
+surface (10-100× slower; NORTH 100 TB mandate).
+
+UDF objects are built lazily (inside the query functions) because
+``pandas_udf`` return-type parsing needs an active SparkSession, and this
+module imports at registry load time, before the driver's session exists.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_spark.registry import query
+from flink_realtime_spark.tables import Warehouse
+
+
+@lru_cache(maxsize=1)
+def _net_price_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        # Vectorized scalar UDF (Flink ScalarFunction analog): Arrow batch
+        # in, Arrow batch out. Per-row IEEE ops are deterministic, so this
+        # stays oracle-exact without rounding.
+        return price * (1.0 - discount)
+
+    return net_price
+
+
+@query(
+    "udf_scalar_pandas",
+    """
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS net_price
+    FROM lineitem
+    WHERE l_quantity >= 45
+    """,
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wh = Warehouse(spark, sf_dir)
+    return wh.lineitem.filter(F.col("l_quantity") >= 45).select(
+        "l_orderkey",
+        "l_linenumber",
+        _net_price_udf()("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@lru_cache(maxsize=1)
+def _median_udaf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_agg(v: pd.Series) -> float:
+        # Grouped-aggregate pandas UDF (Flink AggregateFunction analog).
+        # Median is order-insensitive → deterministic across batchings.
+        return float(np.median(v.to_numpy(dtype=np.float64)))
+
+    return median_agg
+
+
+@query(
+    "udaf_grouped_pandas",
+    """
+    SELECT
+      l_returnflag,
+      ROUND(MEDIAN(l_extendedprice), 4) AS med_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wh = Warehouse(spark, sf_dir)
+    return wh.lineitem.groupBy("l_returnflag").agg(
+        F.round(_median_udaf()("l_extendedprice"), 4).alias("med_price")
+    )
+
+
+@lru_cache(maxsize=1)
+def _split_words_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, pos int")
+    class SplitWords:
+        # Table function (Flink TableFunction / LATERAL analog):
+        # one input string → N (word, position) rows.
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" "), start=1):
+                if w:
+                    yield w, i
+
+    return SplitWords
+
+
+@query(
+    "udtf_split_rows",
+    """
+    SELECT
+      doc_id,
+      unnest(str_split(text, ' ')) AS word,
+      CAST(unnest(generate_series(1, len(str_split(text, ' ')))) AS BIGINT)
+        AS pos
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def udtf_split_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wh = Warehouse(spark, sf_dir)
+    docs = wh.documents.filter(F.col("doc_id") < 100)
+    split_words = _split_words_udtf()
+    return docs.lateralJoin(
+        split_words(F.col("text").outer()).alias("t")
+    ).select("doc_id", "word", F.col("pos").cast("long").alias("pos"))

@@ -1,1 +1,233 @@
-"""Placeholder — populated in a later milestone."""
+"""Over-windows (analytic functions) — SURVEY.md §2.6.
+
+Reference capability: Flink SQL OVER aggregations, the Top-N pattern
+(``ROW_NUMBER() ... WHERE rn <= N``), LAG/LEAD and value functions
+(provenance FLINK; snapshot is README-only, /root/reference/README.md:1-2).
+Spark-first: ``pyspark.sql.Window`` specs; the per-group Top-N filter is
+recognized by Catalyst's WindowGroupLimit rule, which pushes the limit below
+the shuffle so only N rows per key per partition survive the exchange.
+
+Determinism discipline: every ORDER BY carries a unique tiebreak column
+(row_number/ntile are otherwise engine-dependent on ties), and framed SUM/AVG
+go through the DECIMAL(18,4) cast so segment-tree vs sequential accumulation
+cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_realtime_spark.registry import query
+from flink_realtime_spark.tables import Warehouse
+
+_RANK_ORDER = "ORDER BY o_totalprice DESC, o_orderkey ASC"
+
+
+@query(
+    "over_ranking",
+    f"""
+    SELECT
+      o_orderkey,
+      o_orderpriority,
+      CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority {_RANK_ORDER}) AS BIGINT) AS rn,
+      CAST(RANK() OVER (PARTITION BY o_orderpriority {_RANK_ORDER}) AS BIGINT) AS rnk,
+      CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority {_RANK_ORDER}) AS BIGINT) AS drnk,
+      CAST(NTILE(4) OVER (PARTITION BY o_orderpriority {_RANK_ORDER}) AS BIGINT) AS quartile,
+      PERCENT_RANK() OVER (PARTITION BY o_orderpriority {_RANK_ORDER}) AS pct_rank,
+      CUME_DIST() OVER (PARTITION BY o_orderpriority {_RANK_ORDER}) AS cdist
+    FROM orders
+    WHERE o_totalprice > 300000
+    """,
+)
+def over_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family (Flink SQL OVER): ROW_NUMBER/RANK/DENSE_RANK/NTILE/
+    PERCENT_RANK/CUME_DIST per priority partition with a unique tiebreak."""
+    wh = Warehouse(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return wh.orders.filter(F.col("o_totalprice") > 300000).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@query(
+    "over_topn_pergroup",
+    f"""
+    SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rn
+    FROM (
+      SELECT *,
+        CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority {_RANK_ORDER}) AS BIGINT) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def over_topn_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical Flink SQL Top-N: top 3 orders per priority. Catalyst's
+    WindowGroupLimit pushes the rn<=3 limit below the exchange, so each map
+    task ships at most 3 rows per group — the 100 TB-safe formulation."""
+    wh = Warehouse(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        wh.orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "over_lag_lead",
+    """
+    SELECT
+      user_id,
+      event_id,
+      CAST(COALESCE(LAG(value) OVER w, -1.0) AS DOUBLE) AS prev_value,
+      COALESCE(LEAD(event_type) OVER w, 'none') AS next_type,
+      CAST(COALESCE(
+        DATE_DIFF('second', LAG(ts) OVER w, ts), -1
+      ) AS BIGINT) AS gap_sec
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def over_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD offsets per user timeline (Flink SQL OVER offsets) — the
+    building block for gap detection and funnel steps. Nulls at partition
+    edges are coalesced to sentinels for engine-stable types."""
+    wh = Warehouse(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return wh.events.select(
+        "user_id",
+        "event_id",
+        F.coalesce(F.lag("value").over(w), F.lit(-1.0))
+        .cast("double")
+        .alias("prev_value"),
+        F.coalesce(F.lead("event_type").over(w), F.lit("none")).alias("next_type"),
+        F.coalesce(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("gap_sec"),
+    )
+
+
+@query(
+    "over_value_fns",
+    """
+    SELECT DISTINCT
+      user_id,
+      FIRST_VALUE(event_type) OVER w AS first_type,
+      LAST_VALUE(event_type) OVER w AS last_type,
+      CAST(COALESCE(NTH_VALUE(event_id, 2) OVER w, -1) AS BIGINT) AS second_event
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def over_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST/LAST/NTH_VALUE over full-partition frames: each user's first,
+    last and second event (Flink SQL value functions)."""
+    wh = Warehouse(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return wh.events.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.coalesce(F.nth_value("event_id", 2).over(w), F.lit(-1))
+        .cast("long")
+        .alias("second_event"),
+    ).distinct()
+
+
+@query(
+    "over_running_sum",
+    """
+    SELECT
+      user_id,
+      event_id,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING
+      ) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def over_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per user (Flink OVER ... ROWS UNBOUNDED PRECEDING).
+    Decimal-cast accumulation keeps segment-tree vs sequential window
+    evaluation bit-identical across engines."""
+    wh = Warehouse(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return wh.events.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+@query(
+    "over_moving_avg",
+    """
+    SELECT
+      user_id,
+      event_id,
+      CAST(
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        / COUNT(*) OVER w
+      AS DOUBLE) AS moving_avg
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def over_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over the last 4 events per user (Flink framed OVER
+    aggregate) — exact decimal sum / frame count, one final double divide."""
+    wh = Warehouse(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return wh.events.select(
+        "user_id",
+        "event_id",
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        )
+        .cast("double")
+        .alias("moving_avg"),
+    )

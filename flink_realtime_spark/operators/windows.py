@@ -1,1 +1,245 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-time windows — SURVEY.md §2.5, the heart of a 实时数仓.
+
+Reference capability: Flink TUMBLE / HOP / SESSION / CUMULATE windows with
+watermarks (provenance FLINK/ARCH; snapshot is README-only,
+/root/reference/README.md:1-2). Spark-first: ``F.window`` /
+``F.session_window`` group keys — identical expressions run bounded here and
+unbounded under ``readStream`` + ``withWatermark`` (tests/test_streaming.py
+asserts the equivalence). CUMULATE has no Spark primitive; it is composed
+from tumbling slices + a running window sum. The watermark late-drop rule is
+modeled in batch as a running-max arrival-order filter so even it is
+oracle-checkable.
+
+Scale notes (100 TB): window group-bys shuffle on (window, key) — partial
+aggregation collapses rows map-side first. Sliding windows multiply rows by
+size/slide (here 2×) inside the Expand, before the combine. Session windows
+shuffle on the key only and merge per partition. State in the streaming
+variants is bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_realtime_spark.exprs import dsum, dsum_sql
+from flink_realtime_spark.registry import query
+from flink_realtime_spark.tables import Warehouse
+
+
+@query(
+    "win_tumble",
+    f"""
+    SELECT
+      date_trunc('hour', ts) AS win_start,
+      date_trunc('hour', ts) + INTERVAL '1 hour' AS win_end,
+      event_type,
+      COUNT(*) AS n_events,
+      {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def win_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type (Flink TUMBLE).
+    Streaming form: identical expression + withWatermark (see
+    tests/test_streaming.py)."""
+    wh = Warehouse(spark, sf_dir)
+    return (
+        wh.events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "win_slide",
+    f"""
+    SELECT
+      time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes'
+        AS win_start,
+      time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes'
+        + INTERVAL '1 hour' AS win_end,
+      COUNT(*) AS n_events,
+      {dsum_sql('value')} AS total_value
+    FROM events, range(2) t(k)
+    GROUP BY 1, 2
+    """,
+)
+def win_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 1-hour size, 30-minute slide (Flink HOP).
+    Spark's Expand assigns each event to its size/slide = 2 windows; the
+    oracle reproduces that with an explicit range(2) cross join."""
+    wh = Warehouse(spark, sf_dir)
+    return (
+        wh.events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "win_session",
+    f"""
+    WITH marked AS (
+      SELECT
+        user_id, event_id, ts, value,
+        CASE
+          WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL THEN 1
+          WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               >= INTERVAL '30 minutes' THEN 1
+          ELSE 0
+        END AS new_sess
+      FROM events
+    ),
+    numbered AS (
+      SELECT *,
+        SUM(new_sess) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING
+        ) AS sess_id
+      FROM marked
+    )
+    SELECT
+      user_id,
+      MIN(ts) AS sess_start,
+      MAX(ts) + INTERVAL '30 minutes' AS sess_end,
+      COUNT(*) AS n_events,
+      {dsum_sql('value')} AS total_value
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows, 30-minute gap (Flink SESSION; ARCH
+    sessionization). Spark's session_window merges events strictly closer
+    than the gap; session end = last event + gap. Oracle is the classic
+    gaps-and-islands rewrite."""
+    wh = Warehouse(spark, sf_dir)
+    return (
+        wh.events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "win_cumulate",
+    f"""
+    WITH hourly AS (
+      SELECT
+        date_trunc('day', ts) AS day,
+        date_trunc('hour', ts) + INTERVAL '1 hour' AS hour_end,
+        COUNT(*) AS n,
+        {dsum_sql('value')} AS v
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT
+      day,
+      hour_end,
+      CAST(SUM(n) OVER w AS BIGINT) AS cum_events,
+      CAST(SUM(CAST(v AS DECIMAL(18,4))) OVER w AS DOUBLE) AS cum_value
+    FROM hourly
+    WINDOW w AS (PARTITION BY day ORDER BY hour_end ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def win_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative (expanding) windows within a day — Flink CUMULATE, the
+    daily-so-far dashboard. No Spark primitive: composed as hourly tumble
+    slices + a running per-day window sum; the composition is itself the
+    documented scale path (slices aggregate map-side, the running sum only
+    touches 24 rows per day per key)."""
+    wh = Warehouse(spark, sf_dir)
+    hourly = (
+        wh.events.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.window("ts", "1 hour").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("v"),
+        )
+        .select("day", F.col("w.end").alias("hour_end"), "n", "v")
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("hour_end")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return hourly.select(
+        "day",
+        "hour_end",
+        F.sum("n").over(w).cast("long").alias("cum_events"),
+        F.sum(F.col("v").cast("decimal(18,4)")).over(w).cast("double").alias(
+            "cum_value"
+        ),
+    )
+
+
+@query(
+    "win_late_drop",
+    """
+    WITH arr AS (
+      SELECT
+        event_id, user_id, ts,
+        MAX(ts) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS wm
+      FROM events
+    )
+    SELECT event_id, user_id, ts
+    FROM arr
+    WHERE ts >= wm - INTERVAL '10 minutes'
+    """,
+)
+def win_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data drop (Flink WatermarkStrategy bounded
+    out-of-orderness), modeled in batch: watermark = running max event time
+    in arrival order (event_id) minus 10 minutes; rows older than the
+    watermark at their arrival are dropped. The streaming counterpart is
+    withWatermark('ts', '10 minutes') — tests/test_streaming.py replays this
+    table through readStream and asserts the survivor set is consistent.
+    Spark gap vs Flink: no allowedLateness re-fire / side output
+    (SURVEY.md §7.4) — late rows are dropped, period."""
+    wh = Warehouse(spark, sf_dir)
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        wh.events.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.max("ts").over(w).alias("wm"),
+        )
+        .filter(F.col("ts") >= F.col("wm") - F.expr("INTERVAL 10 MINUTES"))
+        .select("event_id", "user_id", "ts")
+    )
