@@ -1,1 +1,129 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming sinks — SURVEY.md §2.1.
+
+Reference capability: Kafka DWD/DWS emission and keyed upsert into an OLAP
+store (ClickHouse/HBase/Redis style) at the ADS layer (provenance
+FLINK/ARCH; snapshot is README-only, /root/reference/README.md:1-2).
+Spark-first: ``writeStream`` with ``foreachBatch`` for idempotent keyed
+upserts — Spark's update-mode answer to Flink retract streams
+(SURVEY.md §7.4): the sink absorbs changelog semantics by merging each
+micro-batch into the keyed store.
+
+Scale notes (100 TB): the parquet upsert store here is the test-scale
+stand-in for a real keyed sink (Delta/Iceberg MERGE, ClickHouse
+ReplacingMergeTree, HBase put). The merge is keyed — cost scales with
+(store keys + batch rows), not history; date-partition ADS outputs so
+downstream scans prune.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_spark.registry import query
+from flink_realtime_spark.streaming.sources import events_stream
+from flink_realtime_spark.streaming.stateful import latest_image
+from flink_realtime_spark.tables import Warehouse
+
+
+def kafka_json_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str):
+    """Kafka sink (Flink KafkaSink analog): whole row → JSON value. Plan
+    builder only in this container (no broker)."""
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+class ParquetUpsertStore:
+    """Idempotent keyed upsert store over parquet — the foreachBatch target.
+    merge() unions the incoming batch with the current store and keeps the
+    latest row per key (total order via order_cols), then atomically swaps
+    the store directory. Re-running a batch is a no-op → exactly-once per
+    the foreachBatch contract."""
+
+    def __init__(self, spark: SparkSession, path: str, keys: list[str], order_cols):
+        self.spark = spark
+        self.path = path
+        self.keys = keys
+        self.order_cols = order_cols
+
+    def read(self) -> DataFrame | None:
+        if not os.path.isdir(self.path):
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def merge(self, batch_df: DataFrame) -> None:
+        current = self.read()
+        merged = (
+            batch_df
+            if current is None
+            else current.unionByName(batch_df, allowMissingColumns=False)
+        )
+        compacted = latest_image(merged, self.keys, self.order_cols)
+        tmp = self.path + ".staging"
+        compacted.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+
+
+def upsert_sink(
+    sdf: DataFrame,
+    store: ParquetUpsertStore,
+    checkpoint: str,
+):
+    """writeStream.foreachBatch keyed-upsert sink (the ARCH ADS emission)."""
+    return (
+        sdf.writeStream.foreachBatch(lambda bdf, _bid: store.merge(bdf))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+@query(
+    "sink_upsert_latest",
+    """
+    SELECT user_id, event_id AS last_event_id,
+           CAST(value AS DOUBLE) AS last_value
+    FROM (
+      SELECT *,
+        ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def sink_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming upsert: replay events → foreachBatch keyed merge
+    into a parquet store → read the final store back. The oracle is the
+    latest-image SQL, so the whole sink path (checkpoint, merge, swap) is
+    hash-checked, not just smoke-tested."""
+    Warehouse(spark, sf_dir)  # pins session confs
+    workdir = tempfile.mkdtemp(prefix="upsert_sink_")
+    store = ParquetUpsertStore(
+        spark,
+        os.path.join(workdir, "store"),
+        keys=["user_id"],
+        order_cols=[F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    sdf = events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", F.col("value").cast("double")
+    )
+    q = upsert_sink(sdf, store, os.path.join(workdir, "ckpt")).start()
+    q.awaitTermination()
+    out = store.read()
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )

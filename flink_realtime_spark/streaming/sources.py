@@ -1,1 +1,140 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming sources — SURVEY.md §2.1.
+
+Reference capability: Flink KafkaSource JSON ingest into the ODS layer,
+plus socket debug input (provenance FLINK/ARCH/NORTH; snapshot is
+README-only, /root/reference/README.md:1-2). Spark-first: ``readStream``
+builders. Kafka/socket builders construct the real plans (the Kafka
+connector jar and a broker aren't in this container, so they are exercised
+only up to plan construction); the replayable file source is the test-time
+stand-in, and the same transformations bind to any of them — Structured
+Streaming's unified DataFrame API is the whole point.
+
+Scale notes (100 TB): Kafka ingest parallelism = topic partitions; set
+minPartitions to fan out hot topics. File-source backfills use
+maxFilesPerTrigger to bound micro-batch size. Never infer schema on a
+stream — both builders take explicit DDL.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from flink_realtime_spark.registry import query
+from flink_realtime_spark.session import prepare
+from flink_realtime_spark.tables import Warehouse
+
+EVENTS_DDL = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def kafka_json_source(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    schema_ddl: str,
+    starting_offsets: str = "latest",
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Kafka JSON-event source (Flink KafkaSource analog): value bytes →
+    from_json with an explicit schema; offsets tracked by the checkpoint.
+    Returns an unbounded DataFrame; not executable in this container (no
+    broker/connector jar) but the plan is the production ingest path."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if min_partitions:
+        reader = reader.option("minPartitions", str(min_partitions))
+    raw = reader.load()
+    return raw.select(
+        F.col("timestamp").alias("kafka_ts"),
+        F.from_json(F.col("value").cast("string"), schema_ddl).alias("j"),
+    ).select("kafka_ts", "j.*")
+
+
+def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Socket debug source (one text line per row)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+
+
+def file_stream_source(
+    spark: SparkSession,
+    directory: str,
+    schema: str | StructType,
+    glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Replayable file (parquet) source — the bounded stand-in used by every
+    streaming test; semantically identical plans bind to Kafka in prod."""
+    reader = spark.readStream.format("parquet").schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(directory)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table replayed as a stream (nanos already normalized by
+    re-materializing through the batch loader is NOT possible on a stream;
+    instead read the raw file and apply the same ns→µs conversion)."""
+    prepare(spark)
+    raw_ddl = (
+        "event_id LONG, ts LONG, user_id LONG, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    sdf = file_stream_source(spark, sf_dir, raw_ddl, glob="events.parquet")
+    return sdf.withColumn(
+        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+    )
+
+
+def run_available_now(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Execute a streaming DataFrame to completion over currently available
+    input (trigger availableNow) into a memory sink; return the bounded
+    result. This is how streaming operators expose themselves to the batch
+    oracle."""
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+@query("src_stream_smoke")
+def src_stream_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming smoke: replay events through the file
+    source with a watermark + tumbling-window count, availableNow trigger,
+    memory sink. No SQL oracle (execution-path check; the window semantics
+    themselves are oracle-checked by win_tumble and the equivalence suite)."""
+    wh = Warehouse(spark, sf_dir)  # noqa: F841 — pins session confs
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return run_available_now(agg, output_mode="append")

