@@ -282,3 +282,39 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(s) for s in _SEGMENTS],
     )
+
+
+@query(
+    "agg_grouping_sets",
+    f"""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+      COUNT(*) AS n_orders,
+      {dsum_sql('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL-string frontend (engine entry
+    point B, SURVEY.md §3.2): the query text goes through the same Catalyst
+    pipeline as the DataFrame API — one engine, two frontends. Registers the
+    orders table as a temp view and plans a single Expand pass."""
+    wh = Warehouse(spark, sf_dir)
+    wh.orders.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        f"""
+        SELECT
+          o_orderstatus,
+          o_orderpriority,
+          CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+          CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+          COUNT(*) AS n_orders,
+          {dsum_sql('o_totalprice')} AS total_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
