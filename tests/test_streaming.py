@@ -203,3 +203,41 @@ def test_upsert_store_two_phase_merge(spark, chunked_events_dir):
         batch, ["user_id", "last_event_id"]
     )
     shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_stream_stream_interval_join(spark):
+    """Stream-stream time-interval join with dual watermarks (the streaming
+    form of join_interval_time): clicks x purchases of the same user within
+    30 minutes, replayed bounded. State on both sides is bounded by the
+    watermark + the interval condition; the emitted pairs must equal the
+    batch interval join."""
+    sdf = events_stream(spark, SF_DIR)
+    c = (
+        sdf.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    p = (
+        sdf.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("click_id", "purchase_id")
+    streamed = run_available_now(joined, "append")
+    batch = registry.QUERIES["join_interval_time"](spark, SF_DIR)
+    assert _rows(streamed, ["click_id", "purchase_id"]) == _rows(
+        batch, ["click_id", "purchase_id"]
+    )
