@@ -318,3 +318,100 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@query(
+    "ads_daily_uv_pv",
+    """
+    SELECT
+      date_trunc('day', ts) AS day,
+      event_type,
+      COUNT(*) AS pv,
+      COUNT(DISTINCT user_id) AS uv,
+      CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id) AS pv_per_user
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ads_daily_uv_pv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical ADS-layer dashboard metric of a 实时数仓: daily PV/UV
+    per event type. Exact COUNT(DISTINCT) here; at 100 TB swap uv for the
+    HLL sketch (agg_approx_distinct) and keep the same query shape —
+    sketches merge across days for rollups."""
+    wh = Warehouse(spark, sf_dir)
+    return wh.events.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("pv"),
+        F.countDistinct("user_id").alias("uv"),
+        (F.count(F.lit(1)).cast("double") / F.countDistinct("user_id")).alias(
+            "pv_per_user"
+        ),
+    )
+
+
+@query(
+    "tpch_q6_forecast",
+    f"""
+    SELECT
+      {dsum_sql('l_extendedprice * l_discount')} AS revenue_delta,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q6 shape — pure scan-filter-aggregate, the query class where
+    pushed filters + whole-stage codegen do all the work (no shuffle at
+    all beyond the final single-group agg)."""
+    wh = Warehouse(spark, sf_dir)
+    return wh.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_q3_priority",
+    f"""
+    SELECT
+      l.l_orderkey,
+      {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+      o.o_orderdate,
+      o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+)
+def tpch_q3_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q3 shape (shipping priority): selective dimension filter joined
+    into two fact tables with group-by revenue — the segment filter prunes
+    customer before the join, so the build side stays broadcastable."""
+    wh = Warehouse(spark, sf_dir)
+    c = wh.customer.filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        c.join(wh.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+        .join(wh.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )

@@ -292,3 +292,61 @@ def transform_with_state(
         outputMode=output_mode,
         timeMode="None",
     )
+
+
+@query(
+    "cdc_apply_changelog",
+    """
+    WITH changelog AS (
+      SELECT
+        event_id AS seq,
+        user_id AS pk,
+        ts,
+        value,
+        CASE
+          WHEN event_type = 'signup' THEN 'I'
+          WHEN event_type = 'error' THEN 'D'
+          ELSE 'U'
+        END AS op
+      FROM events
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+        FROM changelog
+      ) WHERE rn = 1
+    )
+    SELECT pk, op AS last_op, seq AS last_seq,
+           CAST(value AS DOUBLE) AS last_value
+    FROM latest
+    WHERE op != 'D'
+    """,
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC apply (Flink CDC +I/+U/-D semantics): the events table read
+    as a keyed changelog with op codes derived per event type; the
+    materialized table is the latest image per key, with keys whose final
+    operation is a delete removed entirely. One window pass — delete
+    handling costs nothing extra over compaction. Streaming form: the same
+    rule inside latest_image_state_fn with a tombstone emission."""
+    wh = Warehouse(spark, sf_dir)
+    changelog = wh.events.select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id").alias("pk"),
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    latest = latest_image(
+        changelog, keys=["pk"], order_cols=[F.col("ts").desc(), F.col("seq").desc()]
+    )
+    return latest.filter(F.col("op") != "D").select(
+        "pk",
+        F.col("op").alias("last_op"),
+        F.col("seq").alias("last_seq"),
+        F.col("value").cast("double").alias("last_value"),
+    )
