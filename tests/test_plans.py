@@ -64,3 +64,19 @@ def test_partial_aggregation_present(spark, key):
     # (map-side combine — mandatory at 100 TB).
     plan = plan_of(spark, key)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q3_dimension_filter_pushed_and_broadcast(spark):
+    plan = plan_of(spark, "tpch_q3_priority")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("c_mktsegment" in l and "EqualTo" in l for l in pushed)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q6_no_join_no_extra_shuffle(spark):
+    plan = plan_of(spark, "tpch_q6_forecast")
+    assert "Join" not in plan
+    # single-group agg: one partial/final pair, exchange only for the final
+    assert plan.count("HashAggregate") >= 2
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_discount" in pushed and "l_quantity" in pushed

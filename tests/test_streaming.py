@@ -241,3 +241,37 @@ def test_stream_stream_interval_join(spark):
     assert _rows(streamed, ["click_id", "purchase_id"]) == _rows(
         batch, ["click_id", "purchase_id"]
     )
+
+
+def test_stream_session_window_complete_equals_batch(spark):
+    """Session windows under Structured Streaming (complete mode over the
+    bounded replay) must equal the batch session_window aggregation — the
+    gap-merge state machine behaves identically in IncrementalExecution."""
+    sdf = events_stream(spark, SF_DIR)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "n",
+        )
+    )
+    streamed = run_available_now(agg, "complete")
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "n",
+        )
+    )
+    assert _rows(streamed, ["user_id", "ws", "we", "n"]) == _rows(
+        batch, ["user_id", "ws", "we", "n"]
+    )
