@@ -1,0 +1,48 @@
+"""Physical layout strategies for warehouse layers — SCALE.md made concrete.
+
+The ARCH layers (DWD/DWS/ADS) are materialized as parquet datasets whose
+layout is chosen for the downstream read pattern:
+
+- ``write_partitioned_layer``: hive-style partition directories on a
+  low-cardinality column (date, event_type). Readers filtering on the
+  partition column scan only matching directories (static partition
+  pruning — zero IO for pruned partitions, visible as PartitionFilters in
+  the scan node).
+- ``write_bucketed_table``: pre-shuffled bucketed layout on a join/agg key.
+  Two tables bucketed on the same key with the same bucket count join with
+  NO exchange on either side — at 100 TB this turns the nightly
+  fact-to-fact join from the dominant shuffle into a local zip.
+  (Bucketing requires the table catalog: saveAsTable, not plain paths.)
+
+tests/test_layout.py asserts both properties against the actual plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned_layer(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    mode: str = "overwrite",
+) -> None:
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_layer(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

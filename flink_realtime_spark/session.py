@@ -66,6 +66,11 @@ def get_spark(app_name: str = "flink-realtime-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # keep catalog tables (bucketed layouts) out of the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
