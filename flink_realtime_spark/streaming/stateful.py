@@ -136,7 +136,7 @@ def state_new_visitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cep_funnel_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP-lite pattern detection (Flink CEP view→click→purchase funnel),
     batch analog: strictly ordered first-occurrence chaining via min-ts
-    joins. Streaming form = FunnelProcessor below. Flink gap note: Spark has
+    joins. Streaming form = funnel_state_fn below. Flink gap note: Spark has
     no MATCH_RECOGNIZE; this composition plus the stateful processor is the
     engine's documented CEP surface (SURVEY.md §4)."""
     wh = Warehouse(spark, sf_dir)
@@ -245,12 +245,46 @@ def latest_image_state_fn(key, pdf_iter, state):
         )
 
 
+def funnel_state_fn(key, pdf_iter, state):
+    """CEP-lite NFA per user (Flink CEP analog): advance through
+    view → click → purchase on strictly increasing event time, emit the
+    current stage after each micro-batch. State = (stage, last_transition
+    ts_us); feed ts-ordered batches for event-time semantics (out-of-order
+    events within a batch are sorted here; cross-batch stragglers follow
+    arrival order — the documented Spark-vs-Flink ordering gap)."""
+    import pandas as pd
+
+    _NEXT = {0: "view", 1: "click", 2: "purchase"}
+    stage, last_us = (tuple(state.get) if state.exists else (0, -1))
+    user_id = key[0]
+    saw_any = False
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for r in pdf.itertuples(index=False):
+            saw_any = True
+            t_us = int(r.ts.value // 1000)
+            if stage < 3 and r.event_type == _NEXT[stage] and t_us > last_us:
+                stage, last_us = stage + 1, t_us
+    if saw_any:
+        state.update((stage, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id], dtype="int64"),
+                "funnel_stage": pd.Series([stage], dtype="int64"),
+            }
+        )
+
+
 _STATE_SCHEMAS = {
     new_visitor_state_fn: ("seen INT", "event_id LONG, user_id LONG, is_new LONG"),
     latest_image_state_fn: (
         "ts_us LONG, event_id LONG, event_type STRING, value DOUBLE",
         "user_id LONG, last_event_id LONG, last_type STRING, "
         "last_value DOUBLE, last_ts_us LONG",
+    ),
+    funnel_state_fn: (
+        "stage LONG, last_us LONG",
+        "user_id LONG, funnel_stage LONG",
     ),
 }
 

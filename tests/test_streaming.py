@@ -275,3 +275,28 @@ def test_stream_session_window_complete_equals_batch(spark):
     assert _rows(streamed, ["user_id", "ws", "we", "n"]) == _rows(
         batch, ["user_id", "ws", "we", "n"]
     )
+
+
+def test_funnel_state_fn_matches_batch(spark):
+    """Streaming CEP funnel (applyInPandasWithState NFA) over a ts-ordered
+    single-batch replay must reach the same final stage per user as the
+    batch min-ts-chaining composition."""
+    from flink_realtime_spark.streaming.stateful import (
+        apply_with_state,
+        funnel_state_fn,
+    )
+
+    sdf = events_stream(spark, SF_DIR).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    out = apply_with_state(sdf, "user_id", funnel_state_fn)
+    emitted = run_available_now(out, "append").toPandas()
+    final = emitted.groupby("user_id", sort=True).last().reset_index()
+    batch = (
+        registry.QUERIES["cep_funnel_batch"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert final["user_id"].tolist() == batch["user_id"].tolist()
+    assert final["funnel_stage"].tolist() == batch["funnel_stage"].tolist()
