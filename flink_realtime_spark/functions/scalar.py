@@ -255,3 +255,33 @@ def scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(F.parse_json("props"), "$.k", "long").alias("k_variant"),
         F.to_json(F.struct("user_id", "event_type")).alias("rowjson"),
     )
+
+
+@query(
+    "scalar_bitwise",
+    """
+    SELECT
+      o_orderkey,
+      CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+      CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+      CAST(xor(o_orderkey, 21845) AS BIGINT) AS xored,
+      CAST(o_orderkey << 2 AS BIGINT) AS shl2,
+      CAST(o_orderkey >> 3 AS BIGINT) AS shr3,
+      CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+    FROM orders
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/shifts/popcount — the bit-packing
+    primitives the SimHash/banding operators build on."""
+    wh = Warehouse(spark, sf_dir)
+    k = F.col("o_orderkey")
+    return wh.orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("long").alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).cast("long").alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).cast("long").alias("xored"),
+        F.shiftleft(k, 2).cast("long").alias("shl2"),
+        F.shiftright(k, 3).cast("long").alias("shr3"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    )

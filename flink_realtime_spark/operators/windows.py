@@ -243,3 +243,47 @@ def win_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("wm") - F.expr("INTERVAL 10 MINUTES"))
         .select("event_id", "user_id", "ts")
     )
+
+
+@query(
+    "win_late_side_output",
+    """
+    WITH arr AS (
+      SELECT
+        event_id, user_id, ts, event_type,
+        MAX(ts) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS wm
+      FROM events
+    )
+    SELECT
+      event_id,
+      user_id,
+      event_type,
+      CAST(ts < wm - INTERVAL '10 minutes' AS BOOLEAN) AS is_late,
+      CAST(CASE WHEN ts < wm - INTERVAL '10 minutes'
+           THEN date_diff('second', ts, wm) ELSE 0 END AS BIGINT) AS late_by_sec
+    FROM arr
+    """,
+)
+def win_late_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data side output (Flink OutputTag analog — SURVEY.md §7.4 gap):
+    Spark has no tagged side outputs, so the engine's documented mitigation
+    is two filtered branches of one watermark-annotated relation. This key
+    materializes the tag itself (is_late + lateness) so both branches are
+    derivable and the rule is oracle-checked; in streaming the same
+    predicate splits the stream before the watermark drop happens."""
+    wh = Warehouse(spark, sf_dir)
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wm = F.max("ts").over(w)
+    late = F.col("ts") < wm - F.expr("INTERVAL 10 MINUTES")
+    return wh.events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        late.alias("is_late"),
+        F.when(late, wm.cast("long") - F.col("ts").cast("long"))
+        .otherwise(0)
+        .cast("long")
+        .alias("late_by_sec"),
+    )

@@ -27,7 +27,22 @@ def salted_join(
     """Join ``skewed`` (hot keys) with ``small`` (replicable) on ``key``,
     spreading each key over n_salts partitions. ``salt_from`` must be a
     column on the skewed side with per-row variation (an id), so the salt
-    is deterministic. The small side is exploded n_salts×; keep it small."""
+    is deterministic. The small side is exploded n_salts×; keep it small.
+
+    Only skewed-side-preserving join types are legal: with a replicated
+    build side, right/full outer would emit every unmatched small-side row
+    once per salt replica. The composite (key, salt) join key is a
+    deliberate exemption from the scalars-only join-key rule (CLAUDE.md):
+    folding it through a hash would admit collision false-matches, and the
+    salt column is a dense int that hash-partitions fine."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports skewed-side-preserving joins only "
+            f"(got {how!r}): a replicated build side would duplicate "
+            f"unmatched right-side rows once per salt"
+        )
     salted = skewed.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
     )
