@@ -300,3 +300,23 @@ def test_funnel_state_fn_matches_batch(spark):
     )
     assert final["user_id"].tolist() == batch["user_id"].tolist()
     assert final["funnel_stage"].tolist() == batch["funnel_stage"].tolist()
+
+
+def test_stream_slide_complete_equals_batch(spark):
+    """Sliding (hopping) windows under streaming == batch: each event lands
+    in size/slide = 2 windows in both modes."""
+    sdf = events_stream(spark, SF_DIR)
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    streamed = run_available_now(agg, "complete")
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    assert _rows(streamed, ["ws", "n"]) == _rows(batch, ["ws", "n"])
