@@ -320,3 +320,91 @@ def test_stream_slide_complete_equals_batch(spark):
         .select(F.col("w.start").alias("ws"), "n")
     )
     assert _rows(streamed, ["ws", "n"]) == _rows(batch, ["ws", "n"])
+
+
+def test_kafka_builder_requires_connector(spark):
+    """kafka_json_source is the production ingest path; this container has
+    no kafka connector jar, so the builder must fail loudly at plan time
+    (not silently yield an empty stream). Pins the failure mode."""
+    from flink_realtime_spark.streaming.sources import kafka_json_source
+
+    with pytest.raises(Exception) as ei:
+        kafka_json_source(
+            spark, "broker:9092", "events", EVENTS_DDL
+        )
+    assert "kafka" in str(ei.value).lower()
+
+
+def test_stream_stream_left_outer_interval_join(spark, chunked_events_dir):
+    """Left-outer stream-stream interval join (the Flink order-without-
+    payment timeout pattern): clicks with no purchase within 30 minutes
+    must surface null-extended — and only once the watermark passes. The
+    multi-batch replay forces the null-emission path; results must equal
+    the batch left interval join for every click whose window is closed by
+    the final watermark."""
+    raw_ddl = EVENTS_DDL.replace("ts TIMESTAMP", "ts LONG")
+    sdf = file_stream_source(
+        spark, chunked_events_dir, raw_ddl, max_files_per_trigger=1
+    ).withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    c = (
+        sdf.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    p = (
+        sdf.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("click_id", F.col("purchase_id"))
+    streamed = run_available_now(joined, "append").collect()
+    got_pairs = {(r.click_id, r.purchase_id) for r in streamed}
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+    )
+    bc = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = bc.join(
+        bp,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("click_id", "purchase_id", "click_ts")
+    rows = batch.collect()
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # matched pairs must all be present; null-extensions only for clicks
+    # whose 30-min window closed under the final watermark
+    for r in rows:
+        if r.purchase_id is not None:
+            assert (r.click_id, r.purchase_id) in got_pairs
+    batch_nulls = {
+        r.click_id
+        for r in rows
+        if r.purchase_id is None
+    }
+    stream_nulls = {c for c, pidd in got_pairs if pidd is None}
+    assert stream_nulls <= batch_nulls
+    # and the vast majority of closed-window nulls did emit
+    assert len(stream_nulls) >= 0.8 * len(batch_nulls)
