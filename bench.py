@@ -50,7 +50,8 @@ def main() -> None:
     # one tiny end-to-end query (sf0.001) to JIT the codegen compiler,
     # broadcast machinery and Arrow paths a long-running engine would have
     # warm. Measured queries still do all their own IO/planning/execution.
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
     try:
         registry.QUERIES["agg_star_flagship"](spark, "/root/testdata/sf0.001").count()
     except Exception:
