@@ -74,7 +74,7 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(year(o_orderdate) AS BIGINT) AS yr,
       CAST(month(o_orderdate) AS BIGINT) AS mo,
       CAST(day(o_orderdate) AS BIGINT) AS dy,
-      date_trunc('month', o_orderdate) AS month_start,
+      CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
       CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
         AS days_since_epoch_start,

@@ -293,35 +293,11 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the Spark side is free to use fast native hashing.
 _N_HASH, _N_BANDS, _ROWS_PER_BAND = 16, 4, 4
 
-@query(
-    "llm_dedup_minhash",
-    f"""
-    WITH s AS (
-      SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents
-    )
-    SELECT
-      a.doc_id AS doc_a,
-      b.doc_id AS doc_b,
-      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-    FROM s a, s b
-    WHERE a.doc_id < b.doc_id
-      AND len(list_intersect(a.sh, b.sh))
-          >= 0.5 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-    """,
-)
-def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pipeline, the scale path for Jaccard dedup:
-    shingle -> 16 xxhash64 minhashes -> 4 bands of 4 -> bucket join on the
-    band slice (array equality, no signature string) -> exact-Jaccard
-    verification of the tiny candidate set. AND-within-band keeps
-    candidates ~ sum(j^4) (vs sum(8j) for Spark ML's OR-combined single-hash
-    tables, which blows up on correlated corpora). The oracle is the exact
-    all-pairs result: with candidate verification, banding only ever
-    *removes* sub-threshold pairs the exact filter would drop too, so on a
-    margin-gapped corpus the outputs coincide; the property test guards the
-    recall assumption."""
-    wh = Warehouse(spark, sf_dir)
+
+def minhash_pairs(wh: Warehouse) -> DataFrame:
+    """Banded-MinHash near-dup pairs with exact-Jaccard verification:
+    columns (doc_a, doc_b, jaccard), doc_a < doc_b, jaccard >= 0.5. The
+    shared engine of llm_dedup_minhash and llm_dedup_cluster."""
     sh = (
         _with_shingles(wh.documents.select("doc_id", "text"))
         .select("doc_id", "sh")
@@ -393,6 +369,144 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("jaccard", shared.cast("double") / union_n)
         .filter(shared >= 0.5 * union_n)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_MINHASH_ORACLE = f"""
+    WITH s AS (
+      SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents
+    )
+    SELECT
+      a.doc_id AS doc_a,
+      b.doc_id AS doc_b,
+      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM s a, s b
+    WHERE a.doc_id < b.doc_id
+      AND len(a.sh) > 0 AND len(b.sh) > 0
+      AND len(list_intersect(a.sh, b.sh))
+          >= 0.5 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+"""
+
+
+@query("llm_dedup_minhash", _MINHASH_ORACLE)
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline, the scale path for Jaccard dedup:
+    shingle -> 16 xxhash64 minhashes -> 4 bands of 4 -> bucket join on the
+    band slice (array equality, no signature string) -> exact-Jaccard
+    verification of the tiny candidate set. AND-within-band keeps
+    candidates ~ sum(j^4) (vs sum(8j) for Spark ML's OR-combined single-hash
+    tables, which blows up on correlated corpora). The oracle is the exact
+    all-pairs result: with candidate verification, banding only ever
+    *removes* sub-threshold pairs the exact filter would drop too, so on a
+    margin-gapped corpus the outputs coincide; the property test guards the
+    recall assumption."""
+    return minhash_pairs(Warehouse(spark, sf_dir))
+
+
+# Connected components over the near-dup pair graph: the step that turns
+# pairs into dedup DECISIONS (one canonical doc per duplicate cluster).
+# Oracle: DuckDB recursive CTE computing min-reachable-id per node over the
+# exact-Jaccard edge set — algorithmically independent of the Spark side
+# (label propagation over MinHash-candidate edges).
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE
+    s AS (
+      SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents
+    ),
+    e AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM s a, s b
+      WHERE a.doc_id <> b.doc_id
+        AND len(a.sh) > 0 AND len(b.sh) > 0
+        AND len(list_intersect(a.sh, b.sh))
+            >= 0.5 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, reach.r FROM reach JOIN e ON e.v = reach.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(r) AS rep_id FROM reach GROUP BY node
+    )
+    SELECT
+      c.doc_id,
+      c.rep_id,
+      n.cluster_size,
+      c.doc_id = c.rep_id AS is_canonical
+    FROM comp c
+    JOIN (
+      SELECT rep_id, COUNT(*) AS cluster_size FROM comp GROUP BY rep_id
+    ) n USING (rep_id)
+"""
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``nodes``: one column ``doc_id``; ``pairs``: columns (doc_a, doc_b),
+    one row per undirected edge. Returns (doc_id, rep_id) where rep_id is
+    the minimum doc_id reachable from the node. Each round is one keyed
+    join + partial-min aggregation, all distributed; the fixpoint (labels
+    stop decreasing) is detected from the strictly decreasing label sum,
+    one scalar action per round. Rounds needed = component diameter; the
+    O(log n) large-star/small-star variant is the documented path for
+    adversarial diameters at 100 TB (SCALE.md). Label frames are
+    localCheckpoint'ed per round to truncate lineage — on a cluster this
+    is a checkpoint to object storage."""
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint(eager=False)
+
+    labels = nodes.select(
+        "doc_id", F.col("doc_id").alias("rep_id")
+    ).localCheckpoint(eager=False)
+    prev_sum = labels.agg(F.sum("rep_id")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("rep_id").alias("nbr_rep"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["doc_a"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("rep_id"), F.coalesce("nbr_rep", "rep_id")
+                ).alias("rep_id"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = labels.agg(F.sum("rep_id")).collect()[0][0]
+        if cur_sum == prev_sum:  # labels only decrease; equal sum = fixpoint
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+@query("llm_dedup_cluster", _CLUSTER_ORACLE)
+def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the near-dup
+    graph, representative = min doc_id per component, keep-one-per-cluster
+    (`is_canonical`). Property-tested against a union-find model on random
+    graphs (tests/test_cluster_props.py); hash-checked against a DuckDB
+    recursive-CTE oracle on the fixture corpus."""
+    wh = Warehouse(spark, sf_dir)
+    labels = connected_components(
+        wh.documents.select("doc_id"), minhash_pairs(wh).select("doc_a", "doc_b")
+    )
+    sizes = labels.groupBy("rep_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "rep_id").select(
+        "doc_id",
+        "rep_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("rep_id")).alias("is_canonical"),
     )
 
 

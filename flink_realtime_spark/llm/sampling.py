@@ -1,0 +1,128 @@
+"""Deterministic sampling / split / mixture operators for training-data
+pipelines — NORTH-mandated extension (the reference snapshot is README-only,
+/root/reference/README.md:1-2).
+
+Design: all sampling here is HASH-based, not RNG-based. `rand()`-style
+sampling is nondeterministic across retries, partitionings, and engines —
+unacceptable for reproducible dataset builds (and for the driver's
+value-hash oracle). Hashing a stable key gives a sample that is (a)
+identical on every engine and every rerun, (b) embarrassingly parallel with
+zero shuffles — a pure pushdown-able filter, (c) consistent across tables
+(the same doc keeps its fate everywhere), and (d) re-weightable per stratum
+by varying the modulus threshold. This is the standard technique for
+100 TB-scale corpus work, where "re-run the sample" must mean "get the same
+bytes".
+
+Hash: md5 of the salted key, top 60 bits as BIGINT — bit-identical in Spark
+(`conv(substr(md5(x),1,15),16,10)`) and DuckDB
+(`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`), the same equivalence the
+SimHash operator uses (llm/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_spark.registry import query
+from flink_realtime_spark.tables import Warehouse
+
+
+def _bucket_spark(key_expr: str, salt: str, mod: int) -> F.Column:
+    """Deterministic bucket in [0, mod) from a stable key — JVM-side only."""
+    return F.expr(
+        f"CAST(conv(substr(md5(concat(CAST({key_expr} AS STRING), ':{salt}')),"
+        f" 1, 15), 16, 10) AS BIGINT) % {mod}"
+    )
+
+
+def _bucket_duck(key_expr: str, salt: str, mod: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || ':{salt}'),"
+        f" 1, 15)) AS BIGINT) % {mod}"
+    )
+
+
+@query(
+    "pipe_sample_hash",
+    f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_bucket_duck('doc_id', 'sample', 20)} = 0
+    """,
+)
+def pipe_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% corpus sample: keep documents whose hash bucket
+    (mod 20) is 0. The predicate is a pure narrow filter — no shuffle, no
+    RNG state, and the same rows survive on any engine, any partitioning,
+    any retry. At 100 TB this runs at scan speed and composes with
+    partition pruning."""
+    wh = Warehouse(spark, sf_dir)
+    return wh.documents.filter(
+        _bucket_spark("doc_id", "sample", 20) == 0
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "pipe_split_assign",
+    f"""
+    SELECT
+      doc_id,
+      lang,
+      CASE
+        WHEN {_bucket_duck('doc_id', 'split', 100)} < 80 THEN 'train'
+        WHEN {_bucket_duck('doc_id', 'split', 100)} < 90 THEN 'valid'
+        ELSE 'test'
+      END AS split
+    FROM documents
+    """,
+)
+def pipe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment by hash bucket.
+    Because the split is a pure function of the document key, it is stable
+    under re-runs, joins, and incremental corpus growth (new docs get a
+    split; old docs never move) — the property RNG splits lack. A different
+    salt ('split' vs 'sample') keeps this independent of pipe_sample_hash."""
+    wh = Warehouse(spark, sf_dir)
+    b = _bucket_spark("doc_id", "split", 100)
+    return wh.documents.select(
+        "doc_id",
+        "lang",
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
+# Per-source mixture weights: up-weighted sources keep everything, the
+# long tail keeps a hash-chosen quarter. Declared as data so the Spark
+# plan and the oracle derive from the same table.
+_MIX_KEEP_ALL = {"src0", "src1", "src2", "src3", "src4"}
+_MIX_TAIL_MOD = 4  # keep 1/4 of the remaining sources
+
+
+@query(
+    "pipe_mixture_weighted",
+    f"""
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+    FROM documents
+    WHERE source IN ({', '.join(repr(s) for s in sorted(_MIX_KEEP_ALL))})
+       OR {_bucket_duck('doc_id', 'mix', _MIX_TAIL_MOD)} = 0
+    GROUP BY source
+    """,
+)
+def pipe_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixture: head sources contribute at weight 1.0, the
+    tail at 0.25, selected by deterministic hash — the 'data mixing' step of
+    a corpus build. The weight policy is one disjunctive filter (no union of
+    N branches, no shuffle); per-source doc and char counts are the
+    mixture's audit record."""
+    wh = Warehouse(spark, sf_dir)
+    kept = wh.documents.filter(
+        F.col("source").isin(*sorted(_MIX_KEEP_ALL))
+        | (_bucket_spark("doc_id", "mix", _MIX_TAIL_MOD) == 0)
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )

@@ -324,7 +324,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ads_daily_uv_pv",
     """
     SELECT
-      date_trunc('day', ts) AS day,
+      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
       event_type,
       COUNT(*) AS pv,
       COUNT(DISTINCT user_id) AS uv,
@@ -414,4 +414,39 @@ def tpch_q3_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q13_custdist",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13 shape (customer order-count distribution): outer join with
+    a join-residual predicate, then a two-level aggregation. COUNT of a
+    nullable column (not COUNT(*)) makes no-order customers count 0; the
+    second group-by is on the derived count. Both aggregations are
+    two-phase; the first reuses the join's o_custkey partitioning."""
+    wh = Warehouse(spark, sf_dir)
+    per_cust = (
+        wh.customer.join(
+            wh.orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
     )

@@ -157,7 +157,7 @@ def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH hourly AS (
       SELECT
-        date_trunc('day', ts) AS day,
+        CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         date_trunc('hour', ts) + INTERVAL '1 hour' AS hour_end,
         COUNT(*) AS n,
         {dsum_sql('value')} AS v

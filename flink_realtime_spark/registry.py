@@ -29,6 +29,7 @@ ORACLES: dict[str, str] = {}
 _MODULES = [
     "flink_realtime_spark.operators.relational",
     "flink_realtime_spark.operators.joins",
+    "flink_realtime_spark.operators.subqueries",
     "flink_realtime_spark.operators.aggregates",
     "flink_realtime_spark.operators.windows",
     "flink_realtime_spark.operators.analytic",
@@ -41,6 +42,7 @@ _MODULES = [
     "flink_realtime_spark.llm.similarity",
     "flink_realtime_spark.llm.text",
     "flink_realtime_spark.llm.multimodal",
+    "flink_realtime_spark.llm.sampling",
 ]
 
 _loaded = False

@@ -10,6 +10,8 @@ it through tables.Warehouse.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -35,8 +37,46 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+# Application ids the engine package has already been shipped to.
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Distribute this package to the Python workers via addPyFile, so
+    functions passed to applyInPandas/mapInPandas (pickled by reference to
+    their defining module) import cleanly regardless of the driver
+    process's working directory. On a real cluster this is the same
+    mechanism that ships the engine to 1000 executors; in local mode it
+    protects against a host process launched outside the repo root."""
+    try:
+        sc = spark.sparkContext
+        app_id = sc.applicationId
+    except Exception:
+        return  # e.g. Spark Connect sessions: no SparkContext, workers
+        # resolve code through the connect server's environment instead
+    if app_id in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    fd, zip_path = tempfile.mkstemp(prefix="flink_realtime_spark_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
+    try:
+        sc.addPyFile(zip_path)
+        _SHIPPED.add(app_id)
+    except Exception:
+        pass  # already added under this name, or a restricted session
+
+
 def prepare(spark: SparkSession) -> SparkSession:
     """Pin runtime confs on an externally provided session. Idempotent."""
+    _ship_package(spark)
     for k, v in _RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)

@@ -1,0 +1,99 @@
+"""Randomized property tests for the connected-components composed plan
+(llm/dedup.py connected_components): Spark's iterative min-label
+propagation vs a driver-side union-find model on random graphs, plus plan
+assertions that the subquery operators decorrelated (no per-row nested
+re-execution — the 100 TB posture for §2 subqueries)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flink_realtime_spark import registry
+from flink_realtime_spark.llm.dedup import connected_components
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+_node = st.integers(min_value=0, max_value=24)
+
+edges_strategy = st.lists(
+    st.tuples(_node, _node), min_size=0, max_size=40
+)
+nodes_strategy = st.sets(_node, min_size=1, max_size=25)
+
+
+def _union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # normalize: every node -> min member of its component
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(nodes=nodes_strategy, raw_edges=edges_strategy)
+def test_connected_components_matches_union_find(spark, nodes, raw_edges):
+    # keep only edges between generated nodes, drop self-loops
+    edges = [(u, v) for u, v in raw_edges if u != v and u in nodes and v in nodes]
+    nodes_df = spark.createDataFrame(
+        [(n,) for n in sorted(nodes)], "doc_id long"
+    )
+    pairs_df = spark.createDataFrame(
+        edges or [(0, 0)], "doc_a long, doc_b long"
+    )
+    if not edges:  # placeholder row must not connect anything real
+        pairs_df = pairs_df.filter("doc_a <> doc_b")
+    got = {
+        r["doc_id"]: r["rep_id"]
+        for r in connected_components(nodes_df, pairs_df, max_iter=30).collect()
+    }
+    assert got == _union_find(nodes, edges)
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_subqueries_decorrelate_no_nested_loops(spark):
+    """Every subquery key must plan as joins — never a per-outer-row
+    re-execution (BroadcastNestedLoopJoin/CartesianProduct would be the
+    scale-breaking shapes)."""
+    for key in (
+        "subq_scalar_corr",
+        "subq_exists_delayed",
+        "subq_not_exists_dormant",
+        "subq_in_having",
+    ):
+        plan = _plan_of(registry.QUERIES[key](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+        assert "Join" in plan, key  # decorrelated into real joins

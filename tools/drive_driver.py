@@ -1,0 +1,131 @@
+"""Fresh-process driver simulation (verify skill step 1).
+
+Builds a PLAIN SparkSession (not the repo's get_spark), imports
+__spark_entry__, smoke-runs entry() at sf0.001, then for every key in
+queries() with an oracle_sql() counterpart runs both sides at sf0.01 and
+compares a STRICT stringified value hash: columns sorted by name, rows
+sorted by their full stringified tuple, every value rendered with repr()
+after a canonical scalar normalization (so int64-vs-float64 or
+"61" vs "61.0" FAILS, as the driver's representation hash would).
+
+Usage: python /tmp/drive_driver.py [--master local[N]] [--shuffle P] [keys...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+SF = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v):
+    # Mirror a representation-hash: no tolerant numeric coercion. Floats are
+    # repr'd exactly; ints stay ints; bytes hex; None canonical.
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return "0x" + v.hex()
+    return repr(v)
+
+
+def frame_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(canon(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    h.update(("\x1e".join(sorted(cols))).encode())
+    for ln in lines:
+        h.update(b"\x1d")
+        h.update(ln.encode())
+    return h.hexdigest()
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    master, shuffle = "local[32]", None
+    only = []
+    it = iter(args)
+    for a in it:
+        if a == "--master":
+            master = next(it)
+        elif a == "--shuffle":
+            shuffle = next(it)
+        else:
+            only.append(a)
+
+    b = SparkSession.builder.master(master).appName("driver-sim")
+    if shuffle:
+        b = b.config("spark.sql.shuffle.partitions", shuffle)
+    spark = b.getOrCreate()
+
+    import __spark_entry__ as e
+
+    out = e.entry(spark)
+    n = len(out.collect())
+    assert n > 0, "entry() returned no rows"
+    print(f"entry() smoke: {n} rows OK", flush=True)
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+
+    keys = only or sorted(qs)
+    failures = []
+    for k in keys:
+        try:
+            sdf = qs[k](spark, SF)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            if k not in oracles:
+                print(f"{k:28s} rows-only: {len(srows)} rows", flush=True)
+                continue
+            cur = con.execute(oracles[k])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            hs, ho = frame_hash(scols, srows), frame_hash(ocols, orows)
+            status = "OK" if hs == ho else "HASH-MISMATCH"
+            if hs != ho:
+                failures.append(k)
+                # first differing line for debugging
+                so = sorted(range(len(scols)), key=lambda i: scols[i])
+                oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                sl = sorted("\x1f".join(canon(r[i]) for i in so) for r in srows)
+                ol = sorted("\x1f".join(canon(r[i]) for i in oo) for r in orows)
+                print(f"{k:28s} {status} spark_cols={sorted(scols)} duck_cols={sorted(ocols)}")
+                print(f"  rows spark={len(sl)} duck={len(ol)}")
+                for a_, b_ in zip(sl, ol):
+                    if a_ != b_:
+                        print(f"  spark: {a_[:200]}")
+                        print(f"  duck : {b_[:200]}")
+                        break
+            else:
+                print(f"{k:28s} OK ({len(srows)} rows)", flush=True)
+        except Exception as ex:  # noqa: BLE001
+            failures.append(k)
+            print(f"{k:28s} ERROR {type(ex).__name__}: {str(ex)[:300]}")
+
+    print(f"\n{len(keys) - len(failures)}/{len(keys)} keys match")
+    if failures:
+        print("FAILED:", failures)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
