@@ -17,24 +17,33 @@ from pyspark.sql import functions as F
 DEC = "decimal(18,4)"
 
 
-def dsum(col: Column) -> Column:
-    """Order-independent SUM of a double expression (exact decimal path)."""
-    return F.sum(col.cast(DEC)).cast("double")
+def dsum(col: Column, scale: int = 4) -> Column:
+    """Order-independent SUM of a double expression (exact decimal path).
+
+    ``scale`` must be >= the true decimal scale of the expression: a double
+    whose exact value fits in ``scale`` digits rounds identically in both
+    engines (fp error ~1e-11 is far inside the tie boundary), but a cast
+    BELOW the true scale hits genuine ties where Spark (shortest-string
+    HALF_UP) and DuckDB (binary-value) disagree — e.g. a 6-decimal
+    price*(1-disc)*(1+tax) product cast at scale 4."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
 
 
-def davg(col: Column) -> Column:
+def davg(col: Column, scale: int = 4) -> Column:
     """Order-independent AVG: exact decimal sum divided by count, one final
     double division (deterministic)."""
-    return (F.sum(col.cast(DEC)).cast("double") / F.count(col)).cast("double")
-
-
-def dsum_sql(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
-
-
-def davg_sql(expr: str) -> str:
     return (
-        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+        F.sum(col.cast(f"decimal(18,{scale})")).cast("double") / F.count(col)
+    ).cast("double")
+
+
+def dsum_sql(expr: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def davg_sql(expr: str, scale: int = 4) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
         f" / COUNT({expr}) AS DOUBLE)"
     )
 

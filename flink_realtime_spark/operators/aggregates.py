@@ -350,6 +350,83 @@ def ads_daily_uv_pv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LAYERED_ORACLE = f"""
+WITH dwd AS (  -- ODS→DWD: parse the raw JSON payload, enrich with DIM
+  SELECT
+    CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
+    n.n_name,
+    e.user_id,
+    e.value,
+    CAST(json_extract(e.props, '$.k') AS BIGINT) AS k
+  FROM events e
+  JOIN customer c ON e.user_id = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+dws AS (  -- DWD→DWS: daily per-nation windowed aggregates
+  SELECT
+    day,
+    n_name,
+    COUNT(*) AS pv,
+    COUNT(DISTINCT user_id) AS uv,
+    {dsum_sql('value')} AS value_sum,
+    CAST(SUM(k) AS BIGINT) AS k_sum
+  FROM dwd
+  GROUP BY day, n_name
+)
+SELECT day, n_name, pv, uv, value_sum, k_sum  -- DWS→ADS: daily Top-3 board
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY day ORDER BY pv DESC, n_name
+  ) AS rn
+  FROM dws
+) t
+WHERE rn <= 3
+"""
+
+
+@query("ads_layered_pipeline", _LAYERED_ORACLE)
+def ads_layered_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 实时数仓 layer DAG as ONE declarative plan (SURVEY.md §1.1:
+    layers are composable query functions, not Kafka topics): ODS (raw
+    events, JSON props parsed) → DWD (broadcast DIM enrichment to nation) →
+    DWS (daily per-nation pv/uv/value aggregates) → ADS (top-3 nations per
+    day, unique n_name tiebreak). Catalyst fuses the layers: the JSON
+    parse and joins pipeline into one stage before the aggregation
+    shuffle — a Flink topology's four jobs collapse into one plan with two
+    exchanges. In streaming form each layer binds unchanged (windows +
+    update mode), with the ADS Top-N served from the upsert sink."""
+    wh = Warehouse(spark, sf_dir)
+    dwd = (
+        wh.events.join(
+            wh.customer, wh.events["user_id"] == wh.customer["c_custkey"]
+        )
+        .join(F.broadcast(wh.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.date_trunc("day", "ts").alias("day"),
+            "n_name",
+            "user_id",
+            "value",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+    dws = dwd.groupBy("day", "n_name").agg(
+        F.count(F.lit(1)).alias("pv"),
+        F.countDistinct("user_id").alias("uv"),
+        dsum(F.col("value")).alias("value_sum"),
+        F.sum("k").alias("k_sum"),
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("day").orderBy(F.col("pv").desc(), F.col("n_name"))
+    )
+    return (
+        dws.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .select("day", "n_name", "pv", "uv", "value_sum", "k_sum")
+    )
+
+
 @query(
     "tpch_q6_forecast",
     f"""

@@ -408,3 +408,57 @@ def test_stream_stream_left_outer_interval_join(spark, chunked_events_dir):
     assert stream_nulls <= batch_nulls
     # and the vast majority of closed-window nulls did emit
     assert len(stream_nulls) >= 0.8 * len(batch_nulls)
+
+
+def test_lookup_join_sees_refreshed_dim(spark, chunked_events_dir, tmp_path):
+    """Per-micro-batch dim refresh (the Flink lookup-join semantic): batch 0
+    joins dim snapshot v1; the dim is overwritten between micro-batches and
+    later batches must see v2. foreachBatch re-reads the snapshot each
+    batch, so the enrichment tracks the dimension's current version the way
+    a Flink lookup join against a KV store does."""
+    from flink_realtime_spark.streaming.lookup import lookup_join_per_batch
+
+    dim_dir = str(tmp_path / "dim")
+    dim_ddl = "user_id LONG, tier STRING"
+
+    def write_dim(tier: str) -> None:
+        spark.createDataFrame(
+            [(u, tier) for u in range(200)], dim_ddl
+        ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+
+    write_dim("v1")
+
+    raw_ddl = EVENTS_DDL.replace("ts TIMESTAMP", "ts LONG")
+    sdf = file_stream_source(
+        spark, chunked_events_dir, raw_ddl, max_files_per_trigger=1
+    )
+
+    seen: list[tuple[int, int, str]] = []  # (batch_id, event_id, tier)
+
+    def sink(joined, batch_id: int) -> None:
+        for r in joined.select("event_id", "tier").collect():
+            seen.append((batch_id, r["event_id"], r["tier"]))
+        if batch_id == 0:
+            write_dim("v2")  # refresh the dimension between micro-batches
+
+    q = (
+        lookup_join_per_batch(
+            sdf,
+            dim_dir,
+            dim_ddl,
+            on=lambda b, d: b["user_id"] == d["user_id"],
+            sink=sink,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert len(seen) == n_events  # every event enriched exactly once
+    batches = sorted({b for b, _, _ in seen})
+    assert len(batches) == 3  # maxFilesPerTrigger=1 over 3 chunks
+    tiers_by_batch = {b: {t for bb, _, t in seen if bb == b} for b in batches}
+    assert tiers_by_batch[batches[0]] == {"v1"}
+    assert tiers_by_batch[batches[1]] == {"v2"}
+    assert tiers_by_batch[batches[2]] == {"v2"}
