@@ -203,23 +203,51 @@ def cosine_expr(a: str, b: str) -> F.Column:
 )
 def llm_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.3): exact all-pairs
-    baseline with the cosine in zip_with/aggregate expressions. The LSH
-    bucketed variant for scale is llm_knn_ivf's machinery; this exact form
-    is the correctness baseline it is property-checked against."""
+    baseline as a broadcast tiled matrix product. The normalized corpus
+    matrix is built once and broadcast (the same driver-side build a
+    broadcast hash join does); each executor partition then runs one numpy
+    GEMM of its rows against the broadcast side and emits the thresholded
+    upper triangle. Each pair's dot is summed in a fixed order inside the
+    GEMM, so the result is partitioning-invariant. This replaced a
+    zip_with/aggregate pair join (interpreted lambda per element: 81 s at
+    sf0.1 vs ~2 s for the GEMM). At 100 TB the broadcast side no longer
+    fits: tile BOTH sides (range-bucket the corpus, cross-join the tile
+    grid, GEMM per tile pair) — or use the LSH/SimHash/IVF candidating
+    variants, which are the real scale path; this exact form is the
+    correctness baseline they are property-checked against."""
+    import numpy as np
+    import pandas as pd
+
     wh = Warehouse(spark, sf_dir)
     e = wh.embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim", cosine_expr("ea", "eb"))
-        .filter(F.col("sim") >= 0.3)
-        .select(
-            "vec_a", "vec_b", F.round("sim", 6).alias("cos_sim")
-        )
-    )
+    pdf = e.toPandas()  # broadcast build side (~1 MB at sf0.1)
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["emb"].to_numpy())
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def tiles(batches):
+        ids_b, mat_b = bc.value
+        for part in batches:
+            if not len(part):
+                continue
+            rid = part["vec_id"].to_numpy()
+            rows = np.stack(part["emb"].to_numpy())
+            rows = rows / np.linalg.norm(rows, axis=1, keepdims=True)
+            sims = rows @ mat_b.T
+            keep = (rid[:, None] < ids_b[None, :]) & (sims >= 0.3)
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_a": rid[ai],
+                    "vec_b": ids_b[bj],
+                    "cos_sim": np.round(sims[ai, bj], 6),
+                }
+            )
+
+    return e.mapInPandas(tiles, "vec_a long, vec_b long, cos_sim double")
 
 
 # 60-bit SimHash from md5 word hashes; identical arithmetic both engines

@@ -332,3 +332,265 @@ def tpch_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+def _sql(spark: SparkSession, sf_dir: str, tables: list[str], text: str) -> DataFrame:
+    """Register the needed tables as temp views and run the dialect-shared
+    SQL text — the same string the DuckDB oracle gets (engine entry point B,
+    SURVEY.md §3.2), so Catalyst's own subquery decorrelation is what's
+    under test, not a hand-rewritten join."""
+    wh = Warehouse(spark, sf_dir)
+    for t in tables:
+        wh.table(t).createOrReplaceTempView(t)
+    return spark.sql(text)
+
+
+_CASE_N5 = "CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0.0 END"
+
+_Q8_ORACLE = f"""
+WITH all_nations AS (
+  SELECT
+    CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+    l.l_extendedprice * (1 - l.l_discount) AS volume,
+    n2.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'AMERICA'
+    AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT
+  o_year,
+  CAST({dsum_sql(_CASE_N5)} / {dsum_sql('volume')} AS DOUBLE) AS mkt_share
+FROM all_nations
+GROUP BY o_year
+"""
+
+
+@query("tpch_q8_market_share", _Q8_ORACLE)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 shape (national market share): a supplier nation's share of
+    ECONOMY-part revenue sold into AMERICA, per order year. The nation dim
+    appears in two roles (customer's, supplier's); both broadcast. The
+    share is a ratio of two exact decimal sums — one deterministic double
+    division per group."""
+    wh = Warehouse(spark, sf_dir)
+    n1 = wh.nation.select("n_nationkey", "n_regionkey")
+    n2 = wh.nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    america = F.broadcast(
+        n1.join(
+            wh.region.filter(F.col("r_name") == "AMERICA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey")
+    )
+    o = wh.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n5_volume = F.when(
+        F.col("supp_nation") == "NATION_5", volume
+    ).otherwise(F.lit(0.0))
+    return (
+        wh.lineitem.join(
+            F.broadcast(wh.part.filter(F.col("p_type") == "ECONOMY")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(wh.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(wh.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(america, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
+        .groupBy(bigint(F.year("o_orderdate")).alias("o_year"))
+        .agg((dsum(n5_volume) / dsum(volume)).cast("double").alias("mkt_share"))
+    )
+
+
+_Q9_ORACLE = f"""
+SELECT
+  n.n_name AS nation,
+  CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+  {dsum_sql(
+      'l.l_extendedprice * (1 - l.l_discount)'
+      ' - 0.6 * p.p_retailprice * l.l_quantity'
+  )} AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%a%'
+GROUP BY n.n_name, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT)
+"""
+
+
+@query("tpch_q9_profit", _Q9_ORACLE)
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 shape (product-type profit): per supplier-nation, per year.
+    The fixture has no partsupp table (FIXTURES.md), so supply cost is
+    modeled as 0.6 * p_retailprice — same join/agg shape, fixture-local
+    cost basis. The profit expression stays exact at 4 decimals (prices are
+    2-decimal, quantity integral), so the decimal sum is engine-invariant."""
+    wh = Warehouse(spark, sf_dir)
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        wh.lineitem.join(
+            F.broadcast(wh.part.filter(F.col("p_name").like("%a%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(wh.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(wh.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(wh.nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            bigint(F.year("o_orderdate")).alias("o_year"),
+        )
+        .agg(dsum(amount).alias("sum_profit"))
+    )
+
+
+_HIGH_PRIO = "o.o_orderpriority IN ('1-URGENT', '2-HIGH')"
+
+_Q12_ORACLE = f"""
+SELECT
+  l.l_linestatus,
+  CAST(SUM(CASE WHEN {_HIGH_PRIO} THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN {_HIGH_PRIO} THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l.l_linestatus
+"""
+
+
+@query("tpch_q12_late_lines", _Q12_ORACLE)
+def tpch_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape (priority class of late shipments): the fixture has
+    no l_shipmode/commitdate/receiptdate, so "late" is ship > order + 60
+    days and the grouping key is l_linestatus — identical two-level
+    conditional-count shape. The non-equi lateness predicate rides the
+    equi-join as a residual; counts are BIGINT-pinned on both sides."""
+    wh = Warehouse(spark, sf_dir)
+    li = wh.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        wh.orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            ),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            bigint(F.sum(F.when(high, 1).otherwise(0))).alias("high_line_count"),
+            bigint(F.sum(F.when(high, 0).otherwise(1))).alias("low_line_count"),
+        )
+    )
+
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT
+    l_suppkey AS supplier_no,
+    {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("tpch_q15_top_supplier", _Q15_SQL)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 shape (top supplier): quarterly revenue per supplier,
+    keep the max. Dialect-shared SQL: the CTE is referenced twice (join
+    side + scalar MAX), and the revenue totals are exact decimals so the
+    max-equality filter selects identically in both engines."""
+    return _sql(spark, sf_dir, ["lineitem", "supplier"], _Q15_SQL)
+
+
+_Q16_SQL = """
+SELECT
+  p.p_brand,
+  p.p_size,
+  COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29, 33, 37)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+  )
+GROUP BY p.p_brand, p.p_size
+"""
+
+
+@query("tpch_q16_supplier_cnt", _Q16_SQL)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape (supplier count by part attrs): the fixture has no
+    partsupp, so the part↔supplier relation comes from lineitem — same
+    distinct-count-with-NOT-IN shape. NOT IN over the non-null key list
+    plans as a null-aware anti join; the excluded set (negative-balance
+    suppliers) broadcasts."""
+    return _sql(spark, sf_dir, ["lineitem", "part", "supplier"], _Q16_SQL)
+
+
+_Q21_SQL = """
+SELECT s.s_name, n.n_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_name, n.n_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+"""
+
+
+@query("tpch_q21_waiting", _Q21_SQL)
+def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape (suppliers who kept orders waiting): the sole late
+    supplier on a multi-supplier finished order. Dialect-shared SQL: the
+    EXISTS becomes a left-semi and the NOT EXISTS a left-anti join, both
+    correlated on l_orderkey with cross-outer-table residuals
+    (l3.l_shipdate vs o.o_orderdate) — the hardest decorrelation in the
+    suite. Top-10 with unique s_name tiebreak."""
+    return _sql(
+        spark, sf_dir, ["supplier", "lineitem", "orders", "nation"], _Q21_SQL
+    )
