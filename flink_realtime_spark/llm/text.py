@@ -274,3 +274,109 @@ def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5("sh")).alias("fingerprint"),
         F.countDistinct("sh").alias("n_shingles"),
     )
+
+
+_BIGRAMS_DUCK = """
+      list_transform(
+        generate_series(1, len(str_split(text, ' ')) - 1),
+        i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1])
+"""
+
+_REPETITION_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id,
+         len(str_split(text, ' ')) AS n_words,
+         len(list_distinct(str_split(text, ' '))) AS n_unique,
+         unnest({_BIGRAMS_DUCK}) AS bg
+  FROM documents
+  WHERE len(str_split(text, ' ')) >= 2
+),
+bg_counts AS (
+  SELECT doc_id, n_words, n_unique, bg, COUNT(*) AS c
+  FROM grams GROUP BY doc_id, n_words, n_unique, bg
+)
+SELECT
+  doc_id,
+  ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_words, 6) AS dup_word_frac,
+  ROUND(CAST(MAX(c) AS DOUBLE) / (n_words - 1), 6) AS top_bigram_frac
+FROM bg_counts
+GROUP BY doc_id, n_words, n_unique
+"""
+
+
+@query("llm_repetition", _REPETITION_ORACLE)
+def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher-rules family): per-document
+    duplicate-word fraction and most-frequent-bigram share. Bigrams come
+    from zip_with over shifted slices (the codegen-safe shingle builder —
+    SCALE.md Lessons), then explode → two keyed aggregations. Ratios are
+    exact integer divisions rounded at 6, so the hash is engine-stable."""
+    wh = Warehouse(spark, sf_dir)
+    ws = F.split("text", " ")
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 1),
+        F.slice(ws, 2, F.size(ws) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    grams = wh.documents.filter(F.size(ws) >= 2).select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_unique"),
+        F.explode(bigrams).alias("bg"),
+    )
+    bg_counts = grams.groupBy("doc_id", "n_words", "n_unique", "bg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return bg_counts.groupBy("doc_id", "n_words", "n_unique").agg(
+        F.max("c").alias("max_c")
+    ).select(
+        "doc_id",
+        F.round(1.0 - F.col("n_unique").cast("double") / F.col("n_words"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(
+            F.col("max_c").cast("double") / (F.col("n_words") - 1), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+CHUNK_SIZE = 40
+CHUNK_STRIDE = 30
+
+_CHUNK_ORACLE = f"""
+SELECT
+  doc_id,
+  CAST(s AS BIGINT) AS chunk_start,
+  CAST(len(list_slice(str_split(text, ' '), s, s + {CHUNK_SIZE - 1})) AS BIGINT)
+    AS n_tokens,
+  array_to_string(list_slice(str_split(text, ' '), s, s + {CHUNK_SIZE - 1}), ' ')
+    AS chunk_text
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(1, len(str_split(text, ' ')), {CHUNK_STRIDE})) AS s
+  FROM documents
+)
+"""
+
+
+@query("llm_chunk_split", _CHUNK_ORACLE)
+def llm_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (40-word chunks, stride 30, so
+    consecutive chunks overlap by 10 words) — the context-window packing
+    step of a training-data pipeline. One
+    narrow explode of the start-position sequence; slice clamps the final
+    partial chunk identically in both engines. Scales embarrassingly: no
+    shuffle, output rows ≈ corpus_words / stride."""
+    wh = Warehouse(spark, sf_dir)
+    ws = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(ws), F.lit(CHUNK_STRIDE))
+    chunk = F.slice(ws, F.col("s"), CHUNK_SIZE)
+    return (
+        wh.documents.select("doc_id", "text", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("chunk_start"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

@@ -594,3 +594,62 @@ def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(
         spark, sf_dir, ["supplier", "lineitem", "orders", "nation"], _Q21_SQL
     )
+
+
+_Q2_SQL = """
+SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, l.l_extendedprice AS min_price
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND p.p_size <= 10
+  AND l.l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice)
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+  )
+"""
+
+
+@query("tpch_q2_min_cost", _Q2_SQL)
+def tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape (minimum-cost supplier): for each small part, the
+    EUROPE supplier(s) whose lineitem hit the per-part regional minimum
+    price — the fixture has no partsupp, so lineitem plays the
+    part↔supplier cost relation. The correlated MIN over a four-table
+    subquery decorrelates into one keyed aggregate joined back on
+    l_partkey; prices compare exactly (parquet doubles, no arithmetic)."""
+    return _sql(
+        spark,
+        sf_dir,
+        ["part", "lineitem", "supplier", "nation", "region"],
+        _Q2_SQL,
+    )
+
+
+_Q11_SQL = f"""
+SELECT
+  l_partkey,
+  {dsum_sql('l_extendedprice * (1 - l_discount)')} AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING {dsum_sql('l_extendedprice * (1 - l_discount)')} > (
+  SELECT {dsum_sql('l_extendedprice * (1 - l_discount)')} * 0.0008
+  FROM lineitem
+)
+"""
+
+
+@query("tpch_q11_important_parts", _Q11_SQL)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 shape (important stock): parts whose revenue exceeds a
+    fixed fraction of GLOBAL revenue — a HAVING over an uncorrelated scalar
+    subquery (one-row broadcast against the grouped aggregate). Both sides
+    of the comparison are exact decimal sums cast to double before the
+    fraction multiply, so the cut is engine-invariant."""
+    return _sql(spark, sf_dir, ["lineitem"], _Q11_SQL)

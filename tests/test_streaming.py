@@ -462,3 +462,62 @@ def test_lookup_join_sees_refreshed_dim(spark, chunked_events_dir, tmp_path):
     assert tiers_by_batch[batches[0]] == {"v1"}
     assert tiers_by_batch[batches[1]] == {"v2"}
     assert tiers_by_batch[batches[2]] == {"v2"}
+
+
+def test_checkpoint_recovery_exactly_once(spark, chunked_events_dir, tmp_path):
+    """Kill-and-restart recovery (the Flink checkpoint/savepoint contract):
+    a keyed count over a file stream runs with a checkpoint, terminates,
+    new data arrives, and a NEW query instance on the SAME checkpoint must
+    resume from the recorded offsets — counting every row exactly once.
+    If restart re-read the old files, state would double-count and the
+    final per-key counts would diverge from the batch analog."""
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    for i in (0, 1):
+        shutil.copy(f"{chunked_events_dir}/chunk{i}.parquet", staging)
+
+    raw_ddl = EVENTS_DDL.replace("ts TIMESTAMP", "ts LONG")
+    emitted: list[tuple[int, str, int]] = []  # (run, event_type, n)
+
+    def run_once(run: int) -> None:
+        sdf = file_stream_source(
+            spark, str(staging), raw_ddl, max_files_per_trigger=1
+        )
+        agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+        def sink(bdf, _bid: int) -> None:
+            for r in bdf.collect():
+                emitted.append((run, r["event_type"], r["n"]))
+
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once(1)
+    first_run_final = {}
+    for run, et, n in emitted:
+        first_run_final[et] = n
+    # new file lands while the query is DOWN
+    shutil.copy(f"{chunked_events_dir}/chunk2.parquet", staging)
+    run_once(2)
+
+    # run 2 must have emitted updates (it saw the new file) ...
+    assert any(run == 2 for run, _, _ in emitted)
+    # ... strictly increasing per-key counts (state recovered, not reset)
+    final = {}
+    for run, et, n in emitted:
+        final[et] = n
+        if run == 2:
+            assert n >= first_run_final.get(et, 0)
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert final == {r["event_type"]: r["n"] for r in batch.collect()}
