@@ -144,7 +144,15 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "sh"
     )
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    postings = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    # Join on the 64-bit hash of the shingle, not the string: the shuffle
+    # carries 8-byte keys instead of ~30-byte strings and the hash join
+    # compares longs (SCALE.md Lessons: scalar join keys). A 64-bit
+    # collision merging two distinct shingles has p ≈ n²/2⁶⁵ — immaterial.
+    postings = (
+        sh.select("doc_id", F.explode("sh").alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint(eager=False)  # build shingles once, not per join side
+    )
     pairs = (
         postings.alias("a")
         .join(
