@@ -562,7 +562,9 @@ def llm_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("sh") > 0)
     )
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(sh)
+    # Both sides of the self-similarity join read feats: truncate lineage so
+    # shingling + TF run once, not once per side.
+    feats = tf.transform(sh).localCheckpoint(eager=False)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     )

@@ -112,8 +112,15 @@ def ivf_index(
         F.col("embedding").cast("array<double>").alias("emb"),
         array_to_vector(F.col("embedding").cast("array<double>")).alias("fv"),
     )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell")
-    model = km.fit(vecs)
+    km = KMeans(
+        k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell", maxIter=10
+    )
+    # A coarse quantizer doesn't need every vector: fit on a deterministic
+    # hash-sample (the standard IVF practice — train on a corpus sample,
+    # assign the full corpus in one transform pass). ~4× less fit work at
+    # any scale; recall is property-checked against the exact top-k.
+    train = vecs.filter(F.xxhash64("vec_id") % 4 == 0)
+    model = km.fit(train if train.limit(n_cells * 4).count() >= n_cells else vecs)
     assigned = model.transform(vecs).select("vec_id", "emb", "cell")
     centroids = vecs.sparkSession.createDataFrame(
         [(i, c.tolist()) for i, c in enumerate(model.clusterCenters())],
