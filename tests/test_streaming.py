@@ -521,3 +521,77 @@ def test_checkpoint_recovery_exactly_once(spark, chunked_events_dir, tmp_path):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert final == {r["event_type"]: r["n"] for r in batch.collect()}
+
+
+def test_layered_pipeline_streaming_converges(spark, chunked_events_dir, tmp_path):
+    """The full ODS→DWD→DWS→ADS layer DAG (ads_layered_pipeline's shape)
+    bound as ONE streaming query: file-stream ODS, broadcast stream-static
+    DIM enrichment + JSON parse (DWD), update-mode daily per-nation
+    aggregation (DWS), keyed upsert into the ADS store per micro-batch.
+    After the bounded replay the store must equal the batch run of the
+    same expressions — the engine's bounded==unbounded normative rule
+    (SURVEY.md §3.3) for the complete warehouse topology, not just one
+    operator."""
+    from flink_realtime_spark.exprs import dsum
+    from flink_realtime_spark.streaming.sinks import ParquetUpsertStore, upsert_sink
+
+    raw_ddl = EVENTS_DDL.replace("ts TIMESTAMP", "ts LONG")
+    sdf = file_stream_source(
+        spark, chunked_events_dir, raw_ddl, max_files_per_trigger=1
+    ).withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+
+    def layers(events):
+        dwd = (
+            events.join(F.broadcast(cust), events["user_id"] == cust["c_custkey"])
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            .select(
+                F.date_trunc("day", "ts").alias("day"),
+                "n_name",
+                "value",
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+            )
+        )
+        return dwd.groupBy("day", "n_name").agg(
+            F.count(F.lit(1)).alias("pv"),
+            dsum(F.col("value")).alias("value_sum"),
+            F.sum("k").alias("k_sum"),
+        )
+
+    store = ParquetUpsertStore(
+        spark,
+        str(tmp_path / "ads_store"),
+        keys=["day", "n_name"],
+        order_cols=[F.col("pv").desc()],  # update-mode counts are monotone
+    )
+    q = (
+        upsert_sink(layers(sdf), store, str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .start()
+    )
+    q.awaitTermination()
+
+    batch_events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+    )
+    expected = layers(batch_events)
+    cols = ["day", "n_name", "pv", "value_sum", "k_sum"]
+    assert _rows(store.read(), cols) == _rows(expected, cols)
+
+    # ADS serving layer off the store: top-3 nations per day matches batch.
+    from pyspark.sql import Window
+
+    def top3(df):
+        w = Window.partitionBy("day").orderBy(F.col("pv").desc(), F.col("n_name"))
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .drop("rn")
+        )
+
+    assert _rows(top3(store.read()), cols) == _rows(top3(expected), cols)
