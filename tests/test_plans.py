@@ -80,3 +80,41 @@ def test_q6_no_join_no_extra_shuffle(spark):
     assert plan.count("HashAggregate") >= 2
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
     assert "l_discount" in pushed and "l_quantity" in pushed
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "tpch_q5_local_supplier",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q9_profit",
+    ],
+)
+def test_multiway_star_joins_all_broadcast(spark, key):
+    # The dimension chain must fully broadcast: at 100 TB the fact table
+    # shuffles once (final agg), never for enrichment.
+    plan = plan_of(spark, key)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_single_exchange_two_phase(spark):
+    plan = plan_of(spark, "tpch_q1_pricing")
+    assert plan.count("HashAggregate") >= 2  # partial/final split
+    assert len([l for l in plan.splitlines() if "Exchange" in l and "(" in l]) >= 1
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_shipdate" in pushed
+
+
+def test_q10_topn_is_take_ordered(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "tpch_q10_returns")
+
+
+def test_q21_decorrelates_to_semi_anti(spark):
+    # EXISTS/NOT EXISTS must become joins — no per-row subquery re-execution.
+    plan = plan_of(spark, "tpch_q21_waiting")
+    low = plan.lower()
+    assert "leftsemi" in low or "existencejoin" in low
+    assert "leftanti" in low
