@@ -277,6 +277,7 @@ def funnel_state_fn(key, pdf_iter, state):
 
 _STATE_SCHEMAS = {
     new_visitor_state_fn: ("seen INT", "event_id LONG, user_id LONG, is_new LONG"),
+    # timeout_alert_state_fn registered after its definition below
     latest_image_state_fn: (
         "ts_us LONG, event_id LONG, event_type STRING, value DOUBLE",
         "user_id LONG, last_event_id LONG, last_type STRING, "
@@ -294,19 +295,26 @@ def apply_with_state(
     key: str,
     state_fn,
     output_mode: str = "append",
+    timeout: str = "none",
 ) -> DataFrame:
     """groupBy(key).applyInPandasWithState with the function's registered
     state/output schemas — the engine's portable KeyedProcessFunction
-    surface."""
+    surface. ``timeout``: "none" | "event" (event-time timers driven by
+    the watermark — the stream must carry withWatermark) | "processing"."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    conf = {
+        "none": GroupStateTimeout.NoTimeout,
+        "event": GroupStateTimeout.EventTimeTimeout,
+        "processing": GroupStateTimeout.ProcessingTimeTimeout,
+    }[timeout]
     state_schema, output_schema = _STATE_SCHEMAS[state_fn]
     return sdf.groupBy(key).applyInPandasWithState(
         state_fn,
         outputStructType=output_schema,
         stateStructType=state_schema,
         outputMode=output_mode,
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=conf,
     )
 
 
@@ -384,3 +392,108 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq").alias("last_seq"),
         F.col("value").cast("double").alias("last_value"),
     )
+
+
+@query(
+    "state_timeout_alert",
+    """
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = c.user_id
+          AND p.event_type = 'purchase'
+          AND p.ts > c.ts
+          AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      )
+    """,
+)
+def state_timeout_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timer-based timeout alert (the Flink KeyedProcessFunction
+    registerEventTimeTimer pattern): a click with no purchase from the same
+    user within 30 minutes raises an alert. Batch analog = anti interval
+    join (NOT EXISTS with equi key + time-range residual → left-anti hash
+    join, one shuffle). Streaming form = timeout_alert_state_fn below:
+    pending clicks in keyed state, an event-time timeout per key at the
+    earliest pending deadline, alerts emitted when the watermark passes it
+    — equivalence-tested in tests/test_streaming.py."""
+    wh = Warehouse(spark, sf_dir)
+    clicks = wh.events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = wh.events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTE"))
+    )
+    return clicks.join(purchases, cond, "left_anti").select(
+        "user_id", "click_id", "click_ts"
+    )
+
+
+_TIMEOUT_US = 30 * 60 * 1_000_000
+
+
+def timeout_alert_state_fn(key, pdf_iter, state):
+    """Keyed pending-click timers (Flink event-time timer analog): clicks
+    enter state with deadline = ts + 30 min; purchases clear the pending
+    clicks they satisfy; when the watermark passes the earliest deadline
+    the group times out and expired clicks emit as alerts. State is two
+    parallel arrays (click ts_us, event_id) — bounded by a user's
+    unsatisfied clicks inside the horizon, the same bound Flink's timer
+    state has."""
+    import pandas as pd
+
+    pend_ts, pend_id = (
+        (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+    )
+    user_id = key[0]
+
+    if not state.hasTimedOut:
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples(index=False):
+                t_us = int(r.ts.value // 1000)
+                if r.event_type == "click":
+                    pend_ts.append(t_us)
+                    pend_id.append(int(r.event_id))
+                elif r.event_type == "purchase":
+                    keep = [
+                        (ct, ci)
+                        for ct, ci in zip(pend_ts, pend_id)
+                        if not (ct < t_us <= ct + _TIMEOUT_US)
+                    ]
+                    pend_ts, pend_id = [list(x) for x in zip(*keep)] if keep else ([], [])
+    # Emit every pending click whose deadline the watermark has passed —
+    # on timeout wake-ups AND inline (a purchase-free batch may advance the
+    # watermark past older deadlines before any timer fires).
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    expired = [
+        (ct, ci) for ct, ci in zip(pend_ts, pend_id) if ct + _TIMEOUT_US < wm_us
+    ]
+    live = [(ct, ci) for ct, ci in zip(pend_ts, pend_id) if ct + _TIMEOUT_US >= wm_us]
+    if expired:
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id] * len(expired), dtype="int64"),
+                "click_id": pd.Series([ci for _, ci in expired], dtype="int64"),
+                "click_ts_us": pd.Series([ct for ct, _ in expired], dtype="int64"),
+            }
+        )
+    if live:
+        ts_l, id_l = [list(x) for x in zip(*live)]
+        state.update((ts_l, id_l))
+        # next wake-up: earliest outstanding deadline (ms, event-time)
+        state.setTimeoutTimestamp(min(ts_l) // 1000 + _TIMEOUT_US // 1000)
+    else:
+        state.remove()
+
+
+_STATE_SCHEMAS[timeout_alert_state_fn] = (
+    "pend_ts ARRAY<LONG>, pend_id ARRAY<LONG>",
+    "user_id LONG, click_id LONG, click_ts_us LONG",
+)

@@ -595,3 +595,55 @@ def test_layered_pipeline_streaming_converges(spark, chunked_events_dir, tmp_pat
         )
 
     assert _rows(top3(store.read()), cols) == _rows(top3(expected), cols)
+
+
+def test_timeout_alert_stream_matches_batch(spark, chunked_events_dir):
+    """Event-time timers (Flink registerEventTimeTimer): pending clicks
+    alert when the watermark passes click_ts + 30 min with no satisfying
+    purchase. Every streamed alert must be a batch-analog alert; every
+    alert whose deadline the watermark provably passed mid-replay must
+    have been emitted (the final chunk's tail may stay pending — bounded
+    replay ends before the watermark crosses it)."""
+    from flink_realtime_spark.streaming.stateful import (
+        apply_with_state,
+        timeout_alert_state_fn,
+    )
+
+    raw_ddl = EVENTS_DDL.replace("ts TIMESTAMP", "ts LONG")
+    sdf = (
+        file_stream_source(spark, chunked_events_dir, raw_ddl, max_files_per_trigger=1)
+        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .withWatermark("ts", "1 minute")
+    )
+    alerts = apply_with_state(sdf, "user_id", timeout_alert_state_fn, timeout="event")
+    streamed = {
+        (r.user_id, r.click_id) for r in run_available_now(alerts, "append").collect()
+    }
+
+    batch = registry.QUERIES["state_timeout_alert"](spark, SF_DIR)
+    batch_alerts = {
+        (r.user_id, r.click_id): r.click_ts for r in batch.collect()
+    }
+    assert streamed <= set(batch_alerts)
+
+    # Watermark after the 2nd-to-last batch: max ts of chunks 0-1 minus the
+    # 1-minute delay. Deadlines strictly before it must have fired.
+    import datetime as dt
+
+    chunk01_max = (
+        spark.read.parquet(
+            f"{chunked_events_dir}/chunk0.parquet",
+            f"{chunked_events_dir}/chunk1.parquet",
+        )
+        .selectExpr("timestamp_micros(CAST(max(ts) DIV 1000 AS LONG)) AS m")
+        .collect()[0]["m"]
+    )
+    wm = chunk01_max - dt.timedelta(minutes=1)
+    must_fire = {
+        k
+        for k, cts in batch_alerts.items()
+        if cts + dt.timedelta(minutes=30) < wm
+    }
+    assert must_fire <= streamed
+    assert len(streamed) >= len(must_fire) > 0
