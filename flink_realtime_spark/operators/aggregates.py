@@ -527,3 +527,29 @@ def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("custdist")
     )
+
+
+@query("agg_uv_sketch_rollup")
+def agg_uv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE 100 TB UV pattern: per-day HLL
+    sketches of the visitor set (a few KB each, computed once, map-side
+    combined), then weekly UV by MERGING sketches (`hll_union_agg`) —
+    never re-touching raw events. A Flink warehouse stores these per-window
+    sketches in the DWS layer for exactly this reason: any rollup
+    granularity (week/month/campaign) becomes a union over sketch rows.
+    No SQL oracle (sketch internals are engine-specific);
+    tests/test_llm_props.py asserts each weekly estimate within 5% of the
+    exact distinct count."""
+    wh = Warehouse(spark, sf_dir)
+    daily = wh.events.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy(F.date_trunc("week", "day").alias("week"))
+        .agg(
+            bigint(
+                F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            ).alias("uv_weekly"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )

@@ -109,3 +109,20 @@ def test_approx_distinct_tolerance(spark):
     for k, true_v in exact.items():
         for est in approx[k]:
             assert abs(est - true_v) / true_v < 0.05, f"{k}: {est} vs {true_v}"
+
+
+def test_uv_sketch_rollup_tolerance(spark):
+    est = {
+        r.week: r.uv_weekly
+        for r in registry.QUERIES["agg_uv_sketch_rollup"](spark, SF_DIR).collect()
+    }
+    exact_df = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        .groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(F.countDistinct("user_id").alias("uv"))
+    )
+    exact = {r.week: r.uv for r in exact_df.collect()}
+    assert set(est) == set(exact)
+    for wk, true_v in exact.items():
+        assert abs(est[wk] - true_v) / true_v < 0.05, f"{wk}: {est[wk]} vs {true_v}"
