@@ -49,11 +49,28 @@ class ParquetUpsertStore:
     the store directory. Re-running a batch is a no-op → exactly-once per
     the foreachBatch contract."""
 
-    def __init__(self, spark: SparkSession, path: str, keys: list[str], order_cols):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        order_cols,
+        tombstone_col: str | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.keys = keys
         self.order_cols = order_cols
+        # When set (a boolean column), a key whose SURVIVING row is a
+        # tombstone is deleted from the store — CDC -D absorption. The
+        # tombstone must win the order first, then delete: filtering the
+        # batch instead would resurrect the previous image. Deleting also
+        # forgets the tombstone, so an out-of-order refill OLDER than it
+        # would resurrect; production stores retain tombstones for a
+        # lateness horizon (Kafka compaction's delete.retention.ms) —
+        # upstream state emissions here are monotone per key, so dropping
+        # immediately is safe.
+        self.tombstone_col = tombstone_col
 
     def read(self) -> DataFrame | None:
         if not os.path.isdir(self.path):
@@ -68,6 +85,8 @@ class ParquetUpsertStore:
             else current.unionByName(batch_df, allowMissingColumns=False)
         )
         compacted = latest_image(merged, self.keys, self.order_cols)
+        if self.tombstone_col is not None:
+            compacted = compacted.filter(~F.col(self.tombstone_col))
         tmp = self.path + ".staging"
         compacted.write.mode("overwrite").parquet(tmp)
         if os.path.isdir(self.path):

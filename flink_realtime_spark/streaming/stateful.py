@@ -370,8 +370,10 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a keyed changelog with op codes derived per event type; the
     materialized table is the latest image per key, with keys whose final
     operation is a delete removed entirely. One window pass — delete
-    handling costs nothing extra over compaction. Streaming form: the same
-    rule inside latest_image_state_fn with a tombstone emission."""
+    handling costs nothing extra over compaction. Streaming form:
+    changelog_state_fn below emits refreshed images with is_tombstone on
+    deletes, and the upsert store's tombstone_col drops the key —
+    equivalence-tested end-to-end in tests/test_streaming.py."""
     wh = Warehouse(spark, sf_dir)
     changelog = wh.events.select(
         F.col("event_id").alias("seq"),
@@ -496,4 +498,47 @@ def timeout_alert_state_fn(key, pdf_iter, state):
 _STATE_SCHEMAS[timeout_alert_state_fn] = (
     "pend_ts ARRAY<LONG>, pend_id ARRAY<LONG>",
     "user_id LONG, click_id LONG, click_ts_us LONG",
+)
+
+
+def changelog_state_fn(key, pdf_iter, state):
+    """CDC apply with delete semantics (Flink +I/+U/-D): per-key running
+    latest (ts_us, seq, value, op); after each micro-batch emit the
+    refreshed image, with is_tombstone=True when the surviving operation is
+    a delete — the downstream keyed sink drops the key (retract-stream
+    absorption, SURVEY.md §7.4). State: one row per key, same bound as
+    latest_image_state_fn."""
+    import pandas as pd
+
+    best = tuple(state.get) if state.exists else None
+    pk = key[0]
+    saw_any = False
+    for pdf in pdf_iter:
+        for r in pdf.itertuples(index=False):
+            saw_any = True
+            cand = (
+                int(r.ts.value // 1000),
+                int(r.seq),
+                float(r.value),
+                str(r.op),
+            )
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+    if saw_any and best is not None:
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "pk": pd.Series([pk], dtype="int64"),
+                "last_op": [best[3]],
+                "last_seq": pd.Series([best[1]], dtype="int64"),
+                "last_value": pd.Series([best[2]], dtype="float64"),
+                "is_tombstone": pd.Series([best[3] == "D"], dtype="bool"),
+            }
+        )
+
+
+_STATE_SCHEMAS[changelog_state_fn] = (
+    "ts_us LONG, seq LONG, value DOUBLE, op STRING",
+    "pk LONG, last_op STRING, last_seq LONG, last_value DOUBLE, "
+    "is_tombstone BOOLEAN",
 )

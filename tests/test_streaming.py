@@ -647,3 +647,51 @@ def test_timeout_alert_stream_matches_batch(spark, chunked_events_dir):
     }
     assert must_fire <= streamed
     assert len(streamed) >= len(must_fire) > 0
+
+
+def test_cdc_deletes_flow_to_store(spark, chunked_events_dir, tmp_path):
+    """CDC with -D semantics end-to-end: events replayed as a keyed
+    changelog (signup=+I, error=-D, else +U) through keyed state that
+    emits tombstoned images, into an upsert store that deletes tombstoned
+    keys. The final store must equal the batch cdc_apply_changelog result
+    — including the ABSENCE of keys whose last operation was a delete."""
+    from flink_realtime_spark.streaming.sinks import ParquetUpsertStore, upsert_sink
+    from flink_realtime_spark.streaming.stateful import (
+        apply_with_state,
+        changelog_state_fn,
+    )
+
+    raw_ddl = EVENTS_DDL.replace("ts TIMESTAMP", "ts LONG")
+    sdf = (
+        file_stream_source(spark, chunked_events_dir, raw_ddl, max_files_per_trigger=1)
+        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        .select(
+            F.col("event_id").alias("seq"),
+            F.col("user_id").alias("pk"),
+            "ts",
+            F.col("value").cast("double").alias("value"),
+            F.when(F.col("event_type") == "signup", "I")
+            .when(F.col("event_type") == "error", "D")
+            .otherwise("U")
+            .alias("op"),
+        )
+    )
+    images = apply_with_state(sdf, "pk", changelog_state_fn, "update")
+    store = ParquetUpsertStore(
+        spark,
+        str(tmp_path / "dim_store"),
+        keys=["pk"],
+        order_cols=[F.col("last_seq").desc()],
+        tombstone_col="is_tombstone",
+    )
+    q = (
+        upsert_sink(images, store, str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .start()
+    )
+    q.awaitTermination()
+
+    cols = ["pk", "last_op", "last_seq", "last_value"]
+    got = _rows(store.read(), cols)
+    expected = _rows(registry.QUERIES["cdc_apply_changelog"](spark, SF_DIR), cols)
+    assert got == expected
