@@ -21,7 +21,7 @@ SimHash operator uses (llm/dedup.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_realtime_spark.registry import query
@@ -125,4 +125,57 @@ def pipe_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("n_chars_total"),
+    )
+
+
+PACK_CAPACITY = 2048
+
+
+@query(
+    "pipe_pack_sequences",
+    f"""
+    SELECT
+      doc_id,
+      source,
+      n_tokens,
+      CAST((cum - n_tokens) // {PACK_CAPACITY} AS BIGINT) AS bin_id,
+      CAST((cum - n_tokens) % {PACK_CAPACITY} AS BIGINT) AS bin_offset
+    FROM (
+      SELECT
+        doc_id,
+        source,
+        CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+        SUM(CAST(len(str_split(text, ' ')) AS BIGINT)) OVER (
+          PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING
+        ) AS cum
+      FROM documents
+    )
+    """,
+)
+def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing — the batch-assembly step of a
+    training pipeline: documents fill 2048-token context bins per source
+    stream in doc_id order; each doc gets (bin_id, bin_offset) from its
+    running token offset, so any worker can compute its placement without
+    coordination (docs may straddle bin boundaries — the packer's reader
+    splits there). One window pass per source partition, integer-exact.
+    At 100 TB: partition by (source, day) so each running sum stays within
+    one shuffle partition; the assignment is reproducible at any
+    parallelism because the order key is total."""
+    wh = Warehouse(spark, sf_dir)
+    n = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n).over(w)
+    off = cum - n
+    return wh.documents.select(
+        "doc_id",
+        "source",
+        n.alias("n_tokens"),
+        (off / PACK_CAPACITY).cast("long").alias("bin_id"),
+        (off % PACK_CAPACITY).cast("long").alias("bin_offset"),
     )
