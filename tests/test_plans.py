@@ -118,3 +118,44 @@ def test_q21_decorrelates_to_semi_anti(spark):
     low = plan.lower()
     assert "leftsemi" in low or "existencejoin" in low
     assert "leftanti" in low
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The 100 TB skew posture (SCALE.md Joins): a hot key must trigger
+    AQE's skew-join split at runtime — SortMergeJoin(skew=true) in the
+    final adaptive plan — with no salting or manual handling in the query.
+    Thresholds are lowered to make sf-test data 'skewed'; production keeps
+    the defaults."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(200000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        )
+        cool = spark.range(2000).select(
+            (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(51).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+        j = hot.union(cool).join(right, "k")
+        # collect j ITSELF: .count() would finalize a different plan
+        assert len(j.collect()) == 202000
+        final = (
+            j._jdf.queryExecution().executedPlan().toString()
+        ).split("== Initial Plan ==")[0]
+        assert "skew=true" in final
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
