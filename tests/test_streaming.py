@@ -695,3 +695,69 @@ def test_cdc_deletes_flow_to_store(spark, chunked_events_dir, tmp_path):
     got = _rows(store.read(), cols)
     expected = _rows(registry.QUERIES["cdc_apply_changelog"](spark, SF_DIR), cols)
     assert got == expected
+
+
+def test_cumulate_streaming_slices_serve_running_sum(spark, chunked_events_dir, tmp_path):
+    """CUMULATE's documented streaming shape (SURVEY.md §2.5): the hourly
+    tumble slices run as a streaming append-mode aggregation with a
+    watermark into the keyed store; the expanding daily-so-far sums are
+    computed AT SERVING TIME over the stored slices (24 rows/day/key).
+    After bounded replay the served cumulative board must equal the batch
+    win_cumulate result for every watermark-closed slice."""
+    from flink_realtime_spark.exprs import dsum
+    from flink_realtime_spark.streaming.sinks import ParquetUpsertStore, upsert_sink
+    from pyspark.sql import Window
+
+    raw_ddl = EVENTS_DDL.replace("ts TIMESTAMP", "ts LONG")
+    sdf = (
+        file_stream_source(spark, chunked_events_dir, raw_ddl, max_files_per_trigger=1)
+        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        .withWatermark("ts", "30 minutes")
+    )
+    hourly = (
+        sdf.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.window("ts", "1 hour").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("v"))
+        .select("day", F.col("w.end").alias("hour_end"), "n", "v")
+    )
+    store = ParquetUpsertStore(
+        spark,
+        str(tmp_path / "slices"),
+        keys=["day", "hour_end"],
+        order_cols=[F.col("n").desc()],
+    )
+    q = (
+        upsert_sink(hourly, store, str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+
+    w = (
+        Window.partitionBy("day")
+        .orderBy("hour_end")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    served = store.read().select(
+        "day",
+        "hour_end",
+        F.sum("n").over(w).cast("long").alias("cum_events"),
+        F.sum(F.col("v").cast("decimal(18,4)")).over(w).cast("double").alias(
+            "cum_value"
+        ),
+    )
+    batch = {
+        (r.day, r.hour_end): (r.cum_events, r.cum_value)
+        for r in registry.QUERIES["win_cumulate"](spark, SF_DIR).collect()
+    }
+    got = {
+        (r.day, r.hour_end): (r.cum_events, r.cum_value) for r in served.collect()
+    }
+    # Append mode withholds slices the final watermark never closed; all
+    # emitted slices must carry the exact batch cumulative values.
+    assert set(got) <= set(batch)
+    assert len(got) >= len(batch) - 3
+    for k, v in got.items():
+        assert batch[k] == v
