@@ -553,3 +553,108 @@ def agg_uv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_days"),
         )
     )
+
+
+@query(
+    "ads_retention_cohort",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(d) AS cohort_day FROM days GROUP BY user_id
+    )
+    SELECT
+      c.cohort_day,
+      CAST(date_diff('day', c.cohort_day, d.d) AS BIGINT) AS day_offset,
+      COUNT(DISTINCT d.user_id) AS active_users
+    FROM days d
+    JOIN cohort c ON d.user_id = c.user_id
+    WHERE date_diff('day', c.cohort_day, d.d) <= 14
+    GROUP BY c.cohort_day, day_offset
+    """,
+)
+def ads_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the other canonical ADS dashboard of a
+    实时数仓 (alongside PV/UV): users grouped by first-seen day, retention
+    counted at each day offset ≤ 14. Two-phase throughout: the distinct
+    (user, day) grid collapses map-side, the min-day cohort assignment is a
+    single shuffle on user_id, and the cohort join reuses that partitioning
+    (same key → no extra exchange under AQE). At 100 TB the (user, day)
+    grid is the scaling term — it is bounded by users × horizon, not by raw
+    event count, precisely because the distinct runs first."""
+    wh = Warehouse(spark, sf_dir)
+    days = wh.events.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        days.join(cohort, "user_id")
+        .withColumn("day_offset", bigint(F.datediff(F.col("d"), F.col("cohort_day"))))
+        .filter(F.col("day_offset") <= 14)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "ads_gmv_dashboard",
+    f"""
+    WITH daily AS (
+      SELECT
+        CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        {dsum_sql('o_totalprice')} AS gmv,
+        COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT
+      day,
+      gmv,
+      n_orders,
+      CAST(
+        CAST(SUM(CAST(gmv AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        / COUNT(*) OVER w
+      AS DOUBLE) AS gmv_7d_avg,
+      CAST(ROW_NUMBER() OVER (
+        PARTITION BY date_trunc('month', day)
+        ORDER BY gmv DESC, day
+      ) AS BIGINT) AS rank_in_month
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ads_gmv_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-GMV dashboard: per-day order totals, a 7-day moving average,
+    and each day's rank within its month — the composed DWS→ADS serving
+    query. The base agg collapses to one row per day, so the over-windows
+    run on a relation bounded by the calendar (~2.4k rows for the fixture's
+    7 years), never by raw order volume: the global ORDER BY day frame is
+    safe at any scale because its input is days, not orders. row_number
+    tiebreaks on day for a deterministic rank under GMV ties."""
+    from pyspark.sql import Window
+
+    wh = Warehouse(spark, sf_dir)
+    daily = wh.orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(
+        dsum(F.col("o_totalprice")).alias("gmv"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    wm = Window.partitionBy(F.date_trunc("month", "day")).orderBy(
+        F.col("gmv").desc(), F.col("day")
+    )
+    return daily.select(
+        "day",
+        "gmv",
+        "n_orders",
+        (
+            F.sum(F.col("gmv").cast("decimal(18,4)")).over(w7).cast("double")
+            / F.count(F.lit(1)).over(w7)
+        )
+        .cast("double")
+        .alias("gmv_7d_avg"),
+        bigint(F.row_number().over(wm)).alias("rank_in_month"),
+    )

@@ -231,3 +231,53 @@ def over_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("moving_avg"),
     )
+
+
+@query(
+    "over_event_transitions",
+    """
+    WITH seq AS (
+      SELECT
+        user_id,
+        event_type,
+        LAG(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+        ) AS prev_type
+      FROM events
+    )
+    SELECT
+      prev_type,
+      event_type AS curr_type,
+      COUNT(*) AS n_transitions,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, curr_type
+    """,
+)
+def over_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition (Markov) matrix per user journey — the DWD
+    behavior-analysis feed of a 实时数仓 (which pages lead to purchase,
+    which to error). One lag() pass partitioned by user (single shuffle on
+    user_id, per-partition sort), then a low-cardinality groupBy whose
+    partial agg collapses the 25-cell matrix map-side. Tiebreak (ts,
+    event_id) makes the sequence — and therefore every transition pair —
+    deterministic under same-timestamp events. At 100 TB this is one
+    shuffle of the fact table; the skew risk is bot users with millions of
+    events, which AQE skew-split handles because nothing here needs a
+    whole user in one task beyond the sort."""
+    wh = Warehouse(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = wh.events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
