@@ -25,10 +25,11 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any toPandas/createDataFrame crossings.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects outright
-    # (PARQUET_TYPE_ILLEGAL). Read nanos as long; tables.load_table converts
-    # back to a microsecond TimestampType (lossless here — the fixture has
-    # no sub-microsecond components, verified against DuckDB).
+    # events.parquet stores TIMESTAMP(NANOS). Older Spark 4 builds reject it
+    # outright (PARQUET_TYPE_ILLEGAL) unless read nanos-as-long; current
+    # builds ignore this conf and read it natively as TIMESTAMP_NTZ truncated
+    # to µs. tables.normalize_event_ts handles both shapes; keeping the conf
+    # set is harmless on builds that ignore it.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

@@ -88,18 +88,13 @@ def file_stream_source(
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table replayed as a stream (nanos already normalized by
-    re-materializing through the batch loader is NOT possible on a stream;
-    instead read the raw file and apply the same ns→µs conversion)."""
+    """The events table replayed as a stream. The file stores
+    TIMESTAMP(NANOS); declaring ``ts TIMESTAMP`` makes the scan itself
+    truncate to µs (exact for this fixture — no sub-µs components), so the
+    stream carries the same TimestampType as tables.load_table's batch
+    read without any per-row conversion."""
     prepare(spark)
-    raw_ddl = (
-        "event_id LONG, ts LONG, user_id LONG, "
-        "event_type STRING, value DOUBLE, props STRING"
-    )
-    sdf = file_stream_source(spark, sf_dir, raw_ddl, glob="events.parquet")
-    return sdf.withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-    )
+    return file_stream_source(spark, sf_dir, EVENTS_DDL, glob="events.parquet")
 
 
 def run_available_now(sdf: DataFrame, output_mode: str = "append") -> DataFrame:

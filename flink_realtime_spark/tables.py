@@ -43,17 +43,32 @@ def path_for(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which different Spark builds
+    surface differently: as ns-since-epoch BIGINT (legacy nanosAsLong path)
+    or as TIMESTAMP_NTZ truncated to µs (native nanos read). Normalize both
+    to microsecond TimestampType — the session timezone is pinned to UTC
+    (session.prepare), so the NTZ→LTZ cast is an exact reinterpretation and
+    every downstream plan sees one type regardless of Spark version."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        # Integer DIV keeps the conversion exact (ns-since-epoch exceeds
+        # double's 2^53 mantissa).
+        df = df.withColumn(
+            col, F.expr(f"timestamp_micros(CAST({col} DIV 1000 AS LONG))")
+        )
+    elif dt == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    prepare(spark)  # nanosAsLong must be set before the events read resolves
+    prepare(spark)  # timezone/nanos confs must be set before the read resolves
     df = spark.read.parquet(path_for(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos-as-long → microsecond TimestampType. Integer DIV keeps the
-        # conversion exact (ns-since-epoch exceeds double's 2^53 mantissa).
-        df = df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-        )
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

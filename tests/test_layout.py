@@ -11,6 +11,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from flink_realtime_spark.tables import load_table
 from tests.conftest import SF_DIR
 
 
@@ -27,9 +28,7 @@ def test_partitioned_layer_prunes(spark):
         write_partitioned_layer,
     )
 
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-    )
+    events = load_table(spark, SF_DIR, "events")
     d = tempfile.mkdtemp(prefix="layer_")
     path = os.path.join(d, "dwd_events")
     write_partitioned_layer(

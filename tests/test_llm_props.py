@@ -17,6 +17,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from flink_realtime_spark import registry
+from flink_realtime_spark.tables import load_table
 from tests.conftest import SF_DIR
 
 registry.load_all()
@@ -117,8 +118,7 @@ def test_uv_sketch_rollup_tolerance(spark):
         for r in registry.QUERIES["agg_uv_sketch_rollup"](spark, SF_DIR).collect()
     }
     exact_df = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        load_table(spark, SF_DIR, "events")
         .groupBy(F.date_trunc("week", "ts").alias("week"))
         .agg(F.countDistinct("user_id").alias("uv"))
     )

@@ -34,6 +34,7 @@ from flink_realtime_spark.streaming.stateful import (
     latest_image_state_fn,
     new_visitor_state_fn,
 )
+from flink_realtime_spark.tables import load_table
 from tests.conftest import SF_DIR
 
 registry.load_all()
@@ -48,7 +49,7 @@ def chunked_events_dir(spark):
     """events split into 3 arrival-ordered parquet chunks so
     maxFilesPerTrigger=1 yields 3 micro-batches (state must carry over)."""
     d = tempfile.mkdtemp(prefix="events_chunks_")
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")  # raw, ts as ns-long
+    ev = load_table(spark, SF_DIR, "events")  # ts normalized to µs TimestampType
     n = ev.count()
     for i in range(3):
         chunk = ev.filter(
@@ -76,8 +77,7 @@ def test_stream_tumble_complete_equals_batch(spark):
         agg.select(F.col("w.start").alias("ws"), "event_type", "n"), "complete"
     )
     batch = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        load_table(spark, SF_DIR, "events")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("ws"), "event_type", "n")
@@ -88,10 +88,9 @@ def test_stream_tumble_complete_equals_batch(spark):
 
 
 def test_stream_tumble_append_emits_closed_windows(spark, chunked_events_dir):
-    raw_ddl = EVENTS_DDL.replace("ts TIMESTAMP", "ts LONG")
     sdf = file_stream_source(
-        spark, chunked_events_dir, raw_ddl, max_files_per_trigger=1
-    ).withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
+    )
     agg = (
         sdf.withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -100,8 +99,7 @@ def test_stream_tumble_append_emits_closed_windows(spark, chunked_events_dir):
     )
     streamed = run_available_now(agg, "append").collect()
     batch = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        load_table(spark, SF_DIR, "events")
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n")
@@ -145,10 +143,9 @@ def test_transform_with_state_new_visitor(spark):
 
 def test_transform_with_state_latest_image_multibatch(spark, chunked_events_dir):
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
-    raw_ddl = EVENTS_DDL.replace("ts TIMESTAMP", "ts LONG")
     sdf = file_stream_source(
-        spark, chunked_events_dir, raw_ddl, max_files_per_trigger=1
-    ).withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
+    )
     out = apply_with_state(
         sdf.select("user_id", "event_id", "ts", "event_type", "value"),
         "user_id",
@@ -185,9 +182,7 @@ def test_upsert_store_two_phase_merge(spark, chunked_events_dir):
         keys=["user_id"],
         order_cols=[F.col("ts").desc(), F.col("event_id").desc()],
     )
-    full = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-    )
+    full = load_table(spark, SF_DIR, "events")
     n = full.count()
     first, second = (
         full.filter(F.col("event_id") < n / 2),
@@ -261,8 +256,7 @@ def test_stream_session_window_complete_equals_batch(spark):
     )
     streamed = run_available_now(agg, "complete")
     batch = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        load_table(spark, SF_DIR, "events")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
@@ -313,8 +307,7 @@ def test_stream_slide_complete_equals_batch(spark):
     )
     streamed = run_available_now(agg, "complete")
     batch = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        load_table(spark, SF_DIR, "events")
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("ws"), "n")
@@ -342,10 +335,9 @@ def test_stream_stream_left_outer_interval_join(spark, chunked_events_dir):
     multi-batch replay forces the null-emission path; results must equal
     the batch left interval join for every click whose window is closed by
     the final watermark."""
-    raw_ddl = EVENTS_DDL.replace("ts TIMESTAMP", "ts LONG")
     sdf = file_stream_source(
-        spark, chunked_events_dir, raw_ddl, max_files_per_trigger=1
-    ).withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
+    )
     c = (
         sdf.filter(F.col("event_type") == "click")
         .select(
@@ -374,9 +366,7 @@ def test_stream_stream_left_outer_interval_join(spark, chunked_events_dir):
     streamed = run_available_now(joined, "append").collect()
     got_pairs = {(r.click_id, r.purchase_id) for r in streamed}
 
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-    )
+    ev = load_table(spark, SF_DIR, "events")
     bc = ev.filter(F.col("event_type") == "click").select(
         "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
     )
@@ -428,9 +418,8 @@ def test_lookup_join_sees_refreshed_dim(spark, chunked_events_dir, tmp_path):
 
     write_dim("v1")
 
-    raw_ddl = EVENTS_DDL.replace("ts TIMESTAMP", "ts LONG")
     sdf = file_stream_source(
-        spark, chunked_events_dir, raw_ddl, max_files_per_trigger=1
+        spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
     )
 
     seen: list[tuple[int, int, str]] = []  # (batch_id, event_id, tier)
@@ -477,12 +466,11 @@ def test_checkpoint_recovery_exactly_once(spark, chunked_events_dir, tmp_path):
     for i in (0, 1):
         shutil.copy(f"{chunked_events_dir}/chunk{i}.parquet", staging)
 
-    raw_ddl = EVENTS_DDL.replace("ts TIMESTAMP", "ts LONG")
     emitted: list[tuple[int, str, int]] = []  # (run, event_type, n)
 
     def run_once(run: int) -> None:
         sdf = file_stream_source(
-            spark, str(staging), raw_ddl, max_files_per_trigger=1
+            spark, str(staging), EVENTS_DDL, max_files_per_trigger=1
         )
         agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
@@ -535,10 +523,9 @@ def test_layered_pipeline_streaming_converges(spark, chunked_events_dir, tmp_pat
     from flink_realtime_spark.exprs import dsum
     from flink_realtime_spark.streaming.sinks import ParquetUpsertStore, upsert_sink
 
-    raw_ddl = EVENTS_DDL.replace("ts TIMESTAMP", "ts LONG")
     sdf = file_stream_source(
-        spark, chunked_events_dir, raw_ddl, max_files_per_trigger=1
-    ).withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
+    )
     cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
         "c_custkey", "c_nationkey"
     )
@@ -576,9 +563,7 @@ def test_layered_pipeline_streaming_converges(spark, chunked_events_dir, tmp_pat
     )
     q.awaitTermination()
 
-    batch_events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-    )
+    batch_events = load_table(spark, SF_DIR, "events")
     expected = layers(batch_events)
     cols = ["day", "n_name", "pv", "value_sum", "k_sum"]
     assert _rows(store.read(), cols) == _rows(expected, cols)
@@ -609,10 +594,8 @@ def test_timeout_alert_stream_matches_batch(spark, chunked_events_dir):
         timeout_alert_state_fn,
     )
 
-    raw_ddl = EVENTS_DDL.replace("ts TIMESTAMP", "ts LONG")
     sdf = (
-        file_stream_source(spark, chunked_events_dir, raw_ddl, max_files_per_trigger=1)
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        file_stream_source(spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1)
         .filter(F.col("event_type").isin("click", "purchase"))
         .withWatermark("ts", "1 minute")
     )
@@ -636,7 +619,7 @@ def test_timeout_alert_stream_matches_batch(spark, chunked_events_dir):
             f"{chunked_events_dir}/chunk0.parquet",
             f"{chunked_events_dir}/chunk1.parquet",
         )
-        .selectExpr("timestamp_micros(CAST(max(ts) DIV 1000 AS LONG)) AS m")
+        .selectExpr("max(ts) AS m")
         .collect()[0]["m"]
     )
     wm = chunk01_max - dt.timedelta(minutes=1)
@@ -661,10 +644,8 @@ def test_cdc_deletes_flow_to_store(spark, chunked_events_dir, tmp_path):
         changelog_state_fn,
     )
 
-    raw_ddl = EVENTS_DDL.replace("ts TIMESTAMP", "ts LONG")
     sdf = (
-        file_stream_source(spark, chunked_events_dir, raw_ddl, max_files_per_trigger=1)
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        file_stream_source(spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1)
         .select(
             F.col("event_id").alias("seq"),
             F.col("user_id").alias("pk"),
@@ -708,10 +689,8 @@ def test_cumulate_streaming_slices_serve_running_sum(spark, chunked_events_dir, 
     from flink_realtime_spark.streaming.sinks import ParquetUpsertStore, upsert_sink
     from pyspark.sql import Window
 
-    raw_ddl = EVENTS_DDL.replace("ts TIMESTAMP", "ts LONG")
     sdf = (
-        file_stream_source(spark, chunked_events_dir, raw_ddl, max_files_per_trigger=1)
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        file_stream_source(spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1)
         .withWatermark("ts", "30 minutes")
     )
     hourly = (
