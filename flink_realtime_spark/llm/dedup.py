@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_realtime_spark.exprs import bigint
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse
 
@@ -577,4 +578,146 @@ def llm_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.doc_id").alias("doc_b"),
             F.round("jaccard_dist", 6).alias("jaccard_dist"),
         )
+    )
+
+
+# ---- decontamination: n-gram overlap between the train split and a held-
+# out eval split (the pre-training hygiene step every LLM pipeline runs
+# before training: drop train docs that leak eval content).
+
+_DECON_N = 4  # word n-gram size; the fixture vocabulary is small, so 4-grams
+_EVAL_MOD = 20  # doc_id % 20 == 0 -> held-out eval split (deterministic)
+
+_DECON_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(ws[i:i+{_DECON_N - 1}], ' ') AS gram
+      FROM w, UNNEST(range(1, greatest(len(ws) - {_DECON_N - 2}, 1))) AS t(i)
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_EVAL_MOD} = 0),
+    tr AS (SELECT doc_id, gram FROM g WHERE doc_id % {_EVAL_MOD} <> 0),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY doc_id)
+    SELECT
+      tr.doc_id,
+      COUNT(*) AS n_shared,
+      tot.n_grams,
+      CAST(COUNT(*) AS DOUBLE) / tot.n_grams AS contam_frac
+    FROM tr JOIN ev USING (gram) JOIN tot ON tot.doc_id = tr.doc_id
+    GROUP BY tr.doc_id, tot.n_grams
+"""
+
+
+def _word_ngrams(df: DataFrame, n: int) -> DataFrame:
+    """Distinct word n-grams per doc as column ``gram`` (exploded), built by
+    zip_with over shifted slices — same rationale as _with_shingles: lambda
+    variables keep the split() evaluated once per row (CollapseProject
+    re-inlines staged columns into element_at lambdas, going O(words²))."""
+    ws = F.split(F.col("text"), " ")
+    ln = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    acc = F.slice(ws, F.lit(1), ln)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(ws, F.lit(k + 1), ln), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return df.select(
+        "doc_id", F.explode(F.array_distinct(acc)).alias("gram")
+    )
+
+
+@query("llm_decontaminate", _DECON_ORACLE)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: train docs sharing any 4-gram with the
+    held-out split, with overlap counts. The eval side collapses to its
+    distinct gram set (small: |eval| ≪ |train|) and joins the train
+    postings on the 64-bit gram hash — at 100 TB the eval gram set
+    broadcasts and the train side never shuffles; the oracle joins the
+    gram strings directly for independence."""
+    wh = Warehouse(spark, sf_dir)
+    grams = _word_ngrams(wh.documents.select("doc_id", "text"), _DECON_N).select(
+        "doc_id", F.xxhash64("gram").alias("gh")
+    )
+    ev = (
+        grams.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("gh")
+        .distinct()
+    )
+    tr = grams.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    tot = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (
+        tr.join(F.broadcast(ev), "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return shared.join(tot, "doc_id").select(
+        "doc_id",
+        "n_shared",
+        "n_grams",
+        (F.col("n_shared").cast("double") / F.col("n_grams")).alias("contam_frac"),
+    )
+
+
+# ---- semantic dedup (SemDeDup shape): cosine near-dup pairs restricted to
+# a coarse cluster assignment — here the fixture's label column stands in
+# for the k-means cell id an IVF-style quantizer would assign.
+
+
+@query(
+    "llm_dedup_semantic",
+    """
+    SELECT
+      a.vec_id AS vec_a,
+      b.vec_id AS vec_b,
+      CAST(a.label AS BIGINT) AS label,
+      ROUND(list_cosine_similarity(
+        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
+        AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(
+        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
+    """,
+)
+def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding) dedup within coarse clusters — the SemDeDup
+    scale shape: pairwise cosine only inside each cluster, so pair cost is
+    Σ|cell|² instead of N². One shuffle on the cluster id, then one numpy
+    GEMM per cluster via applyInPandas (each pair's dot sums in fixed order
+    inside the GEMM → partitioning-invariant). The global all-pairs
+    baseline this approximates is llm_dedup_embcos; recall loss is exactly
+    the cross-cluster pairs, the quantizer-quality tradeoff IVF documents
+    (SCALE.md)."""
+    import numpy as np
+    import pandas as pd
+
+    wh = Warehouse(spark, sf_dir)
+    e = wh.embeddings.select(
+        "vec_id",
+        bigint(F.col("label")).alias("label"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(pdf["emb"].to_numpy())[order]
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        keep = np.triu(sims >= 0.3, k=1)
+        ai, bj = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ai],
+                "vec_b": ids[bj],
+                "label": pdf["label"].iloc[0].repeat(len(ai)),
+                "cos_sim": np.round(sims[ai, bj], 6),
+            }
+        )
+
+    return e.groupBy("label").applyInPandas(
+        per_cluster, "vec_a long, vec_b long, label long, cos_sim double"
     )

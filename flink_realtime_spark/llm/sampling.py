@@ -179,3 +179,41 @@ def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (off / PACK_CAPACITY).cast("long").alias("bin_id"),
         (off % PACK_CAPACITY).cast("long").alias("bin_offset"),
     )
+
+
+_STRAT_K = 25  # docs kept per language stratum
+
+
+@query(
+    "pipe_sample_stratified",
+    f"""
+    SELECT doc_id, lang, rn
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= {_STRAT_K}
+    """,
+)
+def pipe_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: exactly K docs per language, chosen by rank over
+    a deterministic per-row hash (md5 of the key — engine-portable, unlike
+    rand()). The class-balancing step of training-data curation. One
+    shuffle on the stratum key; per-group Top-N lowers to WindowGroupLimit
+    (rank pushed below the exchange), so no stratum ever sorts more than K
+    rows per partition map-side."""
+    from pyspark.sql import Window
+
+    wh = Warehouse(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        wh.documents.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _STRAT_K)
+    )

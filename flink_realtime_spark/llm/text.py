@@ -380,3 +380,79 @@ def llm_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+# ---- PII detection / redaction: the privacy-scrub pass of a training-data
+# pipeline. The fixture corpus contains no PII (word soup, verified
+# digit-free), so deterministic synthetic contacts are injected from the
+# doc's own key material first — making match counts vary per row — and
+# the detect+redact expressions then run over the composite text. Patterns
+# stay in the RE2 ∩ Java-regex common subset (character classes + bounded
+# repeats, no lookaround) so both engines compile them identically.
+
+_PII_EMAIL = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+_PII_PHONE = "555-[0-9]{4}"
+
+_PII_SYNTH_DUCK = """
+  text
+  || CASE WHEN doc_id % 3 = 0
+       THEN ' contact ' || source || '.user' || CAST(doc_id AS VARCHAR)
+            || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 4 = 1
+       THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       ELSE '' END
+"""
+
+
+@query(
+    "llm_pii_redact",
+    f"""
+    WITH s AS (SELECT doc_id, {_PII_SYNTH_DUCK} AS t FROM documents)
+    SELECT
+      doc_id,
+      CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+      regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                     '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM s
+    """,
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and mask email/phone matches per document. Pure
+    regexp columns — narrow map, zero shuffles, embarrassingly parallel;
+    at 100 TB this runs at scan speed. Real deployments swap in the full
+    pattern battery (SSN/credit-card/address) and an allowlist join; the
+    plan shape is identical."""
+    wh = Warehouse(spark, sf_dir)
+    synth = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact "),
+                F.col("source"),
+                F.lit(".user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+    return wh.documents.select("doc_id", synth.alias("t")).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("t", _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+        ).alias("redacted"),
+    )

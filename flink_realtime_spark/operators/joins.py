@@ -381,3 +381,68 @@ def cogroup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(od.groupBy("o_custkey"))
         .applyInArrow(_cogroup_profile, _COGROUP_SCHEMA)
     )
+
+
+_BAND_N, _BAND_STRIDE, _BAND_WIDTH = 10, 50000.0, 75000.0
+
+
+@query(
+    "join_range_binned",
+    f"""
+    SELECT
+      t.band_id,
+      CAST(t.band_id * {_BAND_STRIDE} AS DOUBLE) AS band_lo,
+      COUNT(*) AS n_orders,
+      {dsum_sql('o.o_totalprice')} AS sum_price
+    FROM range({_BAND_N}) t(band_id)
+    JOIN orders o
+      ON o.o_totalprice >= t.band_id * {_BAND_STRIDE}
+     AND o.o_totalprice < t.band_id * {_BAND_STRIDE} + {_BAND_WIDTH}
+    GROUP BY 1, 2
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join — the scale-safe plan for pure interval-containment
+    predicates (no equi component, so a naive join is a broadcast
+    nested-loop scanning every (row, band) pair). Quantize the value domain
+    into bins no wider than the narrowest band; each band explodes to the
+    2-3 bins it covers and each row computes its bin — the join becomes a
+    hash equi-join on bin with the original range predicate as a residual
+    filter. Cost drops from O(rows × bands) to O(rows × bins-per-band); at
+    100 TB this is the difference between a BNL over the fact table and one
+    ordinary shuffle. The oracle runs the naive inequality join — same
+    result, different algorithm."""
+    wh = Warehouse(spark, sf_dir)
+    bands = spark.range(_BAND_N).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * _BAND_STRIDE).cast("double").alias("band_lo"),
+        (F.col("id") * _BAND_STRIDE + _BAND_WIDTH).cast("double").alias("band_hi"),
+    )
+    # A band [lo, hi) covers bins floor(lo/stride) .. floor((hi - ulp)/stride);
+    # widths here make that exactly 2 bins per band.
+    band_bins = bands.select(
+        "band_id",
+        "band_lo",
+        "band_hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("band_lo") / _BAND_STRIDE),
+                F.floor((F.col("band_hi") - 1e-6) / _BAND_STRIDE),
+            )
+        ).alias("bin"),
+    )
+    orders = wh.orders.select(
+        "o_totalprice", F.floor(F.col("o_totalprice") / _BAND_STRIDE).alias("bin")
+    )
+    return (
+        orders.join(F.broadcast(band_bins), "bin")
+        .filter(
+            (F.col("o_totalprice") >= F.col("band_lo"))
+            & (F.col("o_totalprice") < F.col("band_hi"))
+        )
+        .groupBy("band_id", "band_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )

@@ -1,0 +1,210 @@
+"""ADS-layer metric operators — cohort retention, windowed funnels,
+histograms, and the binned range join.
+
+Reference capability: the serving-layer metrics every 实时数仓 ADS exposes —
+cohort retention boards, time-bounded conversion funnels (the ClickHouse
+``retention``/``windowFunnel`` functions commonly sunk to from Flink jobs),
+and value-distribution histograms (provenance ARCH/FLINK; the snapshot is
+README-only, /root/reference/README.md:1-2). Spark-first: all plain
+DataFrame joins + conditional aggregates — no UDFs, everything inside
+whole-stage codegen.
+
+Scale notes (100 TB):
+- retention: the (user, day) distinct relation is one shuffle on user_id;
+  the cohort join is a self-join on user_id (AQE handles skewed power
+  users). State is (users × active-days), far below event volume.
+- windowed funnel: three keyed min-aggregations chained by time-bound
+  joins on user_id — each is one shuffle on the same key, so a cluster
+  co-partitions them; never a per-event sort.
+- histogram: fixed bucket arithmetic → plain two-phase hash agg; bucket
+  count bounds the output regardless of input volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_spark.exprs import bigint, dsum, dsum_sql
+from flink_realtime_spark.registry import query
+from flink_realtime_spark.tables import Warehouse
+
+
+@query(
+    "agg_retention",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+      FROM events
+    ),
+    coh AS (SELECT user_id, MIN(d) AS d0 FROM days GROUP BY user_id)
+    SELECT
+      c.d0 AS cohort_day,
+      COUNT(DISTINCT c.user_id) AS n_users,
+      COUNT(DISTINCT CASE WHEN d.d = c.d0 + INTERVAL 1 DAY
+                          THEN c.user_id END) AS r1,
+      COUNT(DISTINCT CASE WHEN d.d = c.d0 + INTERVAL 3 DAY
+                          THEN c.user_id END) AS r3,
+      COUNT(DISTINCT CASE WHEN d.d = c.d0 + INTERVAL 7 DAY
+                          THEN c.user_id END) AS r7
+    FROM coh c JOIN days d ON c.user_id = d.user_id
+    GROUP BY c.d0
+    """,
+)
+def agg_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (the ClickHouse ``retention`` / ARCH daily-board
+    metric): users grouped by first-active day, with day+1/+3/+7 return
+    counts. The (user, day) relation is distinct-compressed before any
+    join, so the self-join carries active-days rows, not raw events."""
+    wh = Warehouse(spark, sf_dir)
+    days = (
+        wh.events.select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+    )
+    coh = days.groupBy("user_id").agg(F.min("d").alias("d0"))
+
+    def returned(interval: str) -> F.Column:
+        return F.countDistinct(
+            F.when(F.col("d") == F.col("d0") + F.expr(interval), F.col("user_id"))
+        )
+
+    return (
+        coh.join(days, "user_id")
+        .groupBy(F.col("d0").alias("cohort_day"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            returned("INTERVAL 1 DAY").alias("r1"),
+            returned("INTERVAL 3 DAY").alias("r3"),
+            returned("INTERVAL 7 DAY").alias("r7"),
+        )
+    )
+
+
+@query(
+    "agg_funnel_window",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT v.user_id, MIN(e.ts) AS t2
+          FROM v JOIN events e ON e.user_id = v.user_id
+            AND e.event_type = 'click'
+            AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 1 DAY
+          GROUP BY v.user_id),
+    p AS (SELECT c.user_id, MIN(e.ts) AS t3
+          FROM c JOIN v ON v.user_id = c.user_id
+          JOIN events e ON e.user_id = c.user_id
+            AND e.event_type = 'purchase'
+            AND e.ts > c.t2 AND e.ts <= v.t1 + INTERVAL 1 DAY
+          GROUP BY c.user_id)
+    SELECT
+      CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                WHEN v.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS BIGINT) AS funnel_level,
+      COUNT(*) AS n_users
+    FROM u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    GROUP BY 1
+    """,
+)
+def agg_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed conversion funnel (ClickHouse ``windowFunnel`` shape):
+    per user, the deepest view→click→purchase chain reachable greedily
+    (earliest qualifying step each time) within 1 day of the first view;
+    output is the level distribution. Greedy-min chaining makes the result
+    deterministic and SQL-checkable, unlike full NFA backtracking — the
+    stateful streaming NFA lives in streaming/stateful.py (cep_funnel)."""
+    wh = Warehouse(spark, sf_dir)
+    ev = wh.events.select("user_id", "event_type", "ts")
+    u = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    day = F.expr("INTERVAL 1 DAY")
+    c = (
+        v.join(
+            ev.filter(F.col("event_type") == "click").withColumnRenamed(
+                "user_id", "e_user"
+            ),
+            (F.col("e_user") == v["user_id"])
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + day),
+        )
+        .groupBy(v["user_id"])
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        c.join(v.withColumnRenamed("user_id", "v_user"), c["user_id"] == F.col("v_user"))
+        .join(
+            ev.filter(F.col("event_type") == "purchase").withColumnRenamed(
+                "user_id", "e_user"
+            ),
+            (F.col("e_user") == c["user_id"])
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + day),
+        )
+        .groupBy(c["user_id"])
+        .agg(F.min("ts").alias("t3"))
+    )
+    lvl = (
+        u.join(v.select(F.col("user_id").alias("vu")), u["user_id"] == F.col("vu"), "left")
+        .join(c.select(F.col("user_id").alias("cu")), u["user_id"] == F.col("cu"), "left")
+        .join(p.select(F.col("user_id").alias("pu")), u["user_id"] == F.col("pu"), "left")
+        .select(
+            bigint(
+                F.when(F.col("pu").isNotNull(), 3)
+                .when(F.col("cu").isNotNull(), 2)
+                .when(F.col("vu").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("funnel_level")
+        )
+    )
+    return lvl.groupBy("funnel_level").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+_HIST_LO, _HIST_W, _HIST_NB = 0.0, 25000.0, 20
+
+
+@query(
+    "agg_histogram",
+    f"""
+    SELECT
+      CAST(LEAST(FLOOR((o_totalprice - {_HIST_LO}) / {_HIST_W}),
+                 {_HIST_NB - 1}) AS BIGINT) AS bucket,
+      CAST(LEAST(FLOOR((o_totalprice - {_HIST_LO}) / {_HIST_W}),
+                 {_HIST_NB - 1}) * {_HIST_W} AS DOUBLE) AS bucket_lo,
+      COUNT(*) AS n_orders,
+      {dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound value histogram of order totals (20 × 25k buckets, top
+    bucket clamped open-ended) — the ADS distribution-board metric. Pure
+    bucket arithmetic + two-phase hash agg; output cardinality is the
+    bucket count, independent of input volume."""
+    wh = Warehouse(spark, sf_dir)
+    bucket = bigint(
+        F.least(
+            F.floor((F.col("o_totalprice") - _HIST_LO) / _HIST_W),
+            F.lit(_HIST_NB - 1),
+        )
+    )
+    return (
+        wh.orders.select(
+            bucket.alias("bucket"),
+            (bucket * _HIST_W).cast("double").alias("bucket_lo"),
+            "o_totalprice",
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )

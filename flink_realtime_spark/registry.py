@@ -31,6 +31,7 @@ _MODULES = [
     "flink_realtime_spark.operators.joins",
     "flink_realtime_spark.operators.subqueries",
     "flink_realtime_spark.operators.aggregates",
+    "flink_realtime_spark.operators.metrics",
     "flink_realtime_spark.operators.tpch",
     "flink_realtime_spark.operators.windows",
     "flink_realtime_spark.operators.analytic",

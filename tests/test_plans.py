@@ -159,3 +159,25 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_range_binned_join_is_hash_not_bnl(spark):
+    # The whole point of join_range_binned: the interval predicate must ride
+    # an equi-join on the bin, never a nested-loop over (rows × bands).
+    plan = plan_of(spark, "join_range_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_stratified_sample_uses_window_group_limit(spark):
+    # Per-stratum Top-N must push the rank limit below the exchange.
+    assert "WindowGroupLimit" in plan_of(spark, "pipe_sample_stratified")
+
+
+def test_retention_compresses_before_join(spark):
+    # The (user, day) distinct must aggregate BEFORE the cohort self-join:
+    # partial HashAggregates on both join inputs, and no BNL anywhere.
+    plan = plan_of(spark, "agg_retention")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 4
