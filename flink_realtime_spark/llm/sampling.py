@@ -217,3 +217,75 @@ def pipe_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _STRAT_K)
     )
+
+
+_CUR_MIN_WORDS = 20
+_CUR_LANGS = ("de", "en", "es", "fr")
+_CUR_KEEP_OF = 10  # keep 9 of 10 hash buckets in the final sample
+_CUR_LANGS_SQL = ", ".join(f"'{l}'" for l in _CUR_LANGS)
+
+
+@query(
+    "llm_curation_pipeline",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lang, source,
+             len(string_split(text, ' ')) AS n_words,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS text_hash
+      FROM documents
+      WHERE lang IN ({_CUR_LANGS_SQL})
+        AND len(string_split(text, ' ')) >= {_CUR_MIN_WORDS}
+    ),
+    dedup AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY text_hash
+                                   ORDER BY doc_id) AS rn
+      FROM norm
+    ),
+    sampled AS (
+      SELECT * FROM dedup
+      WHERE rn = 1 AND {_bucket_duck('doc_id', 'curate', _CUR_KEEP_OF)} <> 0
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM sampled
+    GROUP BY lang, source
+    """,
+)
+def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed data-curation DAG as ONE Catalyst plan — the LLM-corpus
+    analog of ads_layered_pipeline's warehouse topology: language gate →
+    quality gate (min word count) → exact dedup (row_number over the
+    normalized-text hash) → deterministic hash downsample → per
+    (lang, source) corpus stats. Everything fuses into scan → filter →
+    one window shuffle → one agg shuffle; the filters sit below the
+    window, so at 100 TB the dedup state only ever sees surviving docs.
+    Each stage is individually oracle-checked elsewhere (llm_quality_score,
+    llm_dedup_exact, pipe_sample_hash); this key checks their composition."""
+    wh = Warehouse(spark, sf_dir)
+    norm = (
+        wh.documents.filter(F.col("lang").isin(*_CUR_LANGS))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_words"),
+            F.md5(
+                F.lower(F.trim(F.regexp_replace("text", "\\s+", " ")))
+            ).alias("text_hash"),
+        )
+        .filter(F.col("n_words") >= _CUR_MIN_WORDS)
+    )
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    sampled = (
+        norm.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & (_bucket_spark("doc_id", "curate", _CUR_KEEP_OF) != 0)
+        )
+    )
+    return sampled.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+    )

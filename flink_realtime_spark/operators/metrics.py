@@ -52,10 +52,12 @@ from flink_realtime_spark.tables import Warehouse
     """,
 )
 def agg_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention (the ClickHouse ``retention`` / ARCH daily-board
-    metric): users grouped by first-active day, with day+1/+3/+7 return
-    counts. The (user, day) relation is distinct-compressed before any
-    join, so the self-join carries active-days rows, not raw events."""
+    """Cohort retention in the wide ClickHouse-``retention()`` shape: one
+    row per cohort with fixed day+1/+3/+7 return counts as columns (the
+    long-format day-offset matrix is ads_retention_cohort in
+    operators/aggregates.py). The (user, day) relation is
+    distinct-compressed before any join, so the self-join carries
+    active-days rows, not raw events."""
     wh = Warehouse(spark, sf_dir)
     days = (
         wh.events.select("user_id", F.date_trunc("day", "ts").alias("d"))
@@ -207,4 +209,23 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             dsum(F.col("o_totalprice")).alias("sum_price"),
         )
+    )
+
+
+@query("agg_approx_quantile")
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group quantiles (percentile_approx / t-digest-style
+    mergeable sketch) — the 100 TB path for agg_stats' exact percentiles:
+    exact per-group percentile sorts every group; the sketch is one
+    two-phase agg with O(accuracy) state per group, mergeable across
+    partitions. Rows-only + tolerance property check (the sketch is
+    accuracy-bounded, not value-exact; tests/test_metrics_props.py pins
+    the bound against the exact result)."""
+    wh = Warehouse(spark, sf_dir)
+    acc = F.lit(10000)
+    return wh.lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), acc).alias("p50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.95), acc).alias("p95"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), acc).alias("p99"),
+        F.count(F.lit(1)).alias("n_items"),
     )

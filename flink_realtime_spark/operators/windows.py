@@ -287,3 +287,45 @@ def win_late_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("late_by_sec"),
     )
+
+
+@query(
+    "win_tumble_offset",
+    f"""
+    SELECT
+      TIMESTAMP '1970-01-01'
+        + (CAST(floor((epoch(ts) - 10800) / 21600) AS BIGINT) * 21600 + 10800)
+          * INTERVAL 1 SECOND AS win_start,
+      TIMESTAMP '1970-01-01'
+        + (CAST(floor((epoch(ts) - 10800) / 21600) AS BIGINT) * 21600 + 10800)
+          * INTERVAL 1 SECOND + INTERVAL '6 hours' AS win_end,
+      COUNT(*) AS n_events,
+      {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def win_tumble_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows with a start offset (Flink TUMBLE's offset arg —
+    e.g. business days starting 03:00, or non-UTC day boundaries): 6-hour
+    tumble anchored at +3h via F.window's startTime. Same shuffle shape as
+    win_tumble; the oracle recomputes the bucket with epoch arithmetic
+    (DuckDB epoch() returns double seconds — safe here because floor()
+    only consumes the integral part, and an event's distance from a
+    6-hour boundary dwarfs the fp error of seconds-since-2024)."""
+    wh = Warehouse(spark, sf_dir)
+    return (
+        wh.events.groupBy(
+            F.window("ts", "6 hours", "6 hours", "3 hours").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,37 @@
+"""Property checks for the sketch-based metric operators (driver runs
+rows-only on these; the bound against the exact computation lives here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_realtime_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def test_approx_quantile_within_rank_tolerance(spark):
+    """percentile_approx with accuracy A guarantees rank error <= n/A; at
+    A=10000 and fixture group sizes the estimate must sit within a tight
+    quantile band of the exact sort-based percentile."""
+    approx = {
+        r["l_returnflag"]: r
+        for r in registry.QUERIES["agg_approx_quantile"](spark, SF_DIR).collect()
+    }
+    from flink_realtime_spark.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+        exact = {
+            r["l_returnflag"]: (r["lo"], r["hi"])
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                F.expr(f"percentile(l_extendedprice, {q - 0.005})").alias("lo"),
+                F.expr(f"percentile(l_extendedprice, {q + 0.005})").alias("hi"),
+            )
+            .collect()
+        }
+        for flag, row in approx.items():
+            lo, hi = exact[flag]
+            assert lo <= row[col] <= hi, (flag, col, row[col], lo, hi)
