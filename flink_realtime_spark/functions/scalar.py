@@ -285,3 +285,42 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).cast("long").alias("shr3"),
         F.bit_count(k).cast("long").alias("popcount"),
     )
+
+
+@query(
+    "scalar_url",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&v=1' AS url
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+      regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+      regexp_extract(url, 'lang=([^&]+)', 1) AS lang_param
+    FROM u
+    """,
+)
+def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family (Flink SQL PARSE_URL): host/path/query-param
+    extraction via Spark's parse_url — the oracle re-derives the parts
+    with regexes for engine independence. Narrow map, scan speed."""
+    wh = Warehouse(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=1"),
+    )
+    return wh.documents.select("doc_id", url.alias("url")).select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

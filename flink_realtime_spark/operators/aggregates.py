@@ -658,3 +658,32 @@ def ads_gmv_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gmv_7d_avg"),
         bigint(F.row_number().over(wm)).alias("rank_in_month"),
     )
+
+
+@query(
+    "agg_max_by",
+    """
+    SELECT
+      o_orderpriority,
+      max_by(o_orderkey, o_totalprice * 1000000 + o_orderkey) AS top_order,
+      min_by(o_orderkey, o_totalprice * 1000000 + o_orderkey) AS low_order,
+      MAX(o_totalprice) AS max_price,
+      MIN(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX_BY/MIN_BY (Flink SQL's argmax/argmin aggregates): the order id
+    carrying each priority's extreme total. Both engines leave ties
+    implementation-defined, so the ordering value folds the unique order
+    key into the price (price·1e6 + key stays exact in a double well below
+    2^53) — deterministic argmax without a window sort."""
+    wh = Warehouse(spark, sf_dir)
+    ordv = F.col("o_totalprice") * 1000000 + F.col("o_orderkey")
+    return wh.orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", ordv).alias("top_order"),
+        F.min_by("o_orderkey", ordv).alias("low_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )

@@ -229,3 +229,35 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", F.lit(0.99), acc).alias("p99"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@query(
+    "ads_audience_overlap",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT
+      a.event_type AS type_a,
+      b.event_type AS type_b,
+      COUNT(*) AS overlap_users
+    FROM ut a
+    JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def ads_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix (crowd-selection ADS board): |A ∩ B| per
+    event-type pair. Distinct (user, type) first — the self-join carries
+    one row per membership, not per event, and COUNT(*) of the joined
+    distinct pairs IS the distinct-user overlap (no second distinct). At
+    100 TB replace the exact self-join with per-segment HLL sketches and
+    inclusion-exclusion (|A∩B| ≈ |A|+|B|−|A∪B| via hll_union_agg — the
+    mergeable-sketch path agg_uv_sketch_rollup demonstrates)."""
+    wh = Warehouse(spark, sf_dir)
+    ut = wh.events.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id").alias("b_user"), F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, (a["user_id"] == b["b_user"]) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("overlap_users"))
+    )
