@@ -456,3 +456,55 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("t", _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
         ).alias("redacted"),
     )
+
+
+@query(
+    "llm_word_rarity",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w),
+    tot AS (SELECT COUNT(*) AS total FROM tok)
+    SELECT
+      tok.doc_id,
+      COUNT(*) AS n_tokens,
+      CAST(CAST(SUM(CAST(CAST(freq.n AS DOUBLE) / tot.total
+                         AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS DOUBLE)
+        AS mean_token_freq,
+      CAST(MIN(freq.n) AS BIGINT) AS rarest_count
+    FROM tok JOIN freq USING (w) CROSS JOIN tot
+    GROUP BY tok.doc_id
+    """,
+)
+def llm_word_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality score (the unigram-LM family of quality
+    filters, kept transcendental-free so both engines agree bit-exactly:
+    IEEE division is deterministic, ln() is not guaranteed identically
+    rounded across libm implementations): per doc, the mean corpus
+    frequency of its tokens and its rarest token's count. Two keyed
+    shuffles (token freq build + doc re-agg); the frequency table
+    broadcasts at any vocabulary that fits an executor — the two-pass
+    corpus-statistic join every TF-IDF/LM scorer at 100 TB uses."""
+    wh = Warehouse(spark, sf_dir)
+    tok = wh.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    total = tok.count()  # one scalar action; a literal beats a cross join
+    return (
+        tok.join(F.broadcast(freq), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(
+                    (F.col("n").cast("double") / F.lit(float(total))).cast(
+                        "decimal(28,12)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).cast("double").alias("mean_token_freq"),
+            F.min("n").cast("long").alias("rarest_count"),
+        )
+    )

@@ -329,3 +329,130 @@ def win_tumble_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "join_window_tvf",
+    """
+    WITH c AS (
+      SELECT user_id, event_id AS click_id,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.win_start, c.user_id, c.click_id, p.purchase_id
+    FROM c JOIN p ON c.user_id = p.user_id AND c.win_start = p.win_start
+    """,
+)
+def join_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window join (Flink 1.14 window-TVF join): both sides assigned to the
+    same tumbling window, then equi-joined on (key, window). Differs from
+    the interval join in state shape: window joins expire whole panes at
+    watermark, not per-row ranges. The window struct is folded to its
+    scalar start for the join key (scalar keys — SCALE.md Lessons); in
+    streaming both sides carry the same watermark and the pane state drops
+    atomically."""
+    wh = Warehouse(spark, sf_dir)
+    ev = wh.events.select("user_id", "event_id", "event_type", "ts")
+
+    def windowed(etype: str, idname: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(
+                "user_id",
+                F.col("event_id").alias(idname),
+                F.window("ts", "1 hour").alias("w"),
+            )
+            .select("user_id", idname, F.col("w.start").alias("win_start"))
+        )
+
+    c = windowed("click", "click_id")
+    p = windowed("purchase", "purchase_id").withColumnsRenamed(
+        {"user_id": "p_user", "win_start": "p_win"}
+    )
+    return c.join(
+        p,
+        (c["user_id"] == p["p_user"]) & (c["win_start"] == p["p_win"]),
+    ).select("win_start", "user_id", "click_id", "purchase_id")
+
+
+@query(
+    "win_topn",
+    """
+    WITH agg AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+             user_id, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT win_start, user_id, n_events, rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY win_start
+               ORDER BY n_events DESC, user_id) AS rn
+      FROM agg
+    )
+    WHERE rn <= 3
+    """,
+)
+def win_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window Top-N (Flink window-TVF Top-N): leaders per tumbling window —
+    the 'top products per hour' ADS board. Window agg then per-window
+    rank; the rank filter lowers to WindowGroupLimit so each partition
+    keeps ≤N rows per window map-side. user_id tiebreak keeps ties
+    deterministic (CLAUDE.md invariant: unique tiebreak on every
+    row_number ORDER BY)."""
+    wh = Warehouse(spark, sf_dir)
+    agg = (
+        wh.events.groupBy(
+            F.window("ts", "1 day").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "user_id", "n_events")
+    )
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), F.col("user_id")
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_dedup",
+    """
+    SELECT win_start, user_id, event_id, ts
+    FROM (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+             user_id, event_id, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY CAST(date_trunc('hour', ts) AS TIMESTAMP), user_id
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def win_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window deduplication (Flink window-TVF dedup): the first event per
+    (user, tumbling window) — e.g. first touch per hour. Same
+    WindowGroupLimit lowering as win_topn with N=1; streaming state is one
+    row per open (window, key), dropped when the pane expires. ts+event_id
+    tiebreak keeps simultaneous events deterministic."""
+    wh = Warehouse(spark, sf_dir)
+    win = (
+        wh.events.select(
+            F.window("ts", "1 hour").alias("w"), "user_id", "event_id", "ts"
+        )
+        .select(F.col("w.start").alias("win_start"), "user_id", "event_id", "ts")
+    )
+    w = Window.partitionBy("win_start", "user_id").orderBy("ts", "event_id")
+    return (
+        win.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
