@@ -740,3 +740,64 @@ def test_cumulate_streaming_slices_serve_running_sum(spark, chunked_events_dir, 
     assert len(got) >= len(batch) - 3
     for k, v in got.items():
         assert batch[k] == v
+
+
+def test_stream_window_tvf_join_equals_batch(spark):
+    """Stream-stream window join (join_window_tvf's streaming form): both
+    sides assigned their tumbling window BEFORE the join, watermarked, and
+    equi-joined on (user, window-start). Spark accepts the window-start
+    equality as the join's event-time constraint; emitted pairs over the
+    bounded replay must equal the batch window join."""
+    sdf = events_stream(spark, SF_DIR)
+
+    def windowed(etype, idname, wmcol):
+        return (
+            sdf.filter(F.col("event_type") == etype)
+            .select(
+                F.col("user_id").alias(f"{idname}_user"),
+                F.col("event_id").alias(idname),
+                F.window("ts", "1 hour").alias(f"{idname}_w"),
+            )
+            .withWatermark(f"{idname}_w", "1 hour")
+        )
+
+    c = windowed("click", "click_id", "cw")
+    p = windowed("purchase", "purchase_id", "pw")
+    joined = c.join(
+        p,
+        (F.col("click_id_user") == F.col("purchase_id_user"))
+        & (F.col("click_id_w") == F.col("purchase_id_w")),
+    ).select("click_id", "purchase_id")
+    streamed = run_available_now(joined, "append")
+    batch = registry.QUERIES["join_window_tvf"](spark, SF_DIR)
+    assert _rows(streamed, ["click_id", "purchase_id"]) == _rows(
+        batch, ["click_id", "purchase_id"]
+    )
+
+
+def test_stream_window_dedup_equals_batch(spark):
+    """Window dedup under streaming: dropDuplicates on (window, user) with
+    a watermark keeps exactly one row per pane. WHICH row is
+    arrival-order-dependent (first processed, racing across scan
+    partitions), so the assertion is semantic: the surviving key set
+    equals the batch win_dedup keys, and every surviving representative
+    is a genuine member of its pane."""
+    sdf = events_stream(spark, SF_DIR)
+    dd = (
+        sdf.select("user_id", "event_id", F.window("ts", "1 hour").alias("w"))
+        .withWatermark("w", "1 hour")
+        .dropDuplicates(["w", "user_id"])
+        .select(F.col("w.start").alias("win_start"), "user_id", "event_id")
+    )
+    streamed = run_available_now(dd, "append")
+    batch = registry.QUERIES["win_dedup"](spark, SF_DIR)
+    assert _rows(streamed, ["win_start", "user_id"]) == _rows(
+        batch, ["win_start", "user_id"]
+    )
+    # each representative must belong to its (window, user) pane
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.window("ts", "1 hour").start.alias("win_start"), "user_id", "event_id"
+    )
+    assert streamed.join(
+        ev, ["win_start", "user_id", "event_id"], "left_anti"
+    ).count() == 0
