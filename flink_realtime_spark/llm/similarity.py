@@ -223,3 +223,56 @@ def llm_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist_to_centroid")
         )
     )
+
+
+@query(
+    "llm_embedding_quantize",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS e,
+             list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> abs(x)), 'max') AS scale
+      FROM embeddings
+    )
+    SELECT
+      vec_id,
+      scale,
+      array_to_string(list_transform(e,
+        x -> CAST(floor(x / scale * 127) AS INTEGER)), ',') AS codes,
+      list_aggregate(list_transform(e,
+        x -> abs(floor(x / scale * 127) * scale / 127 - x)), 'max')
+        AS max_abs_err
+    FROM s
+    """,
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise symmetric int8 quantization of the embedding column (the
+    4×-compression step before an ANN index ships to serving): per-vector
+    scale = max |x|, code = floor(x/scale·127), plus the reconstruction
+    error bound actually achieved. floor() (not round — HALF_UP vs
+    banker's differs between engines) and pure IEEE arithmetic keep both
+    engines bit-identical; codes serialize to a CSV string so the hash
+    compares scalars, not array-object representations. Narrow map, zero
+    shuffles, scan speed at any corpus size."""
+    wh = Warehouse(spark, sf_dir)
+    s = wh.embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+    ).withColumn(
+        "scale", F.array_max(F.transform("e", lambda x: F.abs(x)))
+    )
+    code = lambda x: F.floor(x / F.col("scale") * 127).cast("int")  # noqa: E731
+    return s.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform("e", code), ",").alias("codes"),
+        F.array_max(
+            F.transform(
+                "e",
+                lambda x: F.abs(
+                    code(x).cast("double") * F.col("scale") / 127 - x
+                ),
+            )
+        ).alias("max_abs_err"),
+    )
