@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from flink_realtime_spark.exprs import dsum, dsum_sql
 from flink_realtime_spark.plans.asof import asof_join
+from flink_realtime_spark.plans.rangejoin import binned_range_join
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse
 
@@ -418,29 +419,16 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") * _BAND_STRIDE).cast("double").alias("band_lo"),
         (F.col("id") * _BAND_STRIDE + _BAND_WIDTH).cast("double").alias("band_hi"),
     )
-    # A band [lo, hi) covers bins floor(lo/stride) .. floor((hi - ulp)/stride);
-    # widths here make that exactly 2 bins per band.
-    band_bins = bands.select(
-        "band_id",
+    joined = binned_range_join(
+        wh.orders.select("o_totalprice"),
+        bands,
+        "o_totalprice",
         "band_lo",
         "band_hi",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("band_lo") / _BAND_STRIDE),
-                F.floor((F.col("band_hi") - 1e-6) / _BAND_STRIDE),
-            )
-        ).alias("bin"),
-    )
-    orders = wh.orders.select(
-        "o_totalprice", F.floor(F.col("o_totalprice") / _BAND_STRIDE).alias("bin")
+        bin_width=_BAND_STRIDE,
     )
     return (
-        orders.join(F.broadcast(band_bins), "bin")
-        .filter(
-            (F.col("o_totalprice") >= F.col("band_lo"))
-            & (F.col("o_totalprice") < F.col("band_hi"))
-        )
-        .groupBy("band_id", "band_lo")
+        joined.groupBy("band_id", "band_lo")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             dsum(F.col("o_totalprice")).alias("sum_price"),

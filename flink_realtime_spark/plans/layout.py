@@ -46,3 +46,27 @@ def write_bucketed_table(
 
 def read_layer(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_layer(
+    spark: SparkSession, path: str, target_files: int, order_cols: list[str] | None = None
+) -> None:
+    """Small-file compaction (the OPTIMIZE pass every streaming sink needs:
+    micro-batches write a file per trigger per partition, and a month of
+    5-minute triggers is ~10k files whose open/footer cost dominates reads).
+    Rewrites the dataset into ``target_files`` files, optionally
+    sort-within-partition on the hot filter/join key so row-group min/max
+    pruning works on point lookups. Rewrite-into-temp + atomic-ish swap;
+    on a real lake this is Delta/Iceberg OPTIMIZE or a partition-scoped
+    rewrite job."""
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    out = df.coalesce(target_files)
+    if order_cols:
+        out = df.repartition(target_files).sortWithinPartitions(*order_cols)
+    tmp = tempfile.mkdtemp(prefix="compact_")
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)

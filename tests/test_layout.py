@@ -83,3 +83,26 @@ def test_bucketed_join_has_no_exchange(spark):
         assert joined.count() == li.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_compact_layer_reduces_files_preserves_rows(spark):
+    from flink_realtime_spark.plans.layout import compact_layer, read_layer
+
+    d = tempfile.mkdtemp(prefix="compact_src_")
+    path = os.path.join(d, "dws")
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    # simulate a streaming sink's fragmentation: many tiny files
+    ev.repartition(40).write.mode("overwrite").parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 30
+    before = sorted(r.event_id for r in read_layer(spark, path).collect())
+
+    compact_layer(spark, path, target_files=4, order_cols=["user_id"])
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_after <= 4
+    after = sorted(r.event_id for r in read_layer(spark, path).collect())
+    assert before == after
+
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
