@@ -133,3 +133,20 @@ def src_stream_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, output_mode="append")
+
+
+def rate_source(
+    spark: SparkSession, rows_per_second: int = 100, num_partitions: int | None = None
+) -> DataFrame:
+    """Rate source (columns: timestamp, value) — the load-generator stream
+    for soak/throughput tests, and the stand-in Flink's datagen connector
+    fills. Unbounded; pair with a processing-time trigger and stop
+    condition in tests."""
+    prepare(spark)
+    reader = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+    )
+    if num_partitions:
+        reader = reader.option("numPartitions", str(num_partitions))
+    return reader.load()

@@ -28,3 +28,26 @@ def test_events_roundtrip(spark, fmt):
         assert a == b
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_schema_evolution_missing_column_reads_null(spark):
+    """Schema evolution at the ingest boundary: files written before a
+    column existed must read under the widened schema with nulls — the
+    contract that lets a layer's schema grow without rewriting history."""
+    import os
+
+    d = tempfile.mkdtemp(prefix="evolve_")
+    try:
+        ev = load_table(spark, SF_DIR, "events").limit(100)
+        v1 = ev.select("event_id", "user_id")
+        v2 = ev.select("event_id", "user_id", "value").filter("event_id >= 50")
+        v1.filter("event_id < 50").coalesce(1).write.parquet(os.path.join(d, "p1"))
+        v2.coalesce(1).write.parquet(os.path.join(d, "p2"))
+        widened = spark.read.schema("event_id LONG, user_id LONG, value DOUBLE").parquet(
+            os.path.join(d, "p1"), os.path.join(d, "p2")
+        )
+        assert widened.count() == 100
+        assert widened.filter("value IS NULL").count() == 50
+        assert widened.filter("value IS NOT NULL").count() == 50
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -801,3 +801,34 @@ def test_stream_window_dedup_equals_batch(spark):
     assert streamed.join(
         ev, ["win_start", "user_id", "event_id"], "left_anti"
     ).count() == 0
+
+
+def test_rate_source_generates_rows(spark):
+    """The rate source must actually produce increasing values through a
+    real micro-batch execution (not just build a plan)."""
+    import time
+    import uuid
+
+    from flink_realtime_spark.streaming.sources import rate_source
+
+    sdf = rate_source(spark, rows_per_second=500, num_partitions=2)
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.table(name).count()
+            if n >= 100:
+                break
+            time.sleep(0.5)
+        assert n >= 100
+        vals = [r.value for r in spark.table(name).orderBy("value").limit(5).collect()]
+        assert vals == sorted(vals)
+    finally:
+        q.stop()
