@@ -542,3 +542,46 @@ _STATE_SCHEMAS[changelog_state_fn] = (
     "pk LONG, last_op STRING, last_seq LONG, last_value DOUBLE, "
     "is_tombstone BOOLEAN",
 )
+
+
+@query(
+    "cdc_scd2_history",
+    """
+    SELECT
+      user_id,
+      event_id AS version_id,
+      value,
+      ts AS valid_from,
+      LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        AS valid_to,
+      LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        AS is_current
+    FROM events
+    WHERE event_type IN ('signup', 'purchase')
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history from a changelog: each update becomes a
+    version row with [valid_from, valid_to) bounds (LEAD over the per-key
+    change order; open interval = current row). The DIM-layer product the
+    as-of join (join_asof_temporal) consumes — together they close the
+    loop: CDC ingest → versioned dimension → temporally correct fact
+    enrichment. Open intervals keep NULL valid_to (a 9999-12-31 sentinel
+    overflows Arrow's ns timestamps in pandas interchange — real lesson;
+    filter on is_current or COALESCE at the consumer). One shuffle on the
+    key; ts+event_id tiebreak keeps simultaneous changes deterministic. In streaming this is the
+    latest-image state fn emitting close+open row pairs per change
+    (update mode into the upsert store)."""
+    wh = Warehouse(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        wh.events.filter(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_id"),
+            "value",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

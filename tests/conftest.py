@@ -69,11 +69,13 @@ def assert_frames_match(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, key: st
     for c in s.columns:
         sv, ov = s[c].tolist(), o[c].tolist()
         for i, (a, b) in enumerate(zip(sv, ov)):
-            if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
-                both_null = (
-                    (a is None or (isinstance(a, float) and math.isnan(a)))
-                    and (b is None or (isinstance(b, float) and math.isnan(b)))
-                )
-                assert both_null, f"{key}.{c}[{i}]: {a!r} != {b!r}"
+            a_null = a is None or (
+                not isinstance(a, (str, bytes, list, tuple)) and pd.isna(a)
+            )
+            b_null = b is None or (
+                not isinstance(b, (str, bytes, list, tuple)) and pd.isna(b)
+            )
+            if a_null or b_null:
+                assert a_null and b_null, f"{key}.{c}[{i}]: {a!r} != {b!r}"
                 continue
             assert a == b, f"{key}.{c}[{i}]: spark={a!r} oracle={b!r} (Δ row {i})"
