@@ -324,3 +324,49 @@ def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@query(
+    "dwd_clean_route",
+    """
+    WITH raw AS (
+      SELECT event_type,
+             CASE WHEN user_id % 7 = 0
+                  THEN substr(props, 1, len(props) - 1)
+                  ELSE props END AS p
+      FROM events
+    )
+    SELECT
+      event_type,
+      COUNT(*) FILTER (WHERE json_valid(p)) AS n_clean,
+      COUNT(*) FILTER (WHERE NOT json_valid(p)) AS n_dirty,
+      CAST(SUM(CASE WHEN json_valid(p)
+               THEN CAST(p ->> 'k' AS BIGINT) END) AS BIGINT) AS k_sum
+    FROM raw
+    GROUP BY event_type
+    """,
+)
+def dwd_clean_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODS→DWD cleaning with dirty-data routing (the Flink side-output
+    pattern for malformed records): rows whose payload fails JSON parsing
+    are quarantined and counted instead of silently dropped. A seventh of
+    the rows are deterministically corrupted (truncated brace) to exercise
+    the dirty path; parse-failure detection is get_json_object → NULL
+    (Spark) vs json_valid (DuckDB) — independent mechanisms, same verdict.
+    In streaming this is two filtered branches of one DataFrame, the
+    §1.1 side-output mapping."""
+    wh = Warehouse(spark, sf_dir)
+    p = F.when(
+        F.col("user_id") % 7 == 0,
+        F.expr("substr(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    k = F.get_json_object(p, "$.k")
+    return (
+        wh.events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("k").isNotNull(), 1)).alias("n_clean"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("n_dirty"),
+            F.sum(F.col("k").cast("long")).alias("k_sum"),
+        )
+    )

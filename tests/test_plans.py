@@ -181,3 +181,13 @@ def test_retention_compresses_before_join(spark):
     plan = plan_of(spark, "agg_retention")
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_curation_pipeline_filters_below_window(spark):
+    # The lang/quality gates must reach the scan (pushed or at least below
+    # the dedup window shuffle), and the whole DAG stays one plan with no
+    # joins and exactly the window + agg exchanges.
+    plan = plan_of(spark, "llm_curation_pipeline")
+    assert "Join" not in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("In(lang" in l for l in pushed)
