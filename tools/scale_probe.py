@@ -1,0 +1,93 @@
+"""Scale-up probe: replicate the sf0.1 fact tables k× (key-offset so keys
+stay unique and FKs intact), run headline queries at each size, and print
+the runtime curve. Evidence that the plans scale linearly rather than
+degrading (broadcast dims stay broadcast, partial agg keeps shuffle volume
+flat, AQE picks sane partition counts) — the local[32] stand-in for the
+1000-executor claim in SCALE.md.
+
+Usage: python tools/scale_probe.py [k ...]   (default 1 4 10)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from flink_realtime_spark import registry
+from flink_realtime_spark.session import get_spark
+from flink_realtime_spark.tables import TABLE_NAMES, load_table
+
+SRC = "/root/testdata/sf0.1"
+WORK = "/tmp/spark_graft_scale"
+
+
+def build(spark, k: int) -> str:
+    out = f"{WORK}/x{k}"
+    if os.path.exists(os.path.join(out, "_OK")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    li = load_table(spark, SRC, "lineitem")
+    od = load_table(spark, SRC, "orders")
+    ev = load_table(spark, SRC, "events")
+    n_ord = od.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    n_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+    (
+        od.crossJoin(reps)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * n_ord)
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "orders.parquet"))
+    )
+    (
+        li.crossJoin(reps)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * n_ord)
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "lineitem.parquet"))
+    )
+    (
+        ev.crossJoin(reps)
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * n_ev)
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "events.parquet"))
+    )
+    for name in TABLE_NAMES:
+        dst = os.path.join(out, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, f"{name}.parquet"), dst)
+    open(os.path.join(out, "_OK"), "w").close()
+    return out
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
+    registry.load_all()
+    spark = get_spark("scale-probe")
+    # warm codegen/broadcast machinery off the clock
+    registry.QUERIES["agg_star_flagship"](spark, SRC).count()
+    registry.QUERIES["win_tumble"](spark, SRC).count()
+    for k in ks:
+        sf_dir = SRC if k == 1 else build(spark, k)
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+        for key in ("agg_star_flagship", "agg_groupby_basic", "win_tumble"):
+            t0 = time.perf_counter()
+            n = registry.QUERIES[key](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            rows = (600_000 if key.startswith("agg") else 100_000) * k
+            print(
+                f"x{k:<3} {key:<22} {dt:6.2f}s  "
+                f"{rows / dt / 1e6:5.1f}M rows/s  ({n} out rows)"
+            )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
