@@ -832,3 +832,56 @@ def test_rate_source_generates_rows(spark):
         assert vals == sorted(vals)
     finally:
         q.stop()
+
+
+def test_socket_source_ingests_lines(spark):
+    """The socket source must ingest real lines from a live TCP server —
+    executed end-to-end on a loopback socket, not just plan-built."""
+    import socket
+    import threading
+    import time
+    import uuid
+
+    from flink_realtime_spark.streaming.sources import socket_source
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        try:
+            conn.sendall("".join(f"line{i}\n" for i in range(100)).encode())
+            done.wait(timeout=60)  # hold the connection until the test ends
+        finally:
+            conn.close()
+            srv.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    sdf = socket_source(spark, "127.0.0.1", port)
+    name = f"sock_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        n = 0
+        while time.time() < deadline:
+            n = spark.table(name).count()
+            if n >= 100:
+                break
+            time.sleep(0.5)
+        assert n >= 100
+        got = {r.value for r in spark.table(name).collect()}
+        assert {f"line{i}" for i in range(100)} <= got
+    finally:
+        q.stop()
+        done.set()
