@@ -67,7 +67,54 @@ def build(spark, k: int) -> str:
     return out
 
 
+def build_dup_docs(spark, k: int) -> str:
+    """documents replicated k× with IDENTICAL text (doc_id offset) — the
+    duplicate-heavy crawl shape (mirrors/reposts) dedup must survive:
+    every doc becomes a k-clique of exact dups, so candidate pairs grow
+    k(k-1)/2 per group and cluster sizes hit k."""
+    out = f"{WORK}/dup{k}"
+    if os.path.exists(os.path.join(out, "_OK")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = load_table(spark, SRC, "documents")
+    n_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+    (
+        docs.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n_doc)
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "documents.parquet"))
+    )
+    for name in TABLE_NAMES:
+        dst = os.path.join(out, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, f"{name}.parquet"), dst)
+    open(os.path.join(out, "_OK"), "w").close()
+    return out
+
+
+def dedup_stress(spark, ks) -> None:
+    for k in ks:
+        sf_dir = SRC if k == 1 else build_dup_docs(spark, k)
+        for key in ("llm_dedup_exact", "llm_dedup_minhash", "llm_dedup_cluster"):
+            t0 = time.perf_counter()
+            df = registry.QUERIES[key](spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            print(f"dup×{k:<3} {key:<20} {dt:6.2f}s  ({n} out rows)")
+
+
 def main() -> None:
+    if "--dedup" in sys.argv:
+        sys.argv.remove("--dedup")
+        ks = [int(a) for a in sys.argv[1:]] or [1, 5, 10]
+        registry.load_all()
+        spark = get_spark("scale-probe-dedup")
+        registry.QUERIES["llm_dedup_exact"](spark, SRC).count()  # warm
+        dedup_stress(spark, ks)
+        spark.stop()
+        return
     ks = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
     registry.load_all()
     spark = get_spark("scale-probe")
