@@ -126,3 +126,49 @@ def test_uv_sketch_rollup_tolerance(spark):
     assert set(est) == set(exact)
     for wk, true_v in exact.items():
         assert abs(est[wk] - true_v) / true_v < 0.05, f"{wk}: {est[wk]} vs {true_v}"
+
+
+def test_two_stage_dedup_equals_cluster_on_dup_corpus(spark, tmp_path):
+    """The fixture has no exact duplicates, so the oracle can't exercise
+    the collapse stage; this builds a 3x-replicated corpus (every doc an
+    exact-dup triple) and asserts the two-stage composition produces the
+    SAME cluster assignment as the single-stage minhash+CC pipeline."""
+    import os
+    import shutil
+
+    from flink_realtime_spark.tables import TABLE_NAMES
+
+    d = str(tmp_path / "dup3")
+    os.makedirs(d, exist_ok=True)
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = spark.range(3).select(F.col("id").alias("rep"))
+    (
+        docs.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n)
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "documents.parquet"))
+    )
+    for name in TABLE_NAMES:
+        dst = os.path.join(d, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(f"{SF_DIR}/{name}.parquet", dst)
+
+    cols = ["doc_id", "rep_id", "cluster_size", "is_canonical"]
+    two = sorted(
+        tuple(r)
+        for r in registry.QUERIES["llm_dedup_two_stage"](spark, d)
+        .select(*cols)
+        .collect()
+    )
+    one = sorted(
+        tuple(r)
+        for r in registry.QUERIES["llm_dedup_cluster"](spark, d)
+        .select(*cols)
+        .collect()
+    )
+    assert two == one
+    # the replicas must actually have merged: every cluster ≥ 3 members
+    assert all(size >= 3 for _, _, size, _ in two)
+    shutil.rmtree(d, ignore_errors=True)
