@@ -275,6 +275,48 @@ def funnel_state_fn(key, pdf_iter, state):
         )
 
 
+def scd2_state_fn(key, pdf_iter, state):
+    """SCD2 version maintenance per key (the streaming form of
+    cdc_scd2_history): each qualifying change CLOSES the previously open
+    version (emits it with valid_to = new change's ts) and OPENS a new
+    one (valid_to null). Consumers take the last emission per version —
+    the upsert store keyed on (user_id, version_id) materializes exactly
+    the batch history. State = the open version (ts_us, version_id,
+    value)."""
+    import pandas as pd
+
+    cur = tuple(state.get) if state.exists else None  # (ts_us, vid, value)
+    user_id = key[0]
+    rows = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for r in pdf.itertuples(index=False):
+            if r.event_type not in ("signup", "purchase"):
+                continue
+            t_us = int(r.ts.value // 1000)
+            if cur is not None:
+                rows.append((cur[1], cur[2], cur[0], t_us, False))  # close
+            cur = (t_us, int(r.event_id), float(r.value))
+    if cur is not None:
+        state.update(cur)
+        rows.append((cur[1], cur[2], cur[0], None, True))  # open version
+    if rows:
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id] * len(rows), dtype="int64"),
+                "version_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "value": pd.Series([r[1] for r in rows], dtype="float64"),
+                "valid_from_us": pd.Series(
+                    [r[2] for r in rows], dtype="int64"
+                ),
+                "valid_to_us": pd.Series(
+                    [r[3] for r in rows], dtype="object"
+                ),
+                "is_current": pd.Series([r[4] for r in rows], dtype="bool"),
+            }
+        )
+
+
 _STATE_SCHEMAS = {
     new_visitor_state_fn: ("seen INT", "event_id LONG, user_id LONG, is_new LONG"),
     # timeout_alert_state_fn registered after its definition below
@@ -286,6 +328,11 @@ _STATE_SCHEMAS = {
     funnel_state_fn: (
         "stage LONG, last_us LONG",
         "user_id LONG, funnel_stage LONG",
+    ),
+    scd2_state_fn: (
+        "ts_us LONG, version_id LONG, value DOUBLE",
+        "user_id LONG, version_id LONG, value DOUBLE, "
+        "valid_from_us LONG, valid_to_us LONG, is_current BOOLEAN",
     ),
 }
 

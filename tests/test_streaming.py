@@ -885,3 +885,56 @@ def test_socket_source_ingests_lines(spark):
     finally:
         q.stop()
         done.set()
+
+
+def test_scd2_stream_matches_batch_history(spark, chunked_events_dir):
+    """SCD2 maintenance under multi-batch streaming: close+open emissions
+    per change, last-emission-per-version materialized (what the upsert
+    store keyed on (user, version) would hold), must equal the batch
+    cdc_scd2_history rows with timestamps compared at µs."""
+    from flink_realtime_spark.streaming.stateful import (
+        apply_with_state,
+        scd2_state_fn,
+    )
+
+    sdf = file_stream_source(
+        spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
+    ).select("user_id", "event_id", "event_type", "ts", "value")
+    out = apply_with_state(sdf, "user_id", scd2_state_fn, "update")
+    emitted = run_available_now(out, "update").toPandas()
+    final = (
+        emitted.groupby(["user_id", "version_id"], sort=True)
+        .last()
+        .reset_index()
+    )
+
+    batch = (
+        registry.QUERIES["cdc_scd2_history"](spark, SF_DIR)
+        .select(
+            "user_id",
+            "version_id",
+            "value",
+            (F.col("valid_from").cast("double") * 1e6).cast("long").alias(
+                "valid_from_us"
+            ),
+            (F.col("valid_to").cast("double") * 1e6).cast("long").alias(
+                "valid_to_us"
+            ),
+            "is_current",
+        )
+        .toPandas()
+        .sort_values(["user_id", "version_id"])
+        .reset_index(drop=True)
+    )
+    assert len(final) == len(batch)
+    for col in ("user_id", "version_id", "value", "valid_from_us", "is_current"):
+        assert final[col].tolist() == batch[col].tolist(), col
+    def nullable_long(series):
+        # nullable LONG surfaces as object-None or float-NaN via pandas
+        return [
+            None if v is None or v != v else int(v) for v in series
+        ]
+
+    assert nullable_long(final["valid_to_us"]) == nullable_long(
+        batch["valid_to_us"]
+    )
