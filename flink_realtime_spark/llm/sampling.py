@@ -289,3 +289,46 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").alias("total_words"),
     )
+
+
+_SHUF_SHARDS = 8
+
+
+@query(
+    "pipe_shuffle_shard",
+    f"""
+    SELECT
+      doc_id,
+      shuffle_rank,
+      (shuffle_rank - 1) % {_SHUF_SHARDS} AS shard
+    FROM (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shuffle'), doc_id
+             ) AS shuffle_rank
+      FROM documents
+    )
+    """,
+)
+def pipe_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training order: rank
+    every doc by a salted hash (reproducible 'random' permutation — same
+    bytes every run, every engine, every partitioning) and deal ranks
+    round-robin into shards, so each shard is an unbiased sample and
+    inter-shard order is fixed. The global row_number is a range-partitioned
+    sort — acceptable because it runs once per dataset build; for 100 TB
+    use shard = hash % n directly (pipe_sample_hash's zero-shuffle path)
+    when per-shard ORDER doesn't matter, this op when it does (curriculum
+    or resume-from-step reproducibility)."""
+    from pyspark.sql import Window
+
+    wh = Warehouse(spark, sf_dir)
+    w = Window.orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle"))),
+        F.col("doc_id"),
+    )
+    return (
+        wh.documents.select("doc_id")
+        .withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
+        .withColumn("shard", (F.col("shuffle_rank") - 1) % _SHUF_SHARDS)
+    )
