@@ -30,10 +30,24 @@ from flink_realtime_spark.streaming.stateful import latest_image
 from flink_realtime_spark.tables import Warehouse
 
 
+def kafka_json_payload(df: DataFrame) -> DataFrame:
+    """The Kafka value serializer: whole row → JSON with microsecond
+    timestamps (the to_json default truncates to ms — the payload must
+    roundtrip through kafka_json_source losslessly; tested in
+    tests/test_streaming.py)."""
+    from flink_realtime_spark.streaming.sources import JSON_TS_FMT
+
+    return df.select(
+        F.to_json(
+            F.struct(*df.columns), {"timestampFormat": JSON_TS_FMT}
+        ).alias("value")
+    )
+
+
 def kafka_json_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str):
-    """Kafka sink (Flink KafkaSink analog): whole row → JSON value. Plan
-    builder only in this container (no broker)."""
-    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    """Kafka sink (Flink KafkaSink analog). Plan builder only in this
+    container (no broker)."""
+    payload = kafka_json_payload(df)
     return (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)

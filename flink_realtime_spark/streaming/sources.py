@@ -32,6 +32,11 @@ EVENTS_DDL = (
     "event_type STRING, value DOUBLE, props STRING"
 )
 
+# JSON timestamp pattern for Kafka payloads: the to_json/from_json default
+# is millisecond precision, which silently truncates µs event times on the
+# producer AND consumer side — pin a microsecond pattern on both.
+JSON_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
 
 def kafka_json_source(
     spark: SparkSession,
@@ -56,7 +61,11 @@ def kafka_json_source(
     raw = reader.load()
     return raw.select(
         F.col("timestamp").alias("kafka_ts"),
-        F.from_json(F.col("value").cast("string"), schema_ddl).alias("j"),
+        F.from_json(
+            F.col("value").cast("string"),
+            schema_ddl,
+            {"timestampFormat": JSON_TS_FMT},
+        ).alias("j"),
     ).select("kafka_ts", "j.*")
 
 

@@ -938,3 +938,21 @@ def test_scd2_stream_matches_batch_history(spark, chunked_events_dir):
     assert nullable_long(final["valid_to_us"]) == nullable_long(
         batch["valid_to_us"]
     )
+
+
+def test_kafka_sink_payload_roundtrips(spark):
+    """The Kafka sink's value serializer (to_json over the full row) must
+    roundtrip through from_json with the declared schema — the producer/
+    consumer contract the broker would carry, testable without one."""
+    from flink_realtime_spark.streaming.sinks import kafka_json_payload
+    from flink_realtime_spark.streaming.sources import JSON_TS_FMT
+
+    ev = load_table(spark, SF_DIR, "events").limit(500)
+    payload = kafka_json_payload(ev)
+    back = payload.select(
+        F.from_json("value", EVENTS_DDL, {"timestampFormat": JSON_TS_FMT}).alias("j")
+    ).select("j.*")
+    assert back.schema == ev.schema
+    a = sorted(map(tuple, ev.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
