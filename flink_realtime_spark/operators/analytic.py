@@ -281,3 +281,47 @@ def over_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "over_time_range",
+    """
+    SELECT
+      event_id,
+      user_id,
+      ts,
+      COUNT(*) OVER w AS n_trailing_1h,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        AS v_trailing_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def over_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE over-window (the signature Flink streaming OVER shape:
+    ``RANGE BETWEEN INTERVAL '1' HOUR PRECEDING``): per event, the count
+    and sum of the same user's events in the trailing hour. Spark's
+    rangeBetween frames only order by numerics, so the order key is
+    unix_micros(ts) with a µs-exact interval offset — value-based frames
+    make ties deterministic (every equal-ts row shares the same frame).
+    In streaming, this per-row emission pattern is an
+    applyInPandasWithState running aggregate (SURVEY.md §7.4)."""
+    wh = Warehouse(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return wh.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("v_trailing_1h"),
+    )

@@ -25,12 +25,13 @@ def binned_range_join(
     lo_col: str,
     hi_col: str,
     bin_width: float,
-    how: str = "inner",
 ) -> DataFrame:
-    """Join ``values`` rows to every ``bands`` row whose [lo, hi) interval
-    contains the value, via a bin equi-join. ``bin_width`` must be <= the
-    narrowest band width for candidate completeness (each band then
-    overlaps <= ceil(width/bin_width)+1 bins)."""
+    """Inner-join ``values`` rows to every ``bands`` row whose [lo, hi)
+    interval contains the value, via a bin equi-join. ``bin_width`` must
+    be <= the narrowest band width for candidate completeness (each band
+    then overlaps <= ceil(width/bin_width)+1 bins). Inner only: the
+    residual range filter runs after the join, which would discard an
+    outer join's null-extended rows."""
     band_bins = bands.withColumn(
         "__bin",
         F.explode(
