@@ -47,7 +47,7 @@ def binned_range_join(
         "__bin", F.floor(F.col(value_col) / bin_width)
     )
     return (
-        binned_vals.join(F.broadcast(band_bins), "__bin", how)
+        binned_vals.join(F.broadcast(band_bins), "__bin")
         .filter(
             (F.col(value_col) >= F.col(lo_col))
             & (F.col(value_col) < F.col(hi_col))
