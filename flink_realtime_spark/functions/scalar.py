@@ -370,3 +370,28 @@ def dwd_clean_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("k").cast("long")).alias("k_sum"),
         )
     )
+
+
+@query(
+    "scalar_variant",
+    """
+    SELECT
+      event_id,
+      CAST(props ->> 'k' AS BIGINT) AS k,
+      CAST(props ->> 'k' AS BIGINT) % 10 AS k_mod
+    FROM events
+    """,
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: parse_json once into
+    a VariantType column, then typed variant_get extraction — the
+    shredded-JSON answer to repeated get_json_object calls (each of which
+    re-parses the string). The oracle uses DuckDB's JSON operators; both
+    engines agree on the typed value."""
+    wh = Warehouse(spark, sf_dir)
+    v = F.parse_json("props")
+    return wh.events.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        (F.variant_get(v, "$.k", "bigint") % 10).alias("k_mod"),
+    )
