@@ -767,3 +767,28 @@ def llm_dedup_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("doc_id") == F.col("rep_id")).alias("is_canonical"),
     )
+
+
+@query("graph_pagerank")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup similarity graph (symmetrized MinHash
+    pairs): within a duplicate cluster, the highest-ranked doc is the most
+    central copy — an alternative canonical-pick to min-doc_id that favors
+    the version most others resemble. Rows-only check (grouped
+    aggregation inside recursion is outside DuckDB's recursive-CTE
+    subset); property-tested against numpy power iteration on random
+    graphs (tests/test_cluster_props.py). Ranks are partitioning-invariant
+    (decimal contribution sums — plans/graph.py)."""
+    from flink_realtime_spark.plans.graph import pagerank
+
+    wh = Warehouse(spark, sf_dir)
+    pairs = minhash_pairs(wh).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    nodes = wh.documents.select(F.col("doc_id").alias("id"))
+    return pagerank(nodes, edges).select(
+        F.col("id").alias("doc_id"), F.round("rank", 12).alias("rank")
+    )

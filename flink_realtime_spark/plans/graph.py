@@ -1,0 +1,82 @@
+"""Iterative graph primitives over edge relations.
+
+Connected components (llm/dedup.py) turns near-dup pairs into dedup
+decisions; PageRank here ranks nodes by link structure — the canonical
+iterative-relational algorithm family (Flink exposes these through Gelly /
+iterative DataSets; Spark-first they are loops of joins + aggregations
+with lineage truncation per round).
+
+Determinism: each round's contribution sum uses DECIMAL(28,15) per-edge
+casts, so accumulation order (partitioning, task order) cannot move the
+result — the same discipline exprs.dsum applies to money columns. No SQL
+oracle (grouped aggregation inside recursion is outside DuckDB's
+recursive-CTE subset); tests/test_cluster_props.py checks against numpy
+power iteration on random graphs instead.
+
+Scale: per round, one shuffle keyed on the destination node + one
+broadcast-or-shuffle join on ranks. State = one rank per node. Rounds are
+fixed (power iteration), so the plan is `iters` repetitions of the same
+two-exchange stage; localCheckpoint truncates lineage each round (object
+storage checkpoints on a cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(28,15)"
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    beta: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """Power-iteration PageRank. ``nodes``: column ``id``; ``edges``:
+    columns (src, dst), directed (symmetrize upstream for undirected
+    graphs). Dangling nodes redistribute uniformly. Returns (id, rank),
+    ranks summing to 1."""
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=False)
+    # dangling node set is static — compute once
+    dangling_nodes = nodes.join(
+        out_deg, nodes["id"] == out_deg["src"], "left_anti"
+    ).localCheckpoint(eager=False)
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["id"])
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("deg")).cast(_DEC).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").cast("double").alias("inflow"))
+        )
+        # dangling mass as a broadcast 1-row relation: the whole round stays
+        # ONE distributed plan — no driver round-trip per iteration
+        dmass = (
+            ranks.join(dangling_nodes.select("id"), "id", "left_semi")
+            .agg(F.sum(F.col("rank").cast(_DEC)).cast("double").alias("dm"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dmass))
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - beta) / n)
+                    + F.lit(beta) * F.coalesce("dm", F.lit(0.0)) / n
+                    + F.lit(beta) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

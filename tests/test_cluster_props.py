@@ -97,3 +97,44 @@ def test_subqueries_decorrelate_no_nested_loops(spark):
         assert "CartesianProduct" not in plan, key
         assert "BroadcastNestedLoopJoin" not in plan, key
         assert "Join" in plan, key  # decorrelated into real joins
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """plans/graph.pagerank vs dense numpy power iteration on a fixed
+    random directed graph with dangling nodes — same beta, same rounds,
+    same uniform dangling redistribution; ranks must agree to float
+    tolerance and sum to 1."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n = 30
+    edges = sorted(
+        {
+            (int(a), int(b))
+            for a, b in rng.randint(0, n, size=(120, 2))
+            if a != b and a % 7 != 0  # nodes ≡0 mod 7 are dangling
+        }
+    )
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id LONG")
+    edges_df = spark.createDataFrame(edges, "src LONG, dst LONG")
+
+    from flink_realtime_spark.plans.graph import pagerank
+
+    got = {
+        r.id: r.rank for r in pagerank(nodes_df, edges_df, 0.85, 10).collect()
+    }
+
+    # numpy reference
+    beta, r = 0.85, np.full(n, 1.0 / n)
+    out_deg = np.zeros(n)
+    for a, _ in edges:
+        out_deg[a] += 1
+    for _ in range(10):
+        inflow = np.zeros(n)
+        for a, b in edges:
+            inflow[b] += r[a] / out_deg[a]
+        dangling = r[out_deg == 0].sum()
+        r = (1 - beta) / n + beta * dangling / n + beta * inflow
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
