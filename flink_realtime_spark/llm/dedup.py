@@ -792,3 +792,74 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(nodes, edges).select(
         F.col("id").alias("doc_id"), F.round("rank", 12).alias("rank")
     )
+
+
+_SH_BANDS, _SH_BITS, _SH_MAXHAM = 4, 15, 3
+
+
+@query(
+    "llm_dedup_simhash_pairs",
+    f"""
+    WITH s AS (
+      SELECT doc_id, CAST({_SIMHASH_DUCK} AS BIGINT) AS sig FROM documents
+    )
+    SELECT
+      a.doc_id AS doc_a,
+      b.doc_id AS doc_b,
+      CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM s a, s b
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.sig, b.sig)) <= {_SH_MAXHAM}
+    """,
+)
+def llm_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs by banded bucketing — a provably EXACT LSH
+    instance, so it hash-checks against the all-pairs oracle: with the
+    60-bit signature cut into 4 bands of 15 bits, any pair within Hamming
+    distance 3 differs in at most 3 bands (pigeonhole), so at least one
+    band collides and the pair is surfaced; the Hamming verification then
+    filters exactly. Zero recall loss, no estimator — unlike MinHash
+    banding, whose guarantee is probabilistic. Candidates join on a
+    scalar (band, value) key; at 100 TB the candidate volume is bounded by
+    band-bucket sizes (add more/wider bands for sharper buckets)."""
+    wh = Warehouse(spark, sf_dir)
+    sigs = (
+        llm_dedup_simhash(spark, sf_dir)
+        .withColumnRenamed("simhash", "sig")
+        .localCheckpoint(eager=False)  # one signature build, three uses
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        (F.shiftright("sig", b * _SH_BITS) % (1 << _SH_BITS)),
+                        F.lit(b),
+                    )
+                    for b in range(_SH_BANDS)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.filter(ham <= _SH_MAXHAM)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+    )
