@@ -270,3 +270,44 @@ def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+@query(
+    "setop_intersect_all",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics): each custkey appears
+    min(count_F, count_O) times — the bag-algebra form Flink SQL exposes
+    alongside the set form."""
+    wh = Warehouse(spark, sf_dir)
+    f = wh.orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    o = wh.orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return f.intersectAll(o)
+
+
+@query(
+    "setop_except_all",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset semantics): each custkey survives
+    count(all) − count(F) times."""
+    wh = Warehouse(spark, sf_dir)
+    o = wh.orders.select(F.col("o_custkey").alias("custkey"))
+    f = wh.orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return o.exceptAll(f)

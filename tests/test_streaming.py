@@ -956,3 +956,87 @@ def test_kafka_sink_payload_roundtrips(spark):
     a = sorted(map(tuple, ev.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_curation_pipeline_streams_on_dup_corpus(spark, tmp_path):
+    """The corpus-curation DAG bound as a stream: documents arrive
+    incrementally (3 micro-batches of a 3x-duplicated corpus), flow
+    through lang gate -> quality gate -> streaming exact-dedup
+    (dropDuplicates on the normalized-text hash) -> per (lang, source)
+    counts in update mode. Which copy survives dedup is arrival-dependent,
+    but copies are byte-identical, so the final counts must equal the
+    batch composition exactly — the bounded==unbounded rule extended to
+    the LLM pipeline."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = spark.range(3).select(F.col("id").alias("rep"))
+    tripled = (
+        docs.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n)
+        .drop("rep")
+    )
+    d = str(tmp_path / "docs_stream")
+    for i in range(3):
+        (
+            tripled.filter(F.col("doc_id") % 3 == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{d}/chunk{i}")
+        )
+    chunks = [f"{d}/chunk{i}" for i in range(3)]
+    flat = str(tmp_path / "flat")
+    import os
+    import shutil
+
+    os.makedirs(flat)
+    for i, c in enumerate(chunks):
+        src = [f for f in os.listdir(c) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(c, src), os.path.join(flat, f"c{i}.parquet"))
+
+    ddl = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+
+    def stages(df):
+        return (
+            df.filter(F.col("lang").isin("de", "en", "es", "fr"))
+            .select(
+                "lang",
+                "source",
+                F.size(F.split("text", " ")).cast("long").alias("n_words"),
+                F.md5(
+                    F.lower(F.trim(F.regexp_replace("text", "\\s+", " ")))
+                ).alias("text_hash"),
+            )
+            .filter(F.col("n_words") >= 20)
+        )
+
+    sdf = stages(
+        file_stream_source(spark, flat, ddl, max_files_per_trigger=1)
+    ).dropDuplicates(["text_hash"])
+    agg = sdf.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+    )
+    streamed = run_available_now(agg, "complete")
+
+    # any copy per hash works — copies are identical in every aggregated
+    # column, so the constant-order rank's arbitrary pick cannot move counts
+    batch = (
+        stages(tripled.select("doc_id", "text", "lang", "source"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("text_hash").orderBy(F.lit(1))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+        )
+    )
+    assert _rows(streamed, ["lang", "source", "n_docs", "total_words"]) == _rows(
+        batch, ["lang", "source", "n_docs", "total_words"]
+    )
