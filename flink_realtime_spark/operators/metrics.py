@@ -261,3 +261,75 @@ def ads_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("overlap_users"))
     )
+
+
+@query(
+    "ads_session_stats",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+        CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NULL THEN 1
+             WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  >= INTERVAL '30 minutes' THEN 1
+             ELSE 0 END AS new_sess
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, SUM(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+      ) AS sess_id
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, sess_id,
+        MIN(ts) AS first_ts,
+        epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us,
+        COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, sess_id
+    )
+    SELECT
+      CAST(date_trunc('day', first_ts) AS TIMESTAMP) AS day,
+      COUNT(*) AS n_sessions,
+      CAST(CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1000000.0 AS DOUBLE)
+        AS avg_duration_s,
+      CAST(CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS DOUBLE)
+        AS avg_events
+    FROM sessions
+    GROUP BY 1
+    """,
+)
+def ads_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality ADS board: per day (of session start), session
+    count, mean duration, mean depth — the engagement dashboard built ON
+    the sessionizer. Durations sum as exact integer microseconds before
+    one final double division, so the averages are accumulation-order
+    free. Composes F.session_window (the same primitive win_session
+    oracle-checks) with a daily rollup."""
+    wh = Warehouse(spark, sf_dir)
+    sess = (
+        wh.events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            F.date_trunc("day", "first_ts").alias("day"),
+            (F.unix_micros("last_ts") - F.unix_micros("first_ts")).alias(
+                "dur_us"
+            ),
+            "n_events",
+        )
+    )
+    return sess.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        (
+            F.sum("dur_us").cast("double") / F.count(F.lit(1)) / 1000000.0
+        ).cast("double").alias("avg_duration_s"),
+        (F.sum("n_events").cast("double") / F.count(F.lit(1)))
+        .cast("double")
+        .alias("avg_events"),
+    )

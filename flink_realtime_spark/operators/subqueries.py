@@ -159,3 +159,32 @@ def subq_in_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_orderkey hash partitioning — no extra shuffle between the semi join
     and the final group-by."""
     return _sql(spark, sf_dir, ["orders", "lineitem"], _IN_HAVING_SQL)
+
+
+# LATERAL correlated derived table (Flink SQL LATERAL / Spark 4
+# lateralJoin): per customer, the top-2 orders by (price, key). Catalyst
+# plans the correlation as a window-ranked join rather than re-executing
+# the inner query per outer row; DuckDB runs the identical text.
+_LATERAL_SQL = """
+SELECT
+  c.c_custkey,
+  t.o_orderkey,
+  t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 2
+) t
+"""
+
+
+@query("subq_lateral_topn", _LATERAL_SQL)
+def subq_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table with ORDER BY ... LIMIT — the
+    SQL-standard per-row top-N shape (Flink SQL LATERAL). One shared text
+    for both engines; the unique o_orderkey tiebreak keeps the per-group
+    limit deterministic."""
+    return _sql(spark, sf_dir, ["customer", "orders"], _LATERAL_SQL)
