@@ -333,3 +333,82 @@ def ads_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_events"),
     )
+
+
+@query(
+    "dq_integrity_checks",
+    """
+    SELECT 'orders.custkey_fk' AS check_name, COUNT(*) AS violations
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem.orderkey_fk', COUNT(*)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'orders.pk_unique', COUNT(*) FROM (
+      SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+    )
+    UNION ALL
+    SELECT 'events.ts_not_null', COUNT(*) FROM events WHERE ts IS NULL
+    UNION ALL
+    SELECT 'lineitem.discount_range', COUNT(*)
+    FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1
+    """,
+)
+def dq_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (the dbt-test / Flink-job-preflight battery as one
+    relation): referential integrity via anti-join counts, key
+    uniqueness, null and domain checks — each a violation count, all zero
+    on healthy input. Anti-joins broadcast the dimension side; the whole
+    battery is one pass per table at scan speed, and the output relation
+    is the audit artifact a layer promotion gates on."""
+    wh = Warehouse(spark, sf_dir)
+    orders, cust, li, ev = wh.orders, wh.customer, wh.lineitem, wh.events
+    checks = [
+        (
+            "orders.custkey_fk",
+            orders.join(
+                cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
+            ),
+        ),
+        (
+            "lineitem.orderkey_fk",
+            li.join(
+                orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti"
+            ),
+        ),
+        (
+            "orders.pk_unique",
+            orders.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1),
+        ),
+        ("events.ts_not_null", ev.filter(F.col("ts").isNull())),
+        (
+            "lineitem.discount_range",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
+        ),
+    ]
+    out = None
+    for name, df in checks:
+        one = df.agg(F.count(F.lit(1)).alias("violations")).select(
+            F.lit(name).alias("check_name"), "violations"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+@query("agg_freq_items")
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters via DataFrame.stat.freqItems (the
+    Karp-Schenker-Papadimitriou one-pass algorithm): every value with
+    frequency above the support threshold is guaranteed present (false
+    positives possible, false negatives not). Rows-only + property check
+    (tests/test_metrics_props.py pins the no-false-negative guarantee
+    against exact counts). The 100 TB path for 'top sellers' probes where
+    an exact groupBy over the full key universe isn't worth the shuffle."""
+    wh = Warehouse(spark, sf_dir)
+    return wh.events.select("event_type", "user_id").stat.freqItems(
+        ["event_type", "user_id"], support=0.05
+    )

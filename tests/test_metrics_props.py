@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from flink_realtime_spark import registry
+from flink_realtime_spark.tables import load_table
 from tests.conftest import SF_DIR
 
 registry.load_all()
@@ -35,3 +36,20 @@ def test_approx_quantile_within_rank_tolerance(spark):
         for flag, row in approx.items():
             lo, hi = exact[flag]
             assert lo <= row[col] <= hi, (flag, col, row[col], lo, hi)
+
+
+def test_freq_items_no_false_negatives(spark):
+    """freqItems guarantees every item above the support threshold appears
+    in the result (KSP algorithm); verify against exact frequencies."""
+    out = registry.QUERIES["agg_freq_items"](spark, SF_DIR).collect()[0]
+    got_types = set(out["event_type_freqItems"])
+    got_users = set(out["user_id_freqItems"])
+    ev = load_table(spark, SF_DIR, "events")
+    n = ev.count()
+    for col, got in (("event_type", got_types), ("user_id", got_users)):
+        exact = {
+            r[col]
+            for r in ev.groupBy(col).agg(F.count(F.lit(1)).alias("c")).collect()
+            if r["c"] > 0.05 * n
+        }
+        assert exact <= got, (col, exact - got)
