@@ -434,3 +434,45 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice")).alias("sum_price"),
         )
     )
+
+
+@query(
+    "join_asof_forward",
+    """
+    SELECT
+      c.event_id AS click_id,
+      c.user_id,
+      p.event_id AS purchase_id,
+      CAST(p.value AS DOUBLE) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click attaches the user's NEXT purchase
+    at-or-after click time — the attribution/next-event lookup that
+    mirrors join_asof_temporal's latest-version semantics. Same
+    one-shuffle merge composition (plans/asof.py) with the window scanned
+    in reverse time order; oracle is DuckDB's native forward ASOF."""
+    wh = Warehouse(spark, sf_dir)
+    ev = wh.events
+    facts = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    versions = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").cast("double").alias("purchase_value"),
+    )
+    return asof_join(
+        facts,
+        versions,
+        key="user_id",
+        fact_ts="ts",
+        version_ts="purchase_ts",
+        version_cols=["purchase_id", "purchase_value"],
+        how="inner",
+        direction="forward",
+    ).select("click_id", "user_id", "purchase_id", "purchase_value")

@@ -39,9 +39,15 @@ def asof_join(
     version_ts: str,
     version_cols: list[str],
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every fact row, attach ``version_cols`` from the latest version
-    row of the same ``key`` with ``version_ts <= fact_ts``.
+    """For every fact row, attach ``version_cols`` from the nearest version
+    row of the same ``key``: with ``direction='backward'`` the latest one
+    at-or-before the fact (``version_ts <= fact_ts``), with ``'forward'``
+    the earliest one at-or-after it (``version_ts >= fact_ts``) — the
+    next-event lookup (e.g. next price change after an order). Forward is
+    the same one-shuffle merge with the window scanned in reverse time
+    order; ties stay version-visible in both directions.
 
     ``how='left'`` keeps facts with no visible version (nulls); ``'inner'``
     drops them.
@@ -66,9 +72,12 @@ def asof_join(
     merged = left.select(sorted(left.columns)).unionByName(
         right.select(sorted(right.columns))
     )
+    ts_order = (
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__ts").asc(), F.col(_TAG).asc())
+        .orderBy(ts_order, F.col(_TAG).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = merged.select(
