@@ -508,3 +508,54 @@ def llm_word_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n").cast("long").alias("rarest_count"),
         )
     )
+
+
+@query(
+    "llm_doc_keywords",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+    scored AS (
+      SELECT tf.doc_id, tf.w,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (w) CROSS JOIN n
+    )
+    SELECT doc_id, w AS term, score, rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, w) AS rn
+      FROM scored
+    )
+    WHERE rn <= 3
+    """,
+)
+def llm_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic terms per document: top-3 by tf·(N/df) — the TF-IDF
+    family kept transcendental-free (integer tf·N stays exact below 2^53,
+    one IEEE division — identical in both engines, unlike log-based idf
+    whose libm rounding differs). Two token-level shuffles (tf build, df
+    build) + the per-doc Top-N lowering to WindowGroupLimit; the df table
+    broadcasts at any real vocabulary size."""
+    wh = Warehouse(spark, sf_dir)
+    from pyspark.sql import Window
+
+    tok = wh.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tok.select("doc_id").distinct().count()
+    scored = tf.join(F.broadcast(df), "w").select(
+        "doc_id",
+        F.col("w").alias("term"),
+        ((F.col("tf") * n_docs).cast("double") / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
