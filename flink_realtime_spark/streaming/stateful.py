@@ -632,3 +632,93 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+@query(
+    "cep_error_burst",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+        SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING
+        ) AS island
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, island,
+        COUNT(*) AS run_len,
+        MAX(ts) AS last_error_ts
+      FROM seq WHERE event_type = 'error'
+      GROUP BY user_id, island
+      HAVING COUNT(*) >= 3
+    ),
+    alerted AS (
+      SELECT r.user_id, r.island,
+        MAX(CASE WHEN e.event_id IS NOT NULL THEN 1 ELSE 0 END) AS hit
+      FROM runs r
+      LEFT JOIN events e
+        ON e.user_id = r.user_id AND e.event_type = 'purchase'
+        AND e.ts > r.last_error_ts
+        AND e.ts <= r.last_error_ts + INTERVAL 30 MINUTE
+      GROUP BY r.user_id, r.island
+    )
+    SELECT
+      user_id,
+      COUNT(*) AS n_bursts,
+      CAST(SUM(hit) AS BIGINT) AS n_recovered
+    FROM alerted
+    GROUP BY user_id
+    """,
+)
+def cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified CEP pattern (Flink CEP ``error{3,} purchase?``): maximal
+    runs of >= 3 consecutive errors per user (consecutive in event order —
+    the gaps-and-islands rewrite of the NFA quantifier), and how many
+    bursts saw a purchase within 30 minutes after the last error (the
+    'recovered after failure storm' signal). Batch analog of the CEP
+    state machine: one window pass for islands, one keyed agg for runs,
+    one time-bounded join for the follow-up — each stage keyed on
+    user_id, so a cluster co-partitions the chain."""
+    wh = Warehouse(spark, sf_dir)
+    ev = wh.events.select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = ev.withColumn(
+        "island",
+        F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0)).over(w),
+    )
+    runs = (
+        seq.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"), F.max("ts").alias("last_error_ts"))
+        .filter(F.col("run_len") >= 3)
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_event"),
+        F.col("ts").alias("p_ts"),
+    )
+    alerted = (
+        runs.join(
+            purchases,
+            (F.col("p_user") == runs["user_id"])
+            & (F.col("p_ts") > F.col("last_error_ts"))
+            & (
+                F.col("p_ts")
+                <= F.col("last_error_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+            "left",
+        )
+        .groupBy(runs["user_id"], "island")
+        .agg(
+            F.max(
+                F.when(F.col("p_event").isNotNull(), 1).otherwise(0)
+            ).alias("hit")
+        )
+    )
+    return alerted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_bursts"),
+        F.sum("hit").cast("long").alias("n_recovered"),
+    )
