@@ -332,3 +332,41 @@ def pipe_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
         .withColumn("shard", (F.col("shuffle_rank") - 1) % _SHUF_SHARDS)
     )
+
+
+@query(
+    "pipe_dataset_card",
+    """
+    SELECT
+      COUNT(*) AS n_docs,
+      COUNT(DISTINCT lang) AS n_langs,
+      COUNT(DISTINCT source) AS n_sources,
+      CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE)
+           / COUNT(*) AS DOUBLE) AS mean_chars,
+      CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+      ROUND(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 4) AS p50_chars,
+      ROUND(CAST(quantile_cont(n_chars, 0.9) AS DOUBLE), 4) AS p90_chars
+    FROM documents
+    """,
+)
+def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: one-row corpus profile (volume, language/source
+    diversity, length distribution) — the audit artifact published with
+    every training-data release. Single two-phase aggregation; the exact
+    interpolated percentiles switch to percentile_approx sketches at
+    100 TB (agg_approx_quantile's path)."""
+    wh = Warehouse(spark, sf_dir)
+    return wh.documents.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).cast("double").alias("mean_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+    )

@@ -412,3 +412,42 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wh.events.select("event_type", "user_id").stat.freqItems(
         ["event_type", "user_id"], support=0.05
     )
+
+
+@query(
+    "dq_gap_detection",
+    """
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             COUNT(DISTINCT date_trunc('hour', ts)) AS observed_hours
+      FROM events GROUP BY 1
+    )
+    SELECT
+      day,
+      CAST(24 AS BIGINT) AS expected_hours,
+      observed_hours,
+      CAST(24 - observed_hours AS BIGINT) AS missing_hours
+    FROM bounds
+    """,
+)
+def dq_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-completeness monitor: hours with zero events per calendar
+    day — the 'did the pipeline stall' board (ARCH ops monitoring, the
+    batch analog of a watermark-stall alert). Distinct hour buckets per
+    day against the 24-slot calendar; at scale this runs on the layer's
+    partition metadata rather than raw rows."""
+    wh = Warehouse(spark, sf_dir)
+    return (
+        wh.events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.countDistinct(F.date_trunc("hour", "ts")).alias("observed_hours")
+        )
+        .select(
+            "day",
+            F.lit(24).cast("long").alias("expected_hours"),
+            "observed_hours",
+            (F.lit(24) - F.col("observed_hours")).cast("long").alias(
+                "missing_hours"
+            ),
+        )
+    )
