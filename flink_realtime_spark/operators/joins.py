@@ -476,3 +476,40 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="inner",
         direction="forward",
     ).select("click_id", "user_id", "purchase_id", "purchase_value")
+
+
+@query(
+    "join_salted_skew",
+    f"""
+    SELECT
+      o.o_orderpriority,
+      COUNT(*) AS n_lines,
+      {dsum_sql('l.l_extendedprice')} AS sum_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit salted join as a first-class query (plans/skew.py):
+    lineitem joins orders on a (key, salt) composite so any hot orderkey
+    spreads over 8 reducers — the manual mitigation for skew cases AQE's
+    SMJ splitter can't reach (hash joins, hot aggregation keys).
+    Deterministic salting (xxhash64 of the line number, not rand()) keeps
+    the result identical to the plain join, which is exactly what the
+    oracle checks; the salt only moves WORK, never rows."""
+    from flink_realtime_spark.plans.skew import salted_join
+
+    wh = Warehouse(spark, sf_dir)
+    li = wh.lineitem.select(
+        F.col("l_orderkey").alias("k"), "l_linenumber", "l_extendedprice"
+    )
+    od = wh.orders.select(F.col("o_orderkey").alias("k"), "o_orderpriority")
+    return (
+        salted_join(li, od, key="k", salt_from="l_linenumber", n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+    )
