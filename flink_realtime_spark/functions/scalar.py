@@ -395,3 +395,36 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "bigint").alias("k"),
         (F.variant_get(v, "$.k", "bigint") % 10).alias("k_mod"),
     )
+
+
+@query(
+    "scalar_encode",
+    """
+    SELECT
+      doc_id,
+      to_base64(encode(source)) AS b64,
+      decode(from_base64(to_base64(encode(source)))) AS b64_roundtrip,
+      to_hex(CAST(doc_id AS BIGINT)) AS id_hex,
+      regexp_replace(regexp_replace(regexp_replace(
+        source, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        AS masked
+    FROM documents
+    """,
+)
+def scalar_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding/masking family (Flink SQL TO_BASE64/HEX + data masking):
+    base64 roundtrip, hex rendering, and character-class masking. Spark's
+    mask() and DuckDB's regexp cascade express the same masking rule;
+    hex output is normalized to Spark's uppercase."""
+    wh = Warehouse(spark, sf_dir)
+    return wh.documents.select(
+        "doc_id",
+        F.base64(F.col("source").cast("binary")).alias("b64"),
+        F.unbase64(F.base64(F.col("source").cast("binary")))
+        .cast("string")
+        .alias("b64_roundtrip"),
+        F.hex(F.col("doc_id").cast("long")).alias("id_hex"),
+        F.mask("source", F.lit("X"), F.lit("x"), F.lit("n"), F.lit(None)).alias(
+            "masked"
+        ),
+    )

@@ -456,3 +456,68 @@ def win_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "win_session_dynamic",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type IN ('view', 'click')
+                  THEN 1800000000 ELSE 600000000 END AS gap_us
+      FROM events
+    ),
+    marked AS (
+      SELECT *,
+        CASE WHEN MAX(epoch_us(ts) + gap_us) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) IS NULL THEN 1
+             WHEN epoch_us(ts) >= MAX(epoch_us(ts) + gap_us) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) THEN 1
+             ELSE 0 END AS new_sess
+      FROM g
+    ),
+    numbered AS (
+      SELECT *, SUM(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING
+      ) AS sess_id
+      FROM marked
+    )
+    SELECT
+      user_id,
+      MIN(ts) AS sess_start,
+      make_timestamp(MAX(epoch_us(ts) + gap_us)) AS sess_end,
+      COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def win_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows (Flink's session gap extractor): each
+    event extends its session by a PER-EVENT gap — engaged events
+    (view/click: 30 min) hold sessions open longer than passive ones
+    (10 min). Spark's session_window accepts a gap COLUMN; semantics
+    (verified empirically): every event opens [ts, ts+gap) and
+    overlapping windows merge, so session end = max(ts+gap) over members.
+    The oracle replays that merge rule as running-max gaps-and-islands in
+    integer microseconds (exact; epoch() doubles would round µs)."""
+    wh = Warehouse(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type").isin("view", "click"), F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        wh.events.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+        )
+    )
