@@ -1040,3 +1040,28 @@ def test_curation_pipeline_streams_on_dup_corpus(spark, tmp_path):
     assert _rows(streamed, ["lang", "source", "n_docs", "total_words"]) == _rows(
         batch, ["lang", "source", "n_docs", "total_words"]
     )
+
+
+def test_stream_session_dynamic_gap_equals_batch(spark):
+    """Dynamic-gap session windows under streaming (complete mode over the
+    bounded replay) must equal the batch win_session_dynamic result — the
+    per-event gap rides the same merge state machine."""
+    sdf = events_stream(spark, SF_DIR)
+    gap = F.when(
+        F.col("event_type").isin("view", "click"), F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+    streamed = run_available_now(agg, "complete")
+    batch = registry.QUERIES["win_session_dynamic"](spark, SF_DIR)
+    cols = ["user_id", "sess_start", "sess_end", "n_events"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
