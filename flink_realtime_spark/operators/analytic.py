@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_realtime_spark.exprs import dsum
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse
 
@@ -324,4 +325,57 @@ def over_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .cast("double")
         .alias("v_trailing_1h"),
+    )
+
+
+@query(
+    "over_pct_of_total",
+    """
+    WITH nat AS (
+      SELECT n.n_regionkey, n.n_name,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS nation_rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_regionkey, n.n_name
+    )
+    SELECT
+      n_regionkey,
+      n_name,
+      nation_rev,
+      CAST(nation_rev /
+           CAST(SUM(CAST(nation_rev AS DECIMAL(18,4)))
+                OVER (PARTITION BY n_regionkey) AS DOUBLE)
+           AS DOUBLE) AS region_share
+    FROM nat
+    """,
+)
+def over_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total within group (Oracle RATIO_TO_REPORT / the ADS
+    'share of region' column): nation revenue over its region's window
+    sum. The numerator aggregates through the exact decimal path; the
+    window denominator sums the resulting per-nation doubles — safe
+    because ≤ 25 addends per region arrive in the deterministic window
+    frame order... which streaming/partitioning CAN permute, so the
+    denominator also goes through a decimal cast. One agg shuffle + one
+    25-row window."""
+    wh = Warehouse(spark, sf_dir)
+    nat = (
+        wh.orders.join(
+            wh.customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(wh.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey", "n_name")
+        .agg(dsum(F.col("o_totalprice")).alias("nation_rev"))
+    )
+    w = Window.partitionBy("n_regionkey")
+    denom = F.sum(F.col("nation_rev").cast("decimal(18,4)")).over(w).cast(
+        "double"
+    )
+    return nat.select(
+        "n_regionkey",
+        "n_name",
+        "nation_rev",
+        (F.col("nation_rev") / denom).cast("double").alias("region_share"),
     )
