@@ -863,3 +863,57 @@ def llm_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter(ham <= _SH_MAXHAM)
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
     )
+
+
+@query(
+    "llm_source_overlap",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT source,
+             array_to_string(ws[i:i+{_DECON_N - 1}], ' ') AS gram
+      FROM w, UNNEST(range(1, greatest(len(ws) - {_DECON_N - 2}, 1))) AS t(i)
+    )
+    SELECT
+      a.source AS source_a,
+      b.source AS source_b,
+      COUNT(*) AS shared_grams
+    FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: distinct 4-grams shared between
+    every source pair — the provenance audit that surfaces scraped
+    mirrors and cross-source leakage before mixture weighting. Gram sets
+    collapse to distinct per source FIRST, then a single postings
+    self-join on the 64-bit gram hash; output is (sources choose 2)
+    rows regardless of corpus size."""
+    wh = Warehouse(spark, sf_dir)
+    grams = (
+        _word_ngrams(
+            wh.documents.select(
+                F.col("source").alias("doc_id"), "text"
+            ),
+            _DECON_N,
+        )
+        .withColumnRenamed("doc_id", "source")
+        .select("source", F.xxhash64("gram").alias("gh"))
+        .distinct()
+        .localCheckpoint(eager=False)  # one gram build, both join sides
+    )
+    return (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )

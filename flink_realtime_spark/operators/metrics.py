@@ -22,7 +22,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_realtime_spark.exprs import bigint, dsum, dsum_sql
@@ -450,4 +450,65 @@ def dq_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "missing_hours"
             ),
         )
+    )
+
+
+@query(
+    "ads_pareto_share",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, rev,
+        CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS BIGINT)
+          AS rnk,
+        CAST(SUM(CAST(rev AS DECIMAL(18,4))) OVER (
+          ORDER BY rev DESC, o_custkey ROWS UNBOUNDED PRECEDING
+        ) AS DOUBLE) AS cum_rev,
+        CAST(SUM(CAST(rev AS DECIMAL(18,4))) OVER () AS DOUBLE) AS total_rev
+      FROM cust
+    )
+    SELECT o_custkey, rev, rnk,
+      CAST(cum_rev / total_rev AS DOUBLE) AS cum_share,
+      CASE WHEN cum_rev / total_rev <= 0.5 THEN 'A'
+           WHEN cum_rev / total_rev <= 0.8 THEN 'B'
+           ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def ads_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC customer analysis (the 'top customers drive X% of
+    revenue' ADS board): revenue-ranked cumulative share with A/B/C tiers
+    at 50%/80%. Every sum — per customer, running, and grand total — goes
+    through the decimal-exact path so the share boundaries can't drift
+    between engines. The global ordered cumsum is a range-partitioned
+    sort (acceptable: customer cardinality, not fact volume; see
+    sort_multi_key's scale note)."""
+    wh = Warehouse(spark, sf_dir)
+    cust = wh.orders.groupBy("o_custkey").agg(
+        dsum(F.col("o_totalprice")).alias("rev")
+    )
+    w_order = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    dec = F.col("rev").cast("decimal(18,4)")
+    ranked = cust.select(
+        "o_custkey",
+        "rev",
+        F.row_number().over(w_order).cast("long").alias("rnk"),
+        F.sum(dec).over(w_cum).cast("double").alias("cum_rev"),
+        F.sum(dec).over(w_all).cast("double").alias("total_rev"),
+    )
+    share = F.col("cum_rev") / F.col("total_rev")
+    return ranked.select(
+        "o_custkey",
+        "rev",
+        "rnk",
+        share.cast("double").alias("cum_share"),
+        F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias(
+            "abc_class"
+        ),
     )
