@@ -917,3 +917,66 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared_grams"))
     )
+
+
+@query(
+    "llm_dedup_containment",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents
+    )
+    SELECT
+      a.doc_id AS contained_doc,
+      b.doc_id AS container_doc,
+      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+        AS containment
+    FROM s a, s b
+    WHERE a.doc_id <> b.doc_id
+      AND len(a.sh) > 0 AND len(b.sh) > 0
+      AND len(list_intersect(a.sh, b.sh)) >= 0.8 * len(a.sh)
+    """,
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection (|A∩B| / |A| ≥ 0.8): the
+    quote/excerpt relation Jaccard misses — a short doc embedded in a
+    long one scores low Jaccard but high containment. Directed pairs
+    (contained, container) via the same hashed-postings join as
+    ngram-Jaccard, normalized by the contained side only; the classic
+    dedup policy drops the contained copy and keeps the superset
+    document."""
+    wh = Warehouse(spark, sf_dir)
+    sh = (
+        _with_shingles(wh.documents.select("doc_id", "text"))
+        .select("doc_id", "sh")
+        .filter(F.size("sh") > 0)
+    )
+    sh = sh.localCheckpoint(eager=False)
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    postings = sh.select(
+        "doc_id", F.explode("sh").alias("s")
+    ).select("doc_id", F.xxhash64("s").alias("s"))
+    shared = (
+        postings.alias("a")
+        .join(
+            postings.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("contained_doc"),
+            F.col("b.doc_id").alias("container_doc"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnsRenamed({"doc_id": "contained_doc", "n_sh": "na"}),
+            "contained_doc",
+        )
+        .filter(F.col("shared") >= 0.8 * F.col("na"))
+        .select(
+            "contained_doc",
+            "container_doc",
+            (F.col("shared").cast("double") / F.col("na")).alias("containment"),
+        )
+    )

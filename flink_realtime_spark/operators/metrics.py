@@ -512,3 +512,53 @@ def ads_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abc_class"
         ),
     )
+
+
+@query(
+    "ads_monthly_yoy",
+    """
+    WITH monthly AS (
+      SELECT
+        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS gmv,
+        COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT
+      month,
+      gmv,
+      n_orders,
+      CAST(COALESCE(LAG(gmv, 12) OVER (ORDER BY month), -1.0) AS DOUBLE)
+        AS gmv_last_year,
+      CAST(CASE WHEN LAG(gmv, 12) OVER (ORDER BY month) IS NULL THEN -1.0
+           ELSE gmv / LAG(gmv, 12) OVER (ORDER BY month) - 1.0
+           END AS DOUBLE) AS yoy_growth
+    FROM monthly
+    """,
+)
+def ads_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth board: monthly GMV against the same month one
+    year back (LAG 12 over the month series — correct because monthly
+    buckets are dense in the fixture; production guards gaps by joining
+    on month - INTERVAL 1 YEAR instead). Missing baselines coalesce to a
+    -1 sentinel for engine-stable types."""
+    wh = Warehouse(spark, sf_dir)
+    monthly = (
+        wh.orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            dsum(F.col("o_totalprice")).alias("gmv"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month")
+    ly = F.lag("gmv", 12).over(w)
+    return monthly.select(
+        "month",
+        "gmv",
+        "n_orders",
+        F.coalesce(ly, F.lit(-1.0)).cast("double").alias("gmv_last_year"),
+        F.when(ly.isNull(), -1.0)
+        .otherwise(F.col("gmv") / ly - 1.0)
+        .cast("double")
+        .alias("yoy_growth"),
+    )

@@ -722,3 +722,41 @@ def cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bursts"),
         F.sum("hit").cast("long").alias("n_recovered"),
     )
+
+
+_SNAPSHOT_AT = "2024-01-15 00:00:00"
+
+
+@query(
+    "cdc_snapshot_at",
+    f"""
+    WITH hist AS (
+      SELECT
+        user_id,
+        event_id AS version_id,
+        value,
+        ts AS valid_from,
+        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS valid_to
+      FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    )
+    SELECT user_id, version_id, value, valid_from
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '{_SNAPSHOT_AT}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_SNAPSHOT_AT}')
+    """,
+)
+def cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the changelog: the dimension's state AS OF a fixed
+    instant, read from the SCD2 version history (valid_from <= T <
+    valid_to) — the reproducibility contract that lets yesterday's report
+    re-run against yesterday's dimension. One partition-pruned filter
+    over the versioned store at scale; here it composes directly on
+    cdc_scd2_history's interval rows."""
+    hist = cdc_scd2_history(spark, sf_dir)
+    t = F.lit(_SNAPSHOT_AT).cast("timestamp")
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", "version_id", "value", "valid_from")
