@@ -370,3 +370,53 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
         F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
     )
+
+
+_BUDGET_TOKENS = 20000
+
+
+@query(
+    "pipe_token_budget",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR) || ':budget') AS pri
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+        SUM(n_tokens) OVER (ORDER BY pri, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked
+    WHERE cum_tokens <= {_BUDGET_TOKENS}
+    """,
+)
+def pipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget fill: take documents in deterministic shuffled order
+    (salted-hash priority) until the cumulative token count hits the
+    budget — how a fixed-size training mix is actually drawn from a
+    larger pool. Integer cumulative sum (exact); the global ordered
+    cumsum is a one-off dataset-build step (same caveat as
+    pipe_shuffle_shard)."""
+    from pyspark.sql import Window
+
+    wh = Warehouse(spark, sf_dir)
+    toks = wh.documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":budget"))
+        ).alias("pri"),
+    )
+    w = Window.orderBy("pri", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        .select("doc_id", "n_tokens", "cum_tokens")
+    )

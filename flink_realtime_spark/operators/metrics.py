@@ -562,3 +562,51 @@ def ads_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("yoy_growth"),
     )
+
+
+@query(
+    "ads_new_vs_returning",
+    """
+    WITH first_day AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d0
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+    )
+    SELECT
+      daily.day,
+      CAST(SUM(CASE WHEN daily.day = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_new,
+      CAST(SUM(CASE WHEN daily.day > f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_returning
+    FROM daily JOIN first_day f ON daily.user_id = f.user_id
+    GROUP BY daily.day
+    """,
+)
+def ads_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning visitor split (the acquisition board next to
+    PV/UV): users active each day classified by whether it is their
+    first-ever day. Same compressed (user, day) relation as retention —
+    one shuffle for first-day, one join, one day rollup."""
+    wh = Warehouse(spark, sf_dir)
+    daily = (
+        wh.events.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    first_day = daily.groupBy("user_id").agg(F.min("day").alias("d0"))
+    return (
+        daily.join(first_day, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("d0"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("day") > F.col("d0"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_returning"),
+        )
+    )
