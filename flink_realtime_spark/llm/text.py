@@ -559,3 +559,42 @@ def llm_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
     )
+
+
+_LEN_W, _LEN_NB = 50, 12
+
+
+@query(
+    "llm_length_histogram",
+    f"""
+    SELECT
+      CAST(LEAST(n_chars // {_LEN_W}, {_LEN_NB - 1}) AS BIGINT) AS bucket,
+      CAST(LEAST(n_chars // {_LEN_W}, {_LEN_NB - 1}) * {_LEN_W} AS BIGINT)
+        AS bucket_lo,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution (the first chart of every corpus
+    report, and the input to min/max-length filter tuning): 50-char
+    buckets, top bucket open-ended. Integer bucket arithmetic,
+    constant-space two-phase agg."""
+    wh = Warehouse(spark, sf_dir)
+    bucket = F.least(
+        F.floor(F.col("n_chars") / _LEN_W), F.lit(_LEN_NB - 1)
+    ).cast("long")
+    return (
+        wh.documents.select(
+            bucket.alias("bucket"),
+            (bucket * _LEN_W).cast("long").alias("bucket_lo"),
+            "n_chars",
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

@@ -610,3 +610,58 @@ def ads_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_returning"),
         )
     )
+
+
+@query(
+    "over_streak_detection",
+    """
+    WITH daily AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+    ),
+    grouped AS (
+      SELECT user_id, day,
+        day - CAST(ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY day) AS BIGINT)
+              * INTERVAL 1 DAY AS anchor
+      FROM daily
+    ),
+    streaks AS (
+      SELECT user_id, anchor, COUNT(*) AS len
+      FROM grouped GROUP BY user_id, anchor
+    )
+    SELECT
+      user_id,
+      CAST(MAX(len) AS BIGINT) AS longest_streak,
+      CAST(SUM(len) AS BIGINT) AS n_active_days,
+      COUNT(*) AS n_streaks
+    FROM streaks
+    GROUP BY user_id
+    """,
+)
+def over_streak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (the engagement
+    metric next to retention): classic gaps-and-islands — consecutive
+    days share the same (day − row_number·1day) anchor, so streaks fall
+    out of one group-by. Two shuffles on user_id over the compressed
+    (user, day) relation."""
+    wh = Warehouse(spark, sf_dir)
+    daily = (
+        wh.events.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = daily.withColumn(
+        "anchor",
+        F.col("day")
+        - F.row_number().over(w).cast("long") * F.expr("INTERVAL 1 DAY"),
+    )
+    streaks = grouped.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
