@@ -351,23 +351,29 @@ def dwd_clean_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern for malformed records): rows whose payload fails JSON parsing
     are quarantined and counted instead of silently dropped. A seventh of
     the rows are deterministically corrupted (truncated brace) to exercise
-    the dirty path; parse-failure detection is get_json_object → NULL
-    (Spark) vs json_valid (DuckDB) — independent mechanisms, same verdict.
-    In streaming this is two filtered branches of one DataFrame, the
-    §1.1 side-output mapping."""
+    the dirty path; parse-failure detection tests payload validity itself
+    on BOTH sides — try_parse_json → NULL (Spark) vs json_valid (DuckDB),
+    independent mechanisms with genuinely equivalent predicates (a valid
+    payload with a missing/null "k" still counts clean on both). In
+    streaming this is two filtered branches of one DataFrame, the §1.1
+    side-output mapping."""
     wh = Warehouse(spark, sf_dir)
     p = F.when(
         F.col("user_id") % 7 == 0,
         F.expr("substr(props, 1, length(props) - 1)"),
     ).otherwise(F.col("props"))
-    k = F.get_json_object(p, "$.k")
+    v = F.try_parse_json(p)
     return (
-        wh.events.select("event_type", k.alias("k"))
+        wh.events.select(
+            "event_type",
+            v.isNotNull().alias("clean"),
+            F.variant_get(v, "$.k", "long").alias("k"),
+        )
         .groupBy("event_type")
         .agg(
-            F.count(F.when(F.col("k").isNotNull(), 1)).alias("n_clean"),
-            F.count(F.when(F.col("k").isNull(), 1)).alias("n_dirty"),
-            F.sum(F.col("k").cast("long")).alias("k_sum"),
+            F.count(F.when(F.col("clean"), 1)).alias("n_clean"),
+            F.count(F.when(~F.col("clean"), 1)).alias("n_dirty"),
+            F.sum(F.when(F.col("clean"), F.col("k"))).alias("k_sum"),
         )
     )
 

@@ -57,6 +57,52 @@ _SHINGLES_DUCK = f"""
   ELSE [] END
 """
 
+# Oracle-side shingle relation with the word split hoisted into a
+# MATERIALIZED CTE: without it DuckDB re-evaluates str_split(normalize(..))
+# for every lambda element (the same O(len²)-per-row trap as Spark's
+# CollapseProject re-inlining — SCALE.md Lessons), which made the original
+# all-pairs oracles eat ~10-35 s EACH of the driver's correctness window.
+_SHINGLE_CTE_DUCK = """
+    ws AS MATERIALIZED (
+      SELECT doc_id,
+             str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+               AS w
+      FROM documents
+    ),
+    s AS MATERIALIZED (
+      SELECT doc_id,
+        CASE WHEN len(w) >= 3 THEN
+          list_distinct(list_transform(generate_series(1, len(w) - 2),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        ELSE [] END AS sh
+      FROM ws
+    )
+"""
+
+# Inverted-index near-dup pairs (threshold-0.5 Jaccard), the oracle-side
+# mirror of the posting-list join: EXACTLY equivalent to the all-pairs
+# list_intersect form (any pair with jaccard > 0 shares a shingle, so the
+# posting join surfaces every qualifying pair) but O(postings join), not
+# O(N²) — verified identical on the fixture, 160× faster.
+_PAIRS_CTE_DUCK = f"""
+    {_SHINGLE_CTE_DUCK},
+    u AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    shr AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(sh) AS n FROM s WHERE len(sh) > 0),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(c.shared AS DOUBLE) / (sa.n + sb.n - c.shared) AS jaccard
+      FROM shr c
+      JOIN sz sa ON sa.doc_id = c.doc_a
+      JOIN sz sb ON sb.doc_id = c.doc_b
+      WHERE c.shared >= 0.5 * (sa.n + sb.n - c.shared)
+    )
+"""
+
 
 
 
@@ -119,27 +165,17 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_dedup_ngram_jaccard",
     f"""
-    WITH s AS (
-      SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents
-    )
-    SELECT
-      a.doc_id AS doc_a,
-      b.doc_id AS doc_b,
-      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-    FROM s a, s b
-    WHERE a.doc_id < b.doc_id
-      AND len(list_intersect(a.sh, b.sh))
-          >= 0.5 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+    WITH {_PAIRS_CTE_DUCK}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
 )
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram-shingle Jaccard near-dup pairs (threshold 0.5), via the
     inverted-index join: explode shingles → posting-list self-join → shared
     counts → Jaccard. Finds the fixture's 25 planted near-dup pairs. The
-    oracle deliberately uses a different algorithm (all-pairs
-    list_intersect) for independence; at 100 TB this side scales because
-    only docs sharing a shingle ever meet."""
+    oracle runs the posting join on shingle STRINGS while this side joins
+    on xxhash64 longs — independent key spaces, same exact pair set; at
+    100 TB this scales because only docs sharing a shingle ever meet."""
     wh = Warehouse(spark, sf_dir)
     sh = _with_shingles(wh.documents.select("doc_id", "text")).select(
         "doc_id", "sh"
@@ -273,22 +309,34 @@ _SIMHASH_SPARK = f"""
         THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
     CAST(0 AS BIGINT), (acc, x) -> acc + x)
 """
-_SIMHASH_DUCK = f"""
-  list_sum(list_transform(generate_series(0, 59), b ->
-    CASE WHEN 2 * len(list_filter(
-           list_transform(list_distinct(str_split({_NORM_DUCK}, ' ')),
-                          w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)),
-           h -> ((h >> b) & 1) = 1))
-         >= len(list_distinct(str_split({_NORM_DUCK}, ' ')))
-      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+# Word-hash list hoisted into a MATERIALIZED CTE: the inline form
+# re-evaluated the md5 word-hash list for every one of the 60 bit
+# positions (60× per-document work — same lambda-re-evaluation trap as
+# _SHINGLE_CTE_DUCK documents).
+_SIG_CTE_DUCK = f"""
+    hl AS MATERIALIZED (
+      SELECT doc_id,
+        list_transform(list_distinct(str_split({_NORM_DUCK}, ' ')),
+                       w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT))
+          AS h
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(generate_series(0, 59), b ->
+          CASE WHEN 2 * len(list_filter(h, x -> ((x >> b) & 1) = 1)) >= len(h)
+            THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+          AS BIGINT) AS simhash
+      FROM hl
+    )
 """
 
 
 @query(
     "llm_dedup_simhash",
     f"""
-    SELECT doc_id, CAST({_SIMHASH_DUCK} AS BIGINT) AS simhash
-    FROM documents
+    WITH {_SIG_CTE_DUCK}
+    SELECT doc_id, simhash FROM sig
     """,
 )
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,19 +465,8 @@ def minhash_pairs_over(docs: DataFrame) -> DataFrame:
 
 
 _MINHASH_ORACLE = f"""
-    WITH s AS (
-      SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents
-    )
-    SELECT
-      a.doc_id AS doc_a,
-      b.doc_id AS doc_b,
-      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-    FROM s a, s b
-    WHERE a.doc_id < b.doc_id
-      AND len(a.sh) > 0 AND len(b.sh) > 0
-      AND len(list_intersect(a.sh, b.sh))
-          >= 0.5 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+    WITH {_PAIRS_CTE_DUCK}
+    SELECT doc_a, doc_b, jaccard FROM pairs
 """
 
 
@@ -451,20 +488,16 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Connected components over the near-dup pair graph: the step that turns
 # pairs into dedup DECISIONS (one canonical doc per duplicate cluster).
 # Oracle: DuckDB recursive CTE computing min-reachable-id per node over the
-# exact-Jaccard edge set — algorithmically independent of the Spark side
-# (label propagation over MinHash-candidate edges).
+# exact-Jaccard edge set (inverted-index pair derivation, exact-equivalent
+# to all-pairs — see _PAIRS_CTE_DUCK) — algorithmically independent of the
+# Spark side (label propagation over MinHash-candidate edges).
 _CLUSTER_ORACLE = f"""
     WITH RECURSIVE
-    s AS (
-      SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents
-    ),
+    {_PAIRS_CTE_DUCK},
     e AS (
-      SELECT a.doc_id AS u, b.doc_id AS v
-      FROM s a, s b
-      WHERE a.doc_id <> b.doc_id
-        AND len(a.sh) > 0 AND len(b.sh) > 0
-        AND len(list_intersect(a.sh, b.sh))
-            >= 0.5 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
     ),
     reach(node, r) AS (
       SELECT doc_id, doc_id FROM documents
@@ -800,16 +833,14 @@ _SH_BANDS, _SH_BITS, _SH_MAXHAM = 4, 15, 3
 @query(
     "llm_dedup_simhash_pairs",
     f"""
-    WITH s AS (
-      SELECT doc_id, CAST({_SIMHASH_DUCK} AS BIGINT) AS sig FROM documents
-    )
+    WITH {_SIG_CTE_DUCK}
     SELECT
       a.doc_id AS doc_a,
       b.doc_id AS doc_b,
-      CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-    FROM s a, s b
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a, sig b
     WHERE a.doc_id < b.doc_id
-      AND bit_count(xor(a.sig, b.sig)) <= {_SH_MAXHAM}
+      AND bit_count(xor(a.simhash, b.simhash)) <= {_SH_MAXHAM}
     """,
 )
 def llm_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -922,18 +953,19 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_dedup_containment",
     f"""
-    WITH s AS (
-      SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents
-    )
-    SELECT
-      a.doc_id AS contained_doc,
-      b.doc_id AS container_doc,
-      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
-        AS containment
-    FROM s a, s b
-    WHERE a.doc_id <> b.doc_id
-      AND len(a.sh) > 0 AND len(b.sh) > 0
-      AND len(list_intersect(a.sh, b.sh)) >= 0.8 * len(a.sh)
+    WITH {_SHINGLE_CTE_DUCK},
+    u AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    shr AS (
+      SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+             COUNT(*) AS shared
+      FROM u a JOIN u b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(sh) AS n FROM s WHERE len(sh) > 0)
+    SELECT c.contained_doc, c.container_doc,
+           CAST(c.shared AS DOUBLE) / sa.n AS containment
+    FROM shr c JOIN sz sa ON sa.doc_id = c.contained_doc
+    WHERE c.shared >= 0.8 * sa.n
     """,
 )
 def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -315,22 +315,27 @@ def pipe_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     every doc by a salted hash (reproducible 'random' permutation — same
     bytes every run, every engine, every partitioning) and deal ranks
     round-robin into shards, so each shard is an unbiased sample and
-    inter-shard order is fixed. The global row_number is a range-partitioned
-    sort — acceptable because it runs once per dataset build; for 100 TB
-    use shard = hash % n directly (pipe_sample_hash's zero-shuffle path)
-    when per-shard ORDER doesn't matter, this op when it does (curriculum
-    or resume-from-step reproducibility)."""
-    from pyspark.sql import Window
+    inter-shard order is fixed. The global rank is the two-phase rank from
+    plans/ordered.py (range-partition on the salted hash → local
+    row_number → broadcast count offsets) — runs once per dataset build;
+    for 100 TB use shard = hash % n directly (pipe_sample_hash's
+    zero-shuffle path) when per-shard ORDER doesn't matter, this op when
+    it does (curriculum or resume-from-step reproducibility)."""
+    from flink_realtime_spark.plans.ordered import ordered_prefix
 
     wh = Warehouse(spark, sf_dir)
-    w = Window.orderBy(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle"))),
-        F.col("doc_id"),
+    base = wh.documents.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle"))).alias(
+            "__h"
+        ),
     )
     return (
-        wh.documents.select("doc_id")
-        .withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
+        ordered_prefix(
+            base, [F.col("__h"), F.col("doc_id")], pos_col="shuffle_rank"
+        )
         .withColumn("shard", (F.col("shuffle_rank") - 1) % _SHUF_SHARDS)
+        .drop("__h")
     )
 
 
@@ -399,10 +404,11 @@ def pipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget fill: take documents in deterministic shuffled order
     (salted-hash priority) until the cumulative token count hits the
     budget — how a fixed-size training mix is actually drawn from a
-    larger pool. Integer cumulative sum (exact); the global ordered
-    cumsum is a one-off dataset-build step (same caveat as
-    pipe_shuffle_shard)."""
-    from pyspark.sql import Window
+    larger pool. Integer cumulative sum (exact), computed as the
+    two-phase ordered prefix from plans/ordered.py (range-partition on
+    the priority hash → per-partition running sum → broadcast prefix
+    offsets) — no partition-less window."""
+    from flink_realtime_spark.plans.ordered import Prefix, ordered_prefix
 
     wh = Warehouse(spark, sf_dir)
     toks = wh.documents.select(
@@ -412,11 +418,13 @@ def pipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("doc_id").cast("string"), F.lit(":budget"))
         ).alias("pri"),
     )
-    w = Window.orderBy("pri", "doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     return (
-        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        ordered_prefix(
+            toks,
+            [F.col("pri"), F.col("doc_id")],
+            prefixes=[Prefix("cum_tokens", F.col("n_tokens"), "sum")],
+        )
+        .withColumn("cum_tokens", F.col("cum_tokens").cast("long"))
         .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
         .select("doc_id", "n_tokens", "cum_tokens")
     )

@@ -233,24 +233,23 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_doc_fingerprint",
     """
+    WITH ws AS MATERIALIZED (
+      SELECT doc_id,
+             str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+               AS w
+      FROM documents
+    )
     SELECT
       doc_id,
       MIN(md5(sh)) AS fingerprint,
       CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_shingles
     FROM (
       SELECT doc_id,
-        unnest(CASE WHEN len(str_split(lower(trim(regexp_replace(
-                 text, '\\s+', ' ', 'g'))), ' ')) >= 3 THEN
-          list_transform(
-            generate_series(1, len(str_split(lower(trim(regexp_replace(
-              text, '\\s+', ' ', 'g'))), ' ')) - 2),
-            i -> str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')[i]
-                 || ' ' ||
-                 str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')[i+1]
-                 || ' ' ||
-                 str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')[i+2])
+        unnest(CASE WHEN len(w) >= 3 THEN
+          list_transform(generate_series(1, len(w) - 2),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
         ELSE [] END) AS sh
-      FROM documents
+      FROM ws
     )
     GROUP BY doc_id
     """,

@@ -267,7 +267,7 @@ def ads_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ads_session_stats",
     """
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                   IS NULL THEN 1
              WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -277,7 +277,7 @@ def ads_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
       SELECT *, SUM(new_sess) OVER (
-        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
       ) AS sess_id
       FROM marked
     ),
@@ -484,23 +484,33 @@ def ads_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue' ADS board): revenue-ranked cumulative share with A/B/C tiers
     at 50%/80%. Every sum — per customer, running, and grand total — goes
     through the decimal-exact path so the share boundaries can't drift
-    between engines. The global ordered cumsum is a range-partitioned
-    sort (acceptable: customer cardinality, not fact volume; see
-    sort_multi_key's scale note)."""
+    between engines. The rank and running sum are the two-phase ordered
+    prefix from plans/ordered.py (no partition-less window — even at
+    customer cardinality the single-task formulation is the wrong shape);
+    the grand total is a broadcast one-row cross join."""
+    from flink_realtime_spark.plans.ordered import Prefix, ordered_prefix
+
     wh = Warehouse(spark, sf_dir)
     cust = wh.orders.groupBy("o_custkey").agg(
         dsum(F.col("o_totalprice")).alias("rev")
     )
-    w_order = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
-    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
     dec = F.col("rev").cast("decimal(18,4)")
-    ranked = cust.select(
-        "o_custkey",
-        "rev",
-        F.row_number().over(w_order).cast("long").alias("rnk"),
-        F.sum(dec).over(w_cum).cast("double").alias("cum_rev"),
-        F.sum(dec).over(w_all).cast("double").alias("total_rev"),
+    total = cust.agg(F.sum(dec).cast("double").alias("total_rev"))
+    ranked = (
+        ordered_prefix(
+            cust,
+            [F.col("rev").desc(), F.col("o_custkey")],
+            prefixes=[Prefix("__cum_d", dec, "sum")],
+            pos_col="rnk",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "o_custkey",
+            "rev",
+            "rnk",
+            F.col("__cum_d").cast("double").alias("cum_rev"),
+            "total_rev",
+        )
     )
     share = F.col("cum_rev") / F.col("total_rev")
     return ranked.select(

@@ -227,26 +227,27 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global multi-key sort (Flink SQL ORDER BY, bounded). The emitted
     ``pos`` column makes the total order value-checkable by an
     order-insensitive oracle; the tiebreak key (o_orderkey, unique) makes it
-    deterministic. At scale this is a range-partitioned sort (Spark samples
-    ranges; no single-node bottleneck)."""
-    from pyspark.sql import Window
+    deterministic. ``pos`` comes from the two-phase rank in plans/ordered.py
+    (range-partition → per-partition row_number → broadcast partition-count
+    offsets) — a bare ``row_number() OVER (ORDER BY ...)`` would move the
+    whole relation to ONE task, which plain ``df.orderBy`` never does."""
+    from flink_realtime_spark.plans.ordered import ordered_prefix
 
     wh = Warehouse(spark, sf_dir)
-    w = Window.orderBy(
-        F.col("o_orderpriority").asc(),
-        F.col("o_totalprice").desc(),
-        F.col("o_orderkey").asc(),
+    filtered = wh.orders.filter(F.col("o_totalprice") > 350000).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
-    return (
-        wh.orders.filter(F.col("o_totalprice") > 350000)
-        .select(
-            "o_orderkey",
-            "o_orderpriority",
-            F.col("o_totalprice").cast("double").alias("o_totalprice"),
-        )
-        .withColumn("pos", F.row_number().over(w).cast("long"))
-        .orderBy("pos")
-    )
+    return ordered_prefix(
+        filtered,
+        [
+            F.col("o_orderpriority").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        ],
+        pos_col="pos",
+    ).orderBy("pos")
 
 
 @query(

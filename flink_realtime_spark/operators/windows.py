@@ -228,17 +228,18 @@ def win_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     withWatermark('ts', '10 minutes') — tests/test_streaming.py replays this
     table through readStream and asserts the survivor set is consistent.
     Spark gap vs Flink: no allowedLateness re-fire / side output
-    (SURVEY.md §7.4) — late rows are dropped, period."""
+    (SURVEY.md §7.4) — late rows are dropped, period. The running max is
+    the two-phase prefix from plans/ordered.py (range-partition on
+    arrival order → per-partition running max → broadcast prefix-max
+    offsets), not a partition-less window."""
+    from flink_realtime_spark.plans.ordered import Prefix, ordered_prefix
+
     wh = Warehouse(spark, sf_dir)
-    w = Window.orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     return (
-        wh.events.select(
-            "event_id",
-            "user_id",
-            "ts",
-            F.max("ts").over(w).alias("wm"),
+        ordered_prefix(
+            wh.events.select("event_id", "user_id", "ts"),
+            [F.col("event_id")],
+            prefixes=[Prefix("wm", F.col("ts"), "max")],
         )
         .filter(F.col("ts") >= F.col("wm") - F.expr("INTERVAL 10 MINUTES"))
         .select("event_id", "user_id", "ts")
@@ -270,19 +271,24 @@ def win_late_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     is two filtered branches of one watermark-annotated relation. This key
     materializes the tag itself (is_late + lateness) so both branches are
     derivable and the rule is oracle-checked; in streaming the same
-    predicate splits the stream before the watermark drop happens."""
+    predicate splits the stream before the watermark drop happens. The
+    arrival-order running max is the two-phase prefix from
+    plans/ordered.py — no partition-less window."""
+    from flink_realtime_spark.plans.ordered import Prefix, ordered_prefix
+
     wh = Warehouse(spark, sf_dir)
-    w = Window.orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    wm_df = ordered_prefix(
+        wh.events.select("event_id", "user_id", "event_type", "ts"),
+        [F.col("event_id")],
+        prefixes=[Prefix("wm", F.col("ts"), "max")],
     )
-    wm = F.max("ts").over(w)
-    late = F.col("ts") < wm - F.expr("INTERVAL 10 MINUTES")
-    return wh.events.select(
+    late = F.col("ts") < F.col("wm") - F.expr("INTERVAL 10 MINUTES")
+    return wm_df.select(
         "event_id",
         "user_id",
         "event_type",
         late.alias("is_late"),
-        F.when(late, wm.cast("long") - F.col("ts").cast("long"))
+        F.when(late, F.col("wm").cast("long") - F.col("ts").cast("long"))
         .otherwise(0)
         .cast("long")
         .alias("late_by_sec"),

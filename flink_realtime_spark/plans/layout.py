@@ -56,17 +56,29 @@ def compact_layer(
     5-minute triggers is ~10k files whose open/footer cost dominates reads).
     Rewrites the dataset into ``target_files`` files, optionally
     sort-within-partition on the hot filter/join key so row-group min/max
-    pruning works on point lookups. Rewrite-into-temp + atomic-ish swap;
-    on a real lake this is Delta/Iceberg OPTIMIZE or a partition-scoped
-    rewrite job."""
+    pruning works on point lookups. The compacted output is written to a
+    sibling directory on the same filesystem so the final swap is two true
+    renames (original aside, compacted in) — the source dataset is never
+    deleted until the new copy is in place, so a crash at any point leaves
+    at least one complete copy next to ``path``. On a real lake this is
+    Delta/Iceberg OPTIMIZE or a partition-scoped rewrite job."""
+    import os
     import shutil
-    import tempfile
 
     df = spark.read.parquet(path)
     out = df.coalesce(target_files)
     if order_cols:
         out = df.repartition(target_files).sortWithinPartitions(*order_cols)
-    tmp = tempfile.mkdtemp(prefix="compact_")
+    norm = path.rstrip("/")
+    tmp = norm + ".compact_tmp"
+    old = norm + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(norm, old)
+    try:
+        os.rename(tmp, norm)
+    except OSError:
+        os.rename(old, norm)  # roll back: the original is still intact
+        raise
+    shutil.rmtree(old)

@@ -1,0 +1,135 @@
+"""Two-phase global ordered ranks / prefix aggregates — no single-partition
+windows, ever.
+
+``row_number()/sum()/max() OVER (ORDER BY ...)`` with no PARTITION BY makes
+Spark move the ENTIRE relation to one task (`WindowExec: No Partition
+Defined` — the fatal scale anti-pattern; note that plain ``df.orderBy``
+range-partitions, but a partition-less *window function* does not). The
+equivalent distributed formulation is two-phase:
+
+1. **Range-partition** the relation on the order keys
+   (``repartitionByRange`` — Spark samples split points, so partition ids
+   are monotone with the global order and data is spread evenly).
+2. **Local pass**: within each range partition, compute the running
+   aggregate / row number under ``Window.partitionBy(__pid)`` — a
+   partition-SPEC'd window, parallel across partitions.
+3. **Summary prefix**: aggregate one row per partition (map-side combined,
+   so the shuffle moves only #partitions rows), compute the *exclusive*
+   prefix totals over that metadata-sized summary under
+   ``Window.partitionBy(lit(0))`` (explicitly single-partition over ~100s
+   of rows — #partitions, not #rows — which stays tiny at any data scale),
+   and broadcast-join the offsets back on ``__pid``.
+4. Global value = other-partitions prefix ⊕ local running value.
+
+Cost at 100 TB: the range exchange (needed by ANY global order) plus one
+hash exchange of the full relation for the local window, plus a
+metadata-sized summary — versus the single-task formulation which simply
+does not finish. Associative ops only (sum, max, count/row_number).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__pid"
+
+
+@dataclass
+class Prefix:
+    """A running aggregate to attach: ``out`` = name of the produced
+    inclusive-prefix column, ``col`` = measure expression, ``agg`` =
+    'sum' | 'max'."""
+
+    out: str
+    col: Column
+    agg: str  # 'sum' | 'max'
+
+
+def ordered_prefix(
+    df: DataFrame,
+    order_cols: list[Column],
+    prefixes: list[Prefix] | None = None,
+    pos_col: str | None = None,
+) -> DataFrame:
+    """Attach global-ordered prefix aggregates and/or a global row number
+    without any partition-less window. ``order_cols`` MUST form a total
+    order (unique tiebreak — the repo invariant) so every phase is
+    deterministic under recomputation.
+
+    Returns ``df`` plus ``pos_col`` (1-based global rank, if requested) and
+    one inclusive running column per ``Prefix``. Internal ``__pid``/helper
+    columns are dropped.
+    """
+    prefixes = prefixes or []
+
+    base = df.repartitionByRange(*order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+
+    # Phase 2: per-partition running values (partition-spec'd window).
+    w_loc = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    annotated = base
+    for i, p in enumerate(prefixes):
+        fn = F.sum if p.agg == "sum" else F.max
+        annotated = annotated.withColumn(f"__loc_{i}", fn(p.col).over(w_loc))
+    if pos_col is not None:
+        annotated = annotated.withColumn(
+            "__loc_pos",
+            F.row_number().over(Window.partitionBy(_PID).orderBy(*order_cols)),
+        )
+
+    # Phase 3: one row per partition (map-side combine → tiny shuffle),
+    # exclusive prefix over the summary, broadcast back.
+    aggs = [F.count(F.lit(1)).alias("__cnt")]
+    for i, p in enumerate(prefixes):
+        fn = F.sum if p.agg == "sum" else F.max
+        aggs.append(fn(p.col).alias(f"__tot_{i}"))
+    summary = base.groupBy(_PID).agg(*aggs)
+    w_sum = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_cols = [F.col(_PID)]
+    if pos_col is not None:
+        off_cols.append(
+            F.coalesce(F.sum("__cnt").over(w_sum), F.lit(0)).alias("__off_pos")
+        )
+    for i, p in enumerate(prefixes):
+        fn = F.sum if p.agg == "sum" else F.max
+        off_cols.append(fn(f"__tot_{i}").over(w_sum).alias(f"__off_{i}"))
+    offsets = summary.select(*off_cols)
+
+    out = annotated.join(F.broadcast(offsets), _PID)
+
+    # Phase 4: combine. greatest() ignores nulls (first partition has no
+    # predecessor); sums coalesce a typed zero.
+    for i, p in enumerate(prefixes):
+        loc, off = F.col(f"__loc_{i}"), F.col(f"__off_{i}")
+        if p.agg == "sum":
+            combined = loc + F.coalesce(off, F.lit(0).cast(_dtype(out, f"__loc_{i}")))
+        else:
+            combined = F.greatest(loc, off)
+        out = out.withColumn(p.out, combined)
+    if pos_col is not None:
+        out = out.withColumn(
+            pos_col, (F.col("__loc_pos") + F.col("__off_pos")).cast("long")
+        )
+
+    drop = [_PID] + [f"__loc_{i}" for i in range(len(prefixes))] + [
+        f"__off_{i}" for i in range(len(prefixes))
+    ]
+    if pos_col is not None:
+        drop += ["__loc_pos", "__off_pos"]
+    return out.drop(*drop)
+
+
+def _dtype(df: DataFrame, col: str):
+    return df.schema[col].dataType

@@ -37,9 +37,13 @@ def binned_range_join(
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / bin_width),
-                # hi is exclusive: subtract one ulp-ish epsilon so a band
-                # ending exactly on a bin boundary doesn't claim the next bin
-                F.floor((F.col(hi_col) - 1e-9) / bin_width),
+                # hi is exclusive, so floor(hi/w) may claim one bin past the
+                # band's true extent — harmless (the residual range filter
+                # drops it). An epsilon-subtraction here would be WRONG: for
+                # hi within eps above a bin boundary it under-claims the last
+                # bin and silently drops matches. Completeness must never
+                # depend on float epsilons.
+                F.floor(F.col(hi_col) / bin_width),
             )
         ),
     )

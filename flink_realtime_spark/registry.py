@@ -49,6 +49,73 @@ _MODULES = [
 
 _loaded = False
 
+# The driver checks keys in queries() iteration order and its time window
+# can close early (round 1: it covered exactly the first 50 keys, leaving
+# every window/analytic/scalar/streaming/TPC-H/LLM key unverified). Order
+# for graceful truncation: first a fast representative slice of EVERY
+# SURVEY §2 family, then the remaining keys, and last the iterative /
+# estimator / streaming keys whose wall time could eat the window.
+_PRIORITY_HEAD = [
+    # one fast slice per §2 family, interleaved
+    "filter_predicates", "join_inner_equi", "agg_groupby_basic",
+    "win_tumble", "over_ranking", "scalar_datetime", "cdc_latest_image",
+    "llm_dedup_exact", "llm_knn_cosine", "llm_text_stats",
+    "pipe_sample_hash", "llm_multimodal_join", "udf_scalar_pandas",
+    "sort_topk", "subq_lateral_topn", "tpch_q6_forecast",
+    # widen each family with its other cheap members
+    "flatmap_explode", "dedup_exact", "setop_union_all", "sort_multi_key",
+    "join_outer_left", "join_semi", "join_anti", "join_dim_broadcast",
+    "join_interval_time", "join_asof_temporal", "join_theta_range",
+    "join_range_binned",
+    "agg_star_flagship", "agg_rollup", "agg_pivot", "agg_max_by",
+    "agg_histogram", "ads_session_stats", "ads_pareto_share",
+    "tpch_q1_pricing",
+    "win_slide", "win_session", "win_late_drop", "win_topn", "win_dedup",
+    "over_lag_lead", "over_moving_avg", "over_time_range",
+    "scalar_math", "scalar_array", "scalar_json_props", "dwd_clean_route",
+    "udaf_grouped_pandas", "udtf_split_rows",
+    "cdc_scd2_history", "cep_funnel_batch", "state_new_visitor",
+    "sink_upsert_latest",
+    "llm_dedup_ngram_jaccard", "llm_dedup_simhash", "llm_dedup_minhash",
+    "llm_dedup_simhash_pairs", "llm_dedup_containment", "llm_decontaminate",
+    "llm_embedding_quantize", "llm_centroid_dist",
+    "llm_quality_score", "llm_lang_id", "llm_doc_fingerprint",
+    "llm_frame_sample", "llm_media_meta",
+    "pipe_sample_stratified", "pipe_token_budget", "pipe_shuffle_shard",
+    "llm_curation_pipeline",
+]
+
+# Iterative / estimator-fit / streaming-executing keys: register last so a
+# closing window can only cost keys that already have weaker (rows-only /
+# property) evidence or many cheaper siblings above.
+_PRIORITY_TAIL = [
+    "llm_dedup_semantic", "llm_dedup_embcos",
+    "cogroup_apply", "src_stream_smoke",
+    "llm_dedup_minhash_ml", "llm_knn_ivf",
+    "llm_dedup_cluster", "llm_dedup_two_stage",
+    "graph_pagerank",
+]
+
+
+def ordered_queries() -> dict[str, QueryFn]:
+    """QUERIES re-ordered for the driver's early-closing check window:
+    family representatives first, slow iterative keys last."""
+    load_all()
+    missing = [k for k in _PRIORITY_HEAD + _PRIORITY_TAIL if k not in QUERIES]
+    assert not missing, f"priority list names unknown keys: {missing}"
+    head = set(_PRIORITY_HEAD)
+    tail = set(_PRIORITY_TAIL)
+    assert not head & tail, sorted(head & tail)
+    out: dict[str, QueryFn] = {}
+    for k in _PRIORITY_HEAD:
+        out[k] = QUERIES[k]
+    for k in QUERIES:
+        if k not in head and k not in tail:
+            out[k] = QUERIES[k]
+    for k in _PRIORITY_TAIL:
+        out[k] = QUERIES[k]
+    return out
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query key. ``oracle`` is the DuckDB ANSI SQL counterpart;

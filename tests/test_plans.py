@@ -191,3 +191,44 @@ def test_curation_pipeline_filters_below_window(spark):
     assert "Join" not in plan
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("In(lang" in l for l in pushed)
+
+
+def _iter_nodes(jnode):
+    stack = [jnode]
+    while stack:
+        n = stack.pop()
+        yield n
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+
+
+def _window_over_aggregate(jwin) -> bool:
+    # Descend through unary nodes; a partition-less window is bounded (and
+    # allowed) iff its input is an aggregation — group cardinality, not raw
+    # relation size (the plans/ordered.py summary, monthly series, etc.).
+    n = jwin.children().apply(0)
+    while True:
+        name = n.nodeName()
+        if name == "Aggregate":
+            return True
+        ch = n.children()
+        if ch.size() != 1:
+            return False
+        n = ch.apply(0)
+
+
+@pytest.mark.parametrize("key", sorted(registry.QUERIES))
+def test_no_partitionless_window_over_raw_relation(spark, key):
+    """The fatal scale anti-pattern: row_number()/sum() OVER (ORDER BY ...)
+    with no PARTITION BY moves the entire relation to one task. Sweep every
+    registered key's optimized plan: any Window with an empty partition
+    spec must sit over an Aggregate (metadata/group-sized input, e.g. the
+    two-phase prefix summary in plans/ordered.py)."""
+    df = registry.QUERIES[key](spark, SF_DIR)
+    offenders = []
+    for n in _iter_nodes(df._jdf.queryExecution().optimizedPlan()):
+        if n.nodeName() == "Window" and n.partitionSpec().isEmpty():
+            if not _window_over_aggregate(n):
+                offenders.append(n.simpleString(120))
+    assert not offenders, offenders

@@ -914,12 +914,8 @@ def test_scd2_stream_matches_batch_history(spark, chunked_events_dir):
             "user_id",
             "version_id",
             "value",
-            (F.col("valid_from").cast("double") * 1e6).cast("long").alias(
-                "valid_from_us"
-            ),
-            (F.col("valid_to").cast("double") * 1e6).cast("long").alias(
-                "valid_to_us"
-            ),
+            F.unix_micros(F.col("valid_from")).alias("valid_from_us"),
+            F.unix_micros(F.col("valid_to")).alias("valid_to_us"),
             "is_current",
         )
         .toPandas()

@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 import math
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -85,19 +86,26 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
 
-    keys = only or sorted(qs)
+    keys = only or list(qs)  # driver iterates queries() in insertion order
     failures = []
+    timings: dict[str, tuple[float, float]] = {}
     for k in keys:
         try:
+            t0 = time.time()
             sdf = qs[k](spark, SF)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            t_spark = time.time() - t0
             if k not in oracles:
-                print(f"{k:28s} rows-only: {len(srows)} rows", flush=True)
+                timings[k] = (t_spark, 0.0)
+                print(f"{k:28s} rows-only: {len(srows)} rows  [{t_spark:5.2f}s]", flush=True)
                 continue
+            t0 = time.time()
             cur = con.execute(oracles[k])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
+            t_oracle = time.time() - t0
+            timings[k] = (t_spark, t_oracle)
             hs, ho = frame_hash(scols, srows), frame_hash(ocols, orows)
             status = "OK" if hs == ho else "HASH-MISMATCH"
             if hs != ho:
@@ -115,10 +123,22 @@ def main() -> int:
                         print(f"  duck : {b_[:200]}")
                         break
             else:
-                print(f"{k:28s} OK ({len(srows)} rows)", flush=True)
+                print(
+                    f"{k:28s} OK ({len(srows)} rows)  "
+                    f"[spark {t_spark:5.2f}s  oracle {t_oracle:5.2f}s]",
+                    flush=True,
+                )
         except Exception as ex:  # noqa: BLE001
             failures.append(k)
             print(f"{k:28s} ERROR {type(ex).__name__}: {str(ex)[:300]}")
+
+    if timings:
+        print("\n=== slowest (spark+oracle) ===")
+        for k, (ts, to) in sorted(timings.items(), key=lambda kv: -(kv[1][0] + kv[1][1]))[:20]:
+            print(f"{k:28s} {ts + to:6.2f}s  (spark {ts:5.2f}  oracle {to:5.2f})")
+        tot_s = sum(t[0] for t in timings.values())
+        tot_o = sum(t[1] for t in timings.values())
+        print(f"total spark {tot_s:.1f}s  oracle {tot_o:.1f}s  combined {tot_s + tot_o:.1f}s")
 
     print(f"\n{len(keys) - len(failures)}/{len(keys)} keys match")
     if failures:
