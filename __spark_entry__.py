@@ -25,9 +25,37 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship star query on sf0.001 (SURVEY.md §7.3): revenue by region ×
-    order-priority × returnflag over lineitem⋈orders⋈customer⋈nation⋈region."""
+    order-priority × returnflag over lineitem⋈orders⋈customer⋈nation⋈region.
+
+    Also pre-warms the session's one-time machinery (Python/Arrow worker
+    pool, shuffle path) with a trivial job so that cost lands in this smoke
+    step instead of inflating the first pandas-UDF / shuffle query inside
+    the driver's per-key correctness window."""
     registry.load_all()
+    _prewarm(spark)
     return registry.QUERIES["agg_star_flagship"](spark, SMOKE_SF_DIR)
+
+
+def _prewarm(spark: SparkSession) -> None:
+    try:
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _identity(s: pd.Series) -> pd.Series:
+            return s
+
+        (
+            spark.range(64)
+            .repartition(8)
+            .select(_identity(F.col("id")).alias("x"))
+            .groupBy((F.col("x") % 4).alias("g"))
+            .count()
+            .collect()
+        )
+    except Exception:  # noqa: BLE001 — warmup must never fail the smoke
+        pass
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -247,52 +247,84 @@ def cosine_expr(a: str, b: str) -> F.Column:
     """,
 )
 def llm_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.3): exact all-pairs
-    baseline as a broadcast tiled matrix product. The normalized corpus
-    matrix is built once and broadcast (the same driver-side build a
-    broadcast hash join does); each executor partition then runs one numpy
-    GEMM of its rows against the broadcast side and emits the thresholded
-    upper triangle. Each pair's dot is summed in a fixed order inside the
-    GEMM, so the result is partitioning-invariant. This replaced a
-    zip_with/aggregate pair join (interpreted lambda per element: 81 s at
-    sf0.1 vs ~2 s for the GEMM). At 100 TB the broadcast side no longer
-    fits: tile BOTH sides (range-bucket the corpus, cross-join the tile
-    grid, GEMM per tile pair) — or use the LSH/SimHash/IVF candidating
-    variants, which are the real scale path; this exact form is the
-    correctness baseline they are property-checked against."""
+    """Embedding-cosine near-dup pairs (threshold 0.3): exact all-pairs via
+    a BOTH-SIDES-TILED matrix product — no driver materialization, no
+    full-corpus broadcast. The corpus is hash-bucketed into T tiles; each
+    unordered tile pair (i ≤ j) is a cogroup key whose two sides are the
+    bucket-i and bucket-j rows, and each cogroup runs one numpy GEMM and
+    emits the thresholded pairs (diagonal tiles keep the upper triangle;
+    off-diagonal tiles see each cross pair exactly once and canonicalize
+    the id order). Data inflation is ~T per side and tile memory is
+    (N/T)·dim — pick T so a tile fits an executor; the pair WORK is still
+    O(N²) because exact all-pairs is (that's what makes this the
+    correctness baseline — the LSH/SimHash/IVF variants are the scale
+    path for the search itself). Each pair's dot is summed in a fixed order
+    inside the GEMM, so the result is partitioning-invariant."""
     import numpy as np
     import pandas as pd
 
-    wh = Warehouse(spark, sf_dir)
-    e = wh.embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    pdf = e.toPandas()  # broadcast build side (~1 MB at sf0.1)
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.stack(pdf["emb"].to_numpy())
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    n_tiles = 4
 
-    def tiles(batches):
-        ids_b, mat_b = bc.value
-        for part in batches:
-            if not len(part):
-                continue
-            rid = part["vec_id"].to_numpy()
-            rows = np.stack(part["emb"].to_numpy())
-            rows = rows / np.linalg.norm(rows, axis=1, keepdims=True)
-            sims = rows @ mat_b.T
-            keep = (rid[:, None] < ids_b[None, :]) & (sims >= 0.3)
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "vec_a": rid[ai],
-                    "vec_b": ids_b[bj],
-                    "cos_sim": np.round(sims[ai, bj], 6),
-                }
+    def bucketed() -> DataFrame:
+        # Fresh scan per side: cogroup of two branches of the SAME plan
+        # trips Spark's ambiguous-attribute check, and a re-read costs one
+        # extra parquet scan, not a shuffle.
+        return (
+            Warehouse(spark, sf_dir)
+            .embeddings.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("emb")
             )
+            .withColumn(
+                "b", F.pmod(F.xxhash64("vec_id"), F.lit(n_tiles)).cast("int")
+            )
+        )
 
-    return e.mapInPandas(tiles, "vec_a long, vec_b long, cos_sim double")
+    grid = [(i, j) for i in range(n_tiles) for j in range(i, n_tiles)]
+    left_keys = spark.createDataFrame(
+        [(i, i * n_tiles + j) for i, j in grid], "b int, pk int"
+    )
+    right_keys = spark.createDataFrame(
+        [(j, i * n_tiles + j) for i, j in grid], "b int, pk int"
+    )
+    left = bucketed().join(F.broadcast(left_keys), "b")
+    right = bucketed().join(F.broadcast(right_keys), "b")
+
+    def tile_gemm(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"),
+             "vec_b": pd.Series(dtype="int64"),
+             "cos_sim": pd.Series(dtype="float64")}
+        )
+        if not len(lpdf) or not len(rpdf):
+            return empty
+        (pk,) = key
+        diagonal = (pk // n_tiles) == (pk % n_tiles)
+        lid = lpdf["vec_id"].to_numpy()
+        rid = rpdf["vec_id"].to_numpy()
+        lm = np.stack(lpdf["emb"].to_numpy())
+        rm = np.stack(rpdf["emb"].to_numpy())
+        lm = lm / np.linalg.norm(lm, axis=1, keepdims=True)
+        rm = rm / np.linalg.norm(rm, axis=1, keepdims=True)
+        sims = lm @ rm.T
+        if diagonal:
+            keep = (lid[:, None] < rid[None, :]) & (sims >= 0.3)
+        else:  # each unordered cross pair appears exactly once: keep all
+            keep = (lid[:, None] != rid[None, :]) & (sims >= 0.3)
+        ai, bj = np.nonzero(keep)
+        va, vb = lid[ai], rid[bj]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(va, vb),
+                "vec_b": np.maximum(va, vb),
+                "cos_sim": np.round(sims[ai, bj], 6),
+            }
+        )
+
+    return (
+        left.groupBy("pk")
+        .cogroup(right.groupBy("pk"))
+        .applyInPandas(tile_gemm, "vec_a long, vec_b long, cos_sim double")
+    )
 
 
 # 60-bit SimHash from md5 word hashes; identical arithmetic both engines
@@ -519,52 +551,119 @@ _CLUSTER_ORACLE = f"""
 """
 
 
+def _symmetrize(pairs: DataFrame) -> DataFrame:
+    """Symmetric adjacency (u, v) from undirected (doc_a, doc_b) pairs,
+    self-loops dropped. No distinct here — the input edge set is already
+    deduped each round and a union is shuffle-free; each star round's
+    output distinct() is the only dedup shuffle needed."""
+    return (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+
+
+def _large_star(adj: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in MapReduce
+    and Beyond"): every node connects its strictly-larger neighbors to the
+    minimum of its closed neighborhood. One groupBy + one join, all keyed."""
+    m = adj.groupBy("u").agg(F.min("v").alias("mn")).select(
+        "u", F.least(F.col("mn"), F.col("u")).alias("m")
+    )
+    return (
+        adj.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("doc_a"), F.col("m").alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+
+
+def _small_star(adj: DataFrame) -> DataFrame:
+    """Small-star round: every node connects its smaller neighbors (and
+    itself) to the minimum of those neighbors."""
+    small = adj.filter(F.col("v") < F.col("u"))
+    m = small.groupBy("u").agg(F.min("v").alias("m"))
+    leaf_edges = (
+        small.join(m, "u")
+        .select(F.col("v").alias("doc_a"), F.col("m").alias("doc_b"))
+    )
+    self_edges = m.select(F.col("u").alias("doc_a"), F.col("m").alias("doc_b"))
+    return (
+        leaf_edges.unionByName(self_edges)
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+
+
+def _edge_fingerprint(pairs: DataFrame):
+    """(count, hash-xor) of the canonically-oriented edge set — one tiny
+    two-long action per round for fixpoint detection. XOR aggregation:
+    order-insensitive and cannot overflow (sum would throw under ANSI)."""
+    lo, hi = F.least("doc_a", "doc_b"), F.greatest("doc_a", "doc_b")
+    row = pairs.select(
+        F.count(F.lit(1)).alias("c"),
+        F.bit_xor(F.xxhash64(lo, hi)).alias("h"),
+    ).collect()[0]
+    return row["c"], row["h"]
+
+
 def connected_components(
     nodes: DataFrame, pairs: DataFrame, max_iter: int = 20
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation.
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al.) — O(log n) rounds on ANY graph shape,
+    including the long-chain duplicate graphs that take O(diameter) rounds
+    under plain min-label propagation.
 
     ``nodes``: one column ``doc_id``; ``pairs``: columns (doc_a, doc_b),
     one row per undirected edge. Returns (doc_id, rep_id) where rep_id is
-    the minimum doc_id reachable from the node. Each round is one keyed
-    join + partial-min aggregation, all distributed; the fixpoint (labels
-    stop decreasing) is detected from the strictly decreasing label sum,
-    one scalar action per round. Rounds needed = component diameter; the
-    O(log n) large-star/small-star variant is the documented path for
-    adversarial diameters at 100 TB (SCALE.md). Label frames are
+    the minimum doc_id reachable from the node. Each round is two
+    groupBy-min + join passes, all keyed and distributed; the fixpoint
+    (edge set = star per component) is detected from a two-scalar edge-set
+    fingerprint, one metadata-sized action per round. Edge frames are
     localCheckpoint'ed per round to truncate lineage — on a cluster this
-    is a checkpoint to object storage."""
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).localCheckpoint(eager=False)
-
-    labels = nodes.select(
-        "doc_id", F.col("doc_id").alias("rep_id")
-    ).localCheckpoint(eager=False)
-    prev_sum = labels.agg(F.sum("rep_id")).collect()[0][0]
+    is a checkpoint to object storage. Property-tested against a
+    union-find model, including a 64-node chain converging in O(log n)
+    rounds (tests/test_cluster_props.py)."""
+    edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
+    prev = _edge_fingerprint(edges)
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["doc_b"] == labels["doc_id"])
-            .groupBy("doc_a")
-            .agg(F.min("rep_id").alias("nbr_rep"))
-        )
-        labels = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["doc_a"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("rep_id"), F.coalesce("nbr_rep", "rep_id")
-                ).alias("rep_id"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        cur_sum = labels.agg(F.sum("rep_id")).collect()[0][0]
-        if cur_sum == prev_sum:  # labels only decrease; equal sum = fixpoint
+        edges = _large_star(_symmetrize(edges)).localCheckpoint(eager=False)
+        edges = _small_star(_symmetrize(edges)).localCheckpoint(eager=False)
+        cur = _edge_fingerprint(edges)
+        if cur == prev:  # star fixpoint: every node points at its component min
             break
-        prev_sum = cur_sum
-    return labels
+        prev = cur
+    # Star state: label = min(self, min neighbor); isolated nodes label
+    # themselves.
+    per_node = _symmetrize(edges).groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        nodes.join(per_node, nodes["doc_id"] == per_node["u"], "left")
+        .select(
+            "doc_id",
+            F.least(
+                F.col("doc_id"), F.coalesce("mn", "doc_id")
+            ).alias("rep_id"),
+        )
+    )
+
+
+def cc_rounds(pairs: DataFrame, max_iter: int = 40) -> int:
+    """Number of large+small-star rounds until fixpoint — exposed for the
+    O(log n) convergence property test."""
+    edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
+    prev = _edge_fingerprint(edges)
+    for i in range(max_iter):
+        edges = _large_star(_symmetrize(edges)).localCheckpoint(eager=False)
+        edges = _small_star(_symmetrize(edges)).localCheckpoint(eager=False)
+        cur = _edge_fingerprint(edges)
+        if cur == prev:
+            return i + 1
+        prev = cur
+    return max_iter
 
 
 @query("llm_dedup_cluster", _CLUSTER_ORACLE)

@@ -120,18 +120,38 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")
+@query(
+    "agg_approx_distinct",
+    """
+    SELECT
+      o_orderpriority,
+      COUNT(DISTINCT o_custkey) AS exact_uniq_cust,
+      CAST(abs(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
+           <= 0.05 * COUNT(DISTINCT o_custkey) AS BOOLEAN) AS approx_ok,
+      CAST(abs(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
+           <= 0.05 * COUNT(DISTINCT o_custkey) AS BOOLEAN) AS hll_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct (HLL) — the 100 TB path for UV counting where
-    exact COUNT(DISTINCT) would shuffle every key. No SQL oracle (estimator
-    internals differ across engines); tests/test_llm_props.py asserts the
-    estimate is within 5% of exact."""
+    exact COUNT(DISTINCT) would shuffle every key. Estimator internals
+    differ across engines, so raw estimates can't hash-match; the
+    oracle-checkable contract is a TOLERANCE VERDICT: each engine emits the
+    exact count (identical by definition) plus booleans asserting its OWN
+    estimator lands within ±5% of that exact value (Spark:
+    approx_count_distinct rsd=0.02 and the Datasketches HLL; DuckDB: its
+    approx_count_distinct for both columns). tests/test_llm_props.py keeps
+    the numeric 5% assertion on the raw estimates."""
     wh = Warehouse(spark, sf_dir)
+    exact = F.count_distinct("o_custkey")
+    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
+    hll = F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey"))
     return wh.orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_uniq_cust"),
-        bigint(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey"))).alias(
-            "hll_uniq_cust"
-        ),
+        exact.alias("exact_uniq_cust"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("approx_ok"),
+        (F.abs(hll - exact) <= 0.05 * exact).alias("hll_ok"),
     )
 
 
@@ -529,7 +549,24 @@ def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_uv_sketch_rollup")
+@query(
+    "agg_uv_sketch_rollup",
+    """
+    WITH weekly AS (
+      SELECT
+        CAST(date_trunc('week', CAST(date_trunc('day', ts) AS TIMESTAMP))
+             AS TIMESTAMP) AS week,
+        COUNT(DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)) AS n_days,
+        COUNT(DISTINCT user_id) AS uv_exact,
+        approx_count_distinct(user_id) AS uv_est
+      FROM events
+      GROUP BY 1
+    )
+    SELECT week, n_days, uv_exact,
+      CAST(abs(uv_est - uv_exact) <= 0.05 * uv_exact AS BOOLEAN) AS sketch_ok
+    FROM weekly
+    """,
+)
 def agg_uv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — THE 100 TB UV pattern: per-day HLL
     sketches of the visitor set (a few KB each, computed once, map-side
@@ -537,21 +574,30 @@ def agg_uv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     never re-touching raw events. A Flink warehouse stores these per-window
     sketches in the DWS layer for exactly this reason: any rollup
     granularity (week/month/campaign) becomes a union over sketch rows.
-    No SQL oracle (sketch internals are engine-specific);
-    tests/test_llm_props.py asserts each weekly estimate within 5% of the
-    exact distinct count."""
+    Sketch bytes are engine-specific, so the oracle-checkable contract is
+    a TOLERANCE VERDICT: both engines emit the exact weekly UV (identical
+    by definition) plus a boolean asserting their own estimate — Spark's
+    MERGED daily sketches, DuckDB's direct weekly estimator — lands within
+    ±5% of it. The exact column exists only to make the contract
+    hash-checkable at test scale; production keeps just the sketch path.
+    tests/test_llm_props.py keeps the numeric 5% assertion."""
     wh = Warehouse(spark, sf_dir)
-    daily = wh.events.groupBy(
-        F.date_trunc("day", "ts").alias("day")
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    return (
-        daily.groupBy(F.date_trunc("week", "day").alias("week"))
-        .agg(
-            bigint(
-                F.hll_sketch_estimate(F.hll_union_agg("sk"))
-            ).alias("uv_weekly"),
-            F.count(F.lit(1)).alias("n_days"),
-        )
+    daily = wh.events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy(F.date_trunc("week", "day").alias("week")).agg(
+        bigint(F.hll_sketch_estimate(F.hll_union_agg("sk"))).alias("uv_est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = wh.events.groupBy(
+        F.date_trunc("week", F.date_trunc("day", "ts")).alias("week")
+    ).agg(F.count_distinct("user_id").alias("uv_exact"))
+    return merged.join(exact, "week").select(
+        "week",
+        "n_days",
+        "uv_exact",
+        (F.abs(F.col("uv_est") - F.col("uv_exact")) <= 0.05 * F.col("uv_exact"))
+        .alias("sketch_ok"),
     )
 
 

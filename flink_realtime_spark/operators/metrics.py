@@ -212,23 +212,66 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_quantile")
+@query(
+    "agg_approx_quantile",
+    """
+    SELECT
+      l_returnflag,
+      ROUND(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+            AS DOUBLE), 4) AS p50_exact,
+      ROUND(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95)
+            AS DOUBLE), 4) AS p95_exact,
+      ROUND(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99)
+            AS DOUBLE), 4) AS p99_exact,
+      COUNT(*) AS n_items,
+      CAST(abs(approx_quantile(CAST(l_extendedprice AS DOUBLE), 0.5)
+               - quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5))
+           <= 0.01 * quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+           AS BOOLEAN) AS p50_ok,
+      CAST(abs(approx_quantile(CAST(l_extendedprice AS DOUBLE), 0.95)
+               - quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95))
+           <= 0.01 * quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95)
+           AS BOOLEAN) AS p95_ok,
+      CAST(abs(approx_quantile(CAST(l_extendedprice AS DOUBLE), 0.99)
+               - quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99))
+           <= 0.01 * quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99)
+           AS BOOLEAN) AS p99_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate per-group quantiles (percentile_approx / t-digest-style
     mergeable sketch) — the 100 TB path for agg_stats' exact percentiles:
     exact per-group percentile sorts every group; the sketch is one
     two-phase agg with O(accuracy) state per group, mergeable across
-    partitions. Rows-only + tolerance property check (the sketch is
-    accuracy-bounded, not value-exact; tests/test_metrics_props.py pins
-    the bound against the exact result)."""
+    partitions. Sketch values are engine-specific, so the hash-checkable
+    contract is the tolerance-verdict shape (see agg_approx_distinct):
+    both engines emit the exact interpolated percentiles (identical,
+    rounded to 4 — the pipe_dataset_card-proven pattern) plus booleans
+    asserting their OWN sketch lands within ±1% of exact.
+    tests/test_metrics_props.py keeps the numeric bound."""
     wh = Warehouse(spark, sf_dir)
     acc = F.lit(10000)
-    return wh.lineitem.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", F.lit(0.5), acc).alias("p50"),
-        F.percentile_approx("l_extendedprice", F.lit(0.95), acc).alias("p95"),
-        F.percentile_approx("l_extendedprice", F.lit(0.99), acc).alias("p99"),
+    price = F.col("l_extendedprice").cast("double")
+    out = wh.lineitem.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile(price, F.lit(p)), 4).alias(f"p{n}_exact")
+            for p, n in ((0.5, 50), (0.95, 95), (0.99, 99))
+        ],
         F.count(F.lit(1)).alias("n_items"),
+        *[
+            (
+                F.abs(
+                    F.percentile_approx(price, F.lit(p), acc)
+                    - F.percentile(price, F.lit(p))
+                )
+                <= 0.01 * F.percentile(price, F.lit(p))
+            ).alias(f"p{n}_ok")
+            for p, n in ((0.5, 50), (0.95, 95), (0.99, 99))
+        ],
     )
+    return out
 
 
 @query(
@@ -399,18 +442,60 @@ def dq_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("agg_freq_items")
+@query(
+    "agg_freq_items",
+    """
+    WITH t AS (SELECT COUNT(*) AS n FROM events),
+    ev AS (
+      SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type
+    ),
+    uh AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id)
+    SELECT 'event_type' AS col,
+      CAST((SELECT COUNT(*) FROM ev, t WHERE c > 0.05 * n) AS BIGINT)
+        AS n_heavy,
+      CAST(0 AS BIGINT) AS n_missed
+    UNION ALL
+    SELECT 'user_id',
+      CAST((SELECT COUNT(*) FROM uh, t WHERE c > 0.05 * n) AS BIGINT),
+      CAST(0 AS BIGINT)
+    """,
+)
 def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate heavy hitters via DataFrame.stat.freqItems (the
     Karp-Schenker-Papadimitriou one-pass algorithm): every value with
     frequency above the support threshold is guaranteed present (false
-    positives possible, false negatives not). Rows-only + property check
-    (tests/test_metrics_props.py pins the no-false-negative guarantee
-    against exact counts). The 100 TB path for 'top sellers' probes where
-    an exact groupBy over the full key universe isn't worth the shuffle."""
+    positives possible, false negatives not). The sketch's item LIST is
+    not engine-stable, so the hash-checkable contract is the guarantee
+    itself: per column, the exact heavy-hitter count (identical on both
+    engines) and how many exact heavy hitters the sketch MISSED — zero by
+    the algorithm's no-false-negative property, and the oracle pins the
+    literal zero. tests/test_metrics_props.py keeps the set-level check."""
     wh = Warehouse(spark, sf_dir)
-    return wh.events.select("event_type", "user_id").stat.freqItems(
-        ["event_type", "user_id"], support=0.05
+    ev = wh.events.select("event_type", "user_id")
+    fi = ev.stat.freqItems(["event_type", "user_id"], support=0.05)
+    total = ev.agg(F.count(F.lit(1)).alias("n"))
+
+    def verdict(col: str, fi_col: str) -> DataFrame:
+        heavy = (
+            ev.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("c") > 0.05 * F.col("n"))
+        )
+        sketch_items = fi.select(F.explode(fi_col).alias(col))
+        missed = heavy.join(F.broadcast(sketch_items), col, "left_anti")
+        return (
+            heavy.agg(F.count(F.lit(1)).alias("n_heavy"))
+            .crossJoin(missed.agg(F.count(F.lit(1)).alias("n_missed")))
+            .select(
+                F.lit(col).alias("col"),
+                F.col("n_heavy").cast("long").alias("n_heavy"),
+                F.col("n_missed").cast("long").alias("n_missed"),
+            )
+        )
+
+    return verdict("event_type", "event_type_freqItems").unionByName(
+        verdict("user_id", "user_id_freqItems")
     )
 
 

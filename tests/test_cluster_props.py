@@ -13,7 +13,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from flink_realtime_spark import registry
-from flink_realtime_spark.llm.dedup import connected_components
+from flink_realtime_spark.llm.dedup import cc_rounds, connected_components
 from tests.conftest import SF_DIR
 
 registry.load_all()
@@ -74,6 +74,24 @@ def test_connected_components_matches_union_find(spark, nodes, raw_edges):
         for r in connected_components(nodes_df, pairs_df, max_iter=30).collect()
     }
     assert got == _union_find(nodes, edges)
+
+
+def test_chain_graph_converges_in_log_rounds(spark):
+    """The adversarial-diameter case: a 64-node path graph has diameter 63,
+    so min-label propagation needs ~63 rounds; large-star/small-star must
+    contract it in O(log n). Also asserts the labels are exact."""
+    n = 64
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    rounds = cc_rounds(chain)
+    assert rounds <= 10, rounds  # ~log2(64)=6 plus slack; far below 63
+    got = {
+        r["doc_id"]: r["rep_id"]
+        for r in connected_components(nodes, chain).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
 
 
 def _plan_of(df) -> str:

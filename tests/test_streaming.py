@@ -315,10 +315,23 @@ def test_stream_slide_complete_equals_batch(spark):
     assert _rows(streamed, ["ws", "n"]) == _rows(batch, ["ws", "n"])
 
 
+def _kafka_connector_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def test_kafka_builder_requires_connector(spark):
-    """kafka_json_source is the production ingest path; this container has
-    no kafka connector jar, so the builder must fail loudly at plan time
-    (not silently yield an empty stream). Pins the failure mode."""
+    """kafka_json_source is the production ingest path; without the
+    connector jar the builder must fail loudly at plan time (not silently
+    yield an empty stream). Pins the failure mode; skipped if the jar is
+    present (the executable round-trip below covers that case)."""
+    if _kafka_connector_available(spark):
+        pytest.skip("kafka connector present — covered by the round-trip test")
     from flink_realtime_spark.streaming.sources import kafka_json_source
 
     with pytest.raises(Exception) as ei:
@@ -326,6 +339,56 @@ def test_kafka_builder_requires_connector(spark):
             spark, "broker:9092", "events", EVENTS_DDL
         )
     assert "kafka" in str(ei.value).lower()
+
+
+def test_kafka_roundtrip_when_environment_allows(spark, chunked_events_dir):
+    """Executable Kafka smoke: produce events through kafka_json_sink and
+    read them back through kafka_json_source. Requires BOTH the
+    spark-sql-kafka connector jar AND a reachable broker
+    ($KAFKA_BOOTSTRAP_SERVERS); skipped with an explicit reason otherwise
+    — never silently."""
+    import os
+    import tempfile
+    import uuid
+
+    if not _kafka_connector_available(spark):
+        pytest.skip(
+            "no spark-sql-kafka connector jar in this environment; "
+            "kafka_json_source/_sink stay plan-construction-verified "
+            "(test_kafka_builder_requires_connector) with the file-replay "
+            "stand-in covering stream semantics"
+        )
+    brokers = os.environ.get("KAFKA_BOOTSTRAP_SERVERS")
+    if not brokers:
+        pytest.skip(
+            "connector jar present but no broker: set "
+            "KAFKA_BOOTSTRAP_SERVERS to run the loopback round-trip"
+        )
+    from flink_realtime_spark.streaming.sinks import kafka_json_sink
+    from flink_realtime_spark.streaming.sources import kafka_json_source
+    from flink_realtime_spark.streaming.sources import file_stream_source
+
+    topic = f"sparkgraft_smoke_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="kafka_ckpt_")
+    src = file_stream_source(spark, chunked_events_dir, EVENTS_DDL)
+    (
+        kafka_json_sink(src, brokers, topic, ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    back = kafka_json_source(
+        spark, brokers, topic, EVENTS_DDL, starting_offsets="earliest"
+    )
+    q = (
+        back.writeStream.format("memory")
+        .queryName(f"kafka_back_{topic}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql(f"SELECT COUNT(*) FROM kafka_back_{topic}").collect()[0][0]
+    assert n > 0
 
 
 def test_stream_stream_left_outer_interval_join(spark, chunked_events_dir):
