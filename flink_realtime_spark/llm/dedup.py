@@ -268,10 +268,13 @@ def llm_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bucketed() -> DataFrame:
         # Fresh scan per side: cogroup of two branches of the SAME plan
         # trips Spark's ambiguous-attribute check, and a re-read costs one
-        # extra parquet scan, not a shuffle.
+        # extra parquet scan, not a shuffle. (fresh=True bypasses the
+        # session-scoped plan cache for exactly this reason.)
+        from flink_realtime_spark.tables import load_table
+
         return (
-            Warehouse(spark, sf_dir)
-            .embeddings.select(
+            load_table(spark, sf_dir, "embeddings", fresh=True)
+            .select(
                 "vec_id", F.col("embedding").cast("array<double>").alias("emb")
             )
             .withColumn(

@@ -25,6 +25,13 @@ Cost at 100 TB: the range exchange (needed by ANY global order) plus one
 hash exchange of the full relation for the local window, plus a
 metadata-sized summary — versus the single-task formulation which simply
 does not finish. Associative ops only (sum, max, count/row_number).
+
+Branch consistency: the annotated and summary branches both hang off the
+same range-exchange subplan; at runtime AQE's exchange reuse materializes
+it ONCE (verified: the AQE final plan for sort_multi_key shows
+ReusedExchange), so both phases read identical partition ids — the
+`spark_partition_id()` values cannot diverge between branches — and the
+full relation shuffles exactly twice, not three times.
 """
 
 from __future__ import annotations

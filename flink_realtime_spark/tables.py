@@ -16,6 +16,7 @@ Scale notes (100 TB posture):
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,14 +63,35 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Session-scoped DataFrame cache: a DataFrame is an immutable plan, so the
+# same (sf_dir, table) plan can serve every query in the session. Rebuilding
+# it per key costs a file listing + footer schema read (~30-60 ms/table,
+# ~25 s across a full 162-key driver sweep). Weak keying lets closed
+# sessions release their plans.
+_DF_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fresh: bool = False
+) -> DataFrame:
+    """``fresh=True`` bypasses the cache and returns a new scan plan with
+    its own attribute ids — required when a query must cogroup/self-join
+    two branches of the same table (Spark rejects one shared plan as
+    ambiguous)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     prepare(spark)  # timezone/nanos confs must be set before the read resolves
-    df = spark.read.parquet(path_for(sf_dir, name))
-    if name == "events":
-        df = normalize_event_ts(df)
-    return df
+    if fresh:
+        df = spark.read.parquet(path_for(sf_dir, name))
+        return normalize_event_ts(df) if name == "events" else df
+    per_session = _DF_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    if key not in per_session:
+        df = spark.read.parquet(path_for(sf_dir, name))
+        if name == "events":
+            df = normalize_event_ts(df)
+        per_session[key] = df
+    return per_session[key]
 
 
 class Warehouse:
