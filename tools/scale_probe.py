@@ -97,7 +97,7 @@ def build_dup_docs(spark, k: int) -> str:
 def dedup_stress(spark, ks) -> None:
     for k in ks:
         sf_dir = SRC if k == 1 else build_dup_docs(spark, k)
-        for key in ("llm_dedup_exact", "llm_dedup_minhash", "llm_dedup_cluster"):
+        for key in ("llm_dedup_exact", "llm_dedup_minhash", "llm_dedup_cluster", "llm_dedup_two_stage"):
             t0 = time.perf_counter()
             df = registry.QUERIES[key](spark, sf_dir)
             n = df.count()
