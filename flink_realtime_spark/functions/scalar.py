@@ -363,16 +363,20 @@ def dwd_clean_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substr(props, 1, length(props) - 1)"),
     ).otherwise(F.col("props"))
     v = F.try_parse_json(p)
+    # dirty requires a present-but-unparseable payload: a NULL payload is
+    # neither clean nor dirty, matching the oracle, whose json_valid(NULL)
+    # is NULL and therefore excluded from BOTH filtered counts.
     return (
         wh.events.select(
             "event_type",
             v.isNotNull().alias("clean"),
+            (p.isNotNull() & v.isNull()).alias("dirty"),
             F.variant_get(v, "$.k", "long").alias("k"),
         )
         .groupBy("event_type")
         .agg(
             F.count(F.when(F.col("clean"), 1)).alias("n_clean"),
-            F.count(F.when(~F.col("clean"), 1)).alias("n_dirty"),
+            F.count(F.when(F.col("dirty"), 1)).alias("n_dirty"),
             F.sum(F.when(F.col("clean"), F.col("k"))).alias("k_sum"),
         )
     )

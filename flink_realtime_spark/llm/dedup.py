@@ -613,8 +613,27 @@ def _edge_fingerprint(pairs: DataFrame):
     return row["c"], row["h"]
 
 
+def _star_contract(
+    pairs: DataFrame, max_iter: int
+) -> tuple[DataFrame, int, bool]:
+    """Run alternating large-star/small-star rounds to the star fixpoint.
+    Returns (final edge set, rounds used, converged). The single shared
+    loop behind connected_components and cc_rounds, so the convergence
+    property test always certifies the production path."""
+    edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
+    prev = _edge_fingerprint(edges)
+    for i in range(max_iter):
+        edges = _large_star(_symmetrize(edges)).localCheckpoint(eager=False)
+        edges = _small_star(_symmetrize(edges)).localCheckpoint(eager=False)
+        cur = _edge_fingerprint(edges)
+        if cur == prev:  # star fixpoint: every node points at its component min
+            return edges, i + 1, True
+        prev = cur
+    return edges, max_iter, False
+
+
 def connected_components(
-    nodes: DataFrame, pairs: DataFrame, max_iter: int = 20
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = 30
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al.) — O(log n) rounds on ANY graph shape,
@@ -626,20 +645,21 @@ def connected_components(
     the minimum doc_id reachable from the node. Each round is two
     groupBy-min + join passes, all keyed and distributed; the fixpoint
     (edge set = star per component) is detected from a two-scalar edge-set
-    fingerprint, one metadata-sized action per round. Edge frames are
-    localCheckpoint'ed per round to truncate lineage — on a cluster this
-    is a checkpoint to object storage. Property-tested against a
-    union-find model, including a 64-node chain converging in O(log n)
-    rounds (tests/test_cluster_props.py)."""
-    edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
-    prev = _edge_fingerprint(edges)
-    for _ in range(max_iter):
-        edges = _large_star(_symmetrize(edges)).localCheckpoint(eager=False)
-        edges = _small_star(_symmetrize(edges)).localCheckpoint(eager=False)
-        cur = _edge_fingerprint(edges)
-        if cur == prev:  # star fixpoint: every node points at its component min
-            break
-        prev = cur
+    fingerprint, one metadata-sized action per round. Raises if the
+    contraction has not converged after ``max_iter`` rounds (measured
+    rounds ≈ log₂(n): 14 at n=8192, so 30 covers any feasible input —
+    silently returning a non-star labeling would split components). Edge
+    frames are localCheckpoint'ed per round to truncate lineage — on a
+    cluster this is a checkpoint to object storage. Property-tested
+    against a union-find model, including a 64-node chain converging in
+    O(log n) rounds (tests/test_cluster_props.py)."""
+    edges, rounds, converged = _star_contract(pairs, max_iter)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: star contraction did not converge in "
+            f"{rounds} rounds — raise max_iter rather than emit a non-star "
+            f"labeling (would silently split components)"
+        )
     # Star state: label = min(self, min neighbor); isolated nodes label
     # themselves.
     per_node = _symmetrize(edges).groupBy("u").agg(F.min("v").alias("mn"))
@@ -656,17 +676,10 @@ def connected_components(
 
 def cc_rounds(pairs: DataFrame, max_iter: int = 40) -> int:
     """Number of large+small-star rounds until fixpoint — exposed for the
-    O(log n) convergence property test."""
-    edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
-    prev = _edge_fingerprint(edges)
-    for i in range(max_iter):
-        edges = _large_star(_symmetrize(edges)).localCheckpoint(eager=False)
-        edges = _small_star(_symmetrize(edges)).localCheckpoint(eager=False)
-        cur = _edge_fingerprint(edges)
-        if cur == prev:
-            return i + 1
-        prev = cur
-    return max_iter
+    O(log n) convergence property test; runs the same _star_contract loop
+    production uses."""
+    _edges, rounds, _converged = _star_contract(pairs, max_iter)
+    return rounds
 
 
 @query("llm_dedup_cluster", _CLUSTER_ORACLE)

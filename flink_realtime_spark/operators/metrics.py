@@ -224,17 +224,17 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       ROUND(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99)
             AS DOUBLE), 4) AS p99_exact,
       COUNT(*) AS n_items,
-      CAST(abs(approx_quantile(CAST(l_extendedprice AS DOUBLE), 0.5)
-               - quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5))
-           <= 0.01 * quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+      CAST(approx_quantile(CAST(l_extendedprice AS DOUBLE), 0.5)
+           BETWEEN quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.48)
+               AND quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.52)
            AS BOOLEAN) AS p50_ok,
-      CAST(abs(approx_quantile(CAST(l_extendedprice AS DOUBLE), 0.95)
-               - quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95))
-           <= 0.01 * quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95)
+      CAST(approx_quantile(CAST(l_extendedprice AS DOUBLE), 0.95)
+           BETWEEN quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.93)
+               AND quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.97)
            AS BOOLEAN) AS p95_ok,
-      CAST(abs(approx_quantile(CAST(l_extendedprice AS DOUBLE), 0.99)
-               - quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99))
-           <= 0.01 * quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99)
+      CAST(approx_quantile(CAST(l_extendedprice AS DOUBLE), 0.99)
+           BETWEEN quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.97)
+               AND quantile_cont(CAST(l_extendedprice AS DOUBLE), 1.0)
            AS BOOLEAN) AS p99_ok
     FROM lineitem
     GROUP BY l_returnflag
@@ -249,26 +249,31 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract is the tolerance-verdict shape (see agg_approx_distinct):
     both engines emit the exact interpolated percentiles (identical,
     rounded to 4 — the pipe_dataset_card-proven pattern) plus booleans
-    asserting their OWN sketch lands within ±1% of exact.
-    tests/test_metrics_props.py keeps the numeric bound."""
+    asserting their OWN sketch lands inside an exact RANK band
+    (percentile p ± 0.02) — the band is in rank space because that is
+    what both sketches actually guarantee (GK bounds rank error at
+    n/accuracy = 0.01% here; t-digest is quantile-accurate near tails),
+    so the verdict holds with a 100-200× margin and cannot flake on a
+    sparse value distribution or a merge-order-dependent estimate the
+    way a relative-VALUE band could. tests/test_metrics_props.py keeps
+    the numeric rank-band bound."""
     wh = Warehouse(spark, sf_dir)
     acc = F.lit(10000)
     price = F.col("l_extendedprice").cast("double")
+    bands = ((0.5, 0.48, 0.52, 50), (0.95, 0.93, 0.97, 95), (0.99, 0.97, 1.0, 99))
     out = wh.lineitem.groupBy("l_returnflag").agg(
         *[
             F.round(F.percentile(price, F.lit(p)), 4).alias(f"p{n}_exact")
-            for p, n in ((0.5, 50), (0.95, 95), (0.99, 99))
+            for p, _lo, _hi, n in bands
         ],
         F.count(F.lit(1)).alias("n_items"),
         *[
-            (
-                F.abs(
-                    F.percentile_approx(price, F.lit(p), acc)
-                    - F.percentile(price, F.lit(p))
-                )
-                <= 0.01 * F.percentile(price, F.lit(p))
-            ).alias(f"p{n}_ok")
-            for p, n in ((0.5, 50), (0.95, 95), (0.99, 99))
+            F.percentile_approx(price, F.lit(p), acc)
+            .between(
+                F.percentile(price, F.lit(lo)), F.percentile(price, F.lit(hi))
+            )
+            .alias(f"p{n}_ok")
+            for p, lo, hi, n in bands
         ],
     )
     return out

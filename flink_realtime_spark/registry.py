@@ -102,10 +102,12 @@ def ordered_queries() -> dict[str, QueryFn]:
     family representatives first, slow iterative keys last."""
     load_all()
     missing = [k for k in _PRIORITY_HEAD + _PRIORITY_TAIL if k not in QUERIES]
-    assert not missing, f"priority list names unknown keys: {missing}"
+    if missing:  # real exception: asserts vanish under python -O
+        raise ValueError(f"priority list names unknown keys: {missing}")
     head = set(_PRIORITY_HEAD)
     tail = set(_PRIORITY_TAIL)
-    assert not head & tail, sorted(head & tail)
+    if head & tail:
+        raise ValueError(f"keys in both priority lists: {sorted(head & tail)}")
     out: dict[str, QueryFn] = {}
     for k in _PRIORITY_HEAD:
         out[k] = QUERIES[k]

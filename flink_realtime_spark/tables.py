@@ -67,8 +67,24 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 # same (sf_dir, table) plan can serve every query in the session. Rebuilding
 # it per key costs a file listing + footer schema read (~30-60 ms/table,
 # ~25 s across a full 162-key driver sweep). Weak keying lets closed
-# sessions release their plans.
+# sessions release their plans. The cached plan snapshots the FILE LISTING:
+# if a fixture directory is rewritten mid-session (compaction, regenerated
+# test data), call evict_table_cache() first or the stale listing will
+# read missing/pre-rewrite files.
 _DF_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def evict_table_cache(sf_dir: str | None = None) -> None:
+    """Drop cached scan plans — all of them, or only those under ``sf_dir``.
+    Required before re-reading a table whose parquet directory was
+    rewritten in-place during this session."""
+    if sf_dir is None:
+        _DF_CACHE.clear()
+        return
+    prefix = os.path.abspath(sf_dir)
+    for per_session in _DF_CACHE.values():
+        for key in [k for k in per_session if k[0] == prefix]:
+            del per_session[key]
 
 
 def load_table(
