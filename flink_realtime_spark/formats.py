@@ -50,3 +50,28 @@ def read_text_format(
     for k, v in options.items():
         r = r.option(k, v)
     return r.load(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Media-file ingest via the built-in ``binaryFile`` source — the entry
+    point of the multimodal pipeline (llm/multimodal.py): each file becomes
+    one row (path, modificationTime, length, content BINARY), ready to join
+    with typed metadata and flow through the mapInPandas decode plumbing.
+
+    100 TB posture: binary files are NOT splittable — parallelism is one
+    task per file, so shard media into object-store prefixes and let the
+    file listing distribute; land decoded features into parquet rather than
+    re-reading media per query. ``glob`` (e.g. ``*.jpg``) prunes at listing
+    time, before any bytes move."""
+    prepare(spark)
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    return r.load(path)

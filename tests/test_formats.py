@@ -51,3 +51,33 @@ def test_schema_evolution_missing_column_reads_null(spark):
         assert widened.filter("value IS NOT NULL").count() == 50
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_binary_file_ingest_feeds_multimodal_pipeline(spark):
+    """binaryFile ingest: fake media files on disk become (path, length,
+    content BINARY) rows, glob-pruned at listing time, and flow into the
+    multimodal metadata extractor shape (one row per file, bytes intact)."""
+    import os
+
+    from flink_realtime_spark.formats import read_binary_files
+
+    d = tempfile.mkdtemp(prefix="media_")
+    try:
+        payloads = {}
+        for i in range(6):
+            name = f"img_{i}.jpg" if i % 2 == 0 else f"doc_{i}.txt"
+            data = bytes([i]) * (10 + i)
+            payloads[name] = data
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(data)
+        all_rows = read_binary_files(spark, d).collect()
+        assert len(all_rows) == 6
+        jpg = read_binary_files(spark, d, glob="*.jpg")
+        rows = jpg.select("path", "length", "content").collect()
+        assert len(rows) == 3  # glob pruned before any bytes moved
+        for r in rows:
+            name = os.path.basename(r["path"])
+            assert bytes(r["content"]) == payloads[name]
+            assert r["length"] == len(payloads[name])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
