@@ -1127,3 +1127,110 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("shared").cast("double") / F.col("na")).alias("containment"),
         )
     )
+
+
+# ---- line-level (segment) dedup: the C4/RefinedWeb boilerplate-removal
+# stage — drop every "line" that repeats across documents, keep the rest of
+# each document intact. The fixture corpus has no newlines, so a line is
+# defined as a consecutive 10-word segment; real corpora pass split('\n').
+
+_SEG_WORDS, _SEG_DF_MAX = 10, 2  # drop segments appearing in >= 2 docs
+
+
+@query(
+    "llm_line_dedup",
+    f"""
+    WITH ws AS MATERIALIZED (
+      SELECT doc_id, str_split(text, ' ') AS w FROM documents
+    ),
+    segs AS MATERIALIZED (
+      SELECT doc_id, i AS seg_pos,
+             array_to_string(
+               w[(i * {_SEG_WORDS} + 1):(i * {_SEG_WORDS} + {_SEG_WORDS})],
+               ' ') AS seg
+      FROM ws, LATERAL unnest(generate_series(
+        0, CAST(ceil(len(w) / {_SEG_WORDS}.0) AS BIGINT) - 1)) t(i)
+    ),
+    freq AS (
+      SELECT seg, COUNT(DISTINCT doc_id) AS dfd FROM segs GROUP BY seg
+    ),
+    tot AS (
+      SELECT doc_id, COUNT(*) AS n_segments FROM segs GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT s.doc_id, s.seg_pos, s.seg
+      FROM segs s JOIN freq f ON s.seg = f.seg
+      WHERE f.dfd < {_SEG_DF_MAX}
+    ),
+    ka AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(seg, ' ' ORDER BY seg_pos) AS cleaned_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT
+      t.doc_id,
+      CAST(t.n_segments AS BIGINT) AS n_segments,
+      CAST(t.n_segments - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
+      COALESCE(ka.cleaned_text, '') AS cleaned_text
+    FROM tot t LEFT JOIN ka USING (doc_id)
+    """,
+)
+def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus dedup (the C4 / RefinedWeb boilerplate stage):
+    every 10-word segment that appears in >= 2 distinct documents is
+    removed from ALL of them; each document is reassembled from its
+    surviving segments in order. Returns per doc: total segments, removed
+    count, cleaned text (deterministic: segments rejoin by position).
+
+    Scale shape: one posexplode of the corpus into words (narrow), one
+    shuffle on (doc, segment-id) to build segments, one segment-frequency
+    aggregation joined back on the xxhash64 of the segment (8-byte key,
+    SCALE.md Lessons), one ordered reassembly per doc — all linear in
+    corpus size, no pairwise anything. The higher-order-lambda segmenter
+    was rejected deliberately: slice() inside transform() re-inlines the
+    split per element (CollapseProject), while posexplode + groupBy stays
+    in whole-stage codegen."""
+    wh = Warehouse(spark, sf_dir)
+    words = wh.documents.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("wpos", "w"),
+    )
+    segs = (
+        words.groupBy(
+            "doc_id", (F.col("wpos") / _SEG_WORDS).cast("long").alias("seg_pos")
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("wpos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("seg")
+        )
+        .withColumn("h", F.xxhash64("seg"))
+        .localCheckpoint(eager=False)  # feeds freq + totals + reassembly
+    )
+    freq = segs.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("dfd")
+    )
+    tot = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    kept = segs.join(freq, "h").filter(F.col("dfd") < _SEG_DF_MAX)
+    ka = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seg_pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return tot.join(ka, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_segments").cast("long").alias("n_segments"),
+        (F.col("n_segments") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )
