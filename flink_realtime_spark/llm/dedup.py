@@ -36,27 +36,6 @@ from flink_realtime_spark.tables import Warehouse
 _NORM_SPARK = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
 _NORM_DUCK = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
-# Distinct word-trigram shingles of the normalized text.
-_SHINGLES_SPARK = f"""
-  CASE WHEN size(split({_NORM_SPARK}, ' ')) >= 3 THEN
-    array_distinct(transform(
-      sequence(1, size(split({_NORM_SPARK}, ' ')) - 2),
-      i -> concat_ws(' ',
-             element_at(split({_NORM_SPARK}, ' '), i),
-             element_at(split({_NORM_SPARK}, ' '), i + 1),
-             element_at(split({_NORM_SPARK}, ' '), i + 2))))
-  ELSE array() END
-"""
-_SHINGLES_DUCK = f"""
-  CASE WHEN len(str_split({_NORM_DUCK}, ' ')) >= 3 THEN
-    list_distinct(list_transform(
-      generate_series(1, len(str_split({_NORM_DUCK}, ' ')) - 2),
-      i -> str_split({_NORM_DUCK}, ' ')[i] || ' ' ||
-           str_split({_NORM_DUCK}, ' ')[i+1] || ' ' ||
-           str_split({_NORM_DUCK}, ' ')[i+2]))
-  ELSE [] END
-"""
-
 # Oracle-side shingle relation with the word split hoisted into a
 # MATERIALIZED CTE: without it DuckDB re-evaluates str_split(normalize(..))
 # for every lambda element (the same O(len²)-per-row trap as Spark's
@@ -333,17 +312,6 @@ def llm_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 60-bit SimHash from md5 word hashes; identical arithmetic both engines
 # (verified: conv(substr(md5(w),1,15),16,10) == CAST('0x'||substr(...) AS
 # BIGINT) bit-for-bit).
-_SIMHASH_SPARK = f"""
-  aggregate(
-    transform(sequence(0, 59), b ->
-      CASE WHEN 2 * size(filter(
-             transform(array_distinct(split({_NORM_SPARK}, ' ')),
-                       w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)),
-             h -> ((h >> b) & 1) = 1))
-           >= size(array_distinct(split({_NORM_SPARK}, ' ')))
-        THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
-    CAST(0 AS BIGINT), (acc, x) -> acc + x)
-"""
 # Word-hash list hoisted into a MATERIALIZED CTE: the inline form
 # re-evaluated the md5 word-hash list for every one of the 60 bit
 # positions (60× per-document work — same lambda-re-evaluation trap as
