@@ -232,3 +232,12 @@ def test_no_partitionless_window_over_raw_relation(spark, key):
             if not _window_over_aggregate(n):
                 offenders.append(n.simpleString(120))
     assert not offenders, offenders
+
+
+def test_line_dedup_stays_linear(spark):
+    # Line-level dedup must be linear: frequency join on the hashed
+    # segment, no pairwise join shapes, partial aggregation present.
+    plan = plan_of(spark, "llm_line_dedup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for segs/freq
