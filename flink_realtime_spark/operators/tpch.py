@@ -653,3 +653,184 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the comparison are exact decimal sums cast to double before the
     fraction multiply, so the cut is engine-invariant."""
     return _sql(spark, sf_dir, ["lineitem"], _Q11_SQL)
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@query("tpch_q4_priority_check", _Q4_ORACLE)
+def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape (order priority checking), fixture-adapted: the
+    original's l_commitdate < l_receiptdate late-delivery predicate becomes
+    l_shipdate > o_orderdate + 60 days (the fixture carries no
+    commit/receipt dates — FIXTURES.md). Quarter-filtered orders LEFT SEMI
+    join their late lines (hash join on l_orderkey with the date predicate
+    as residual — never a per-order re-scan), then a two-phase count by
+    priority."""
+    wh = Warehouse(spark, sf_dir)
+    o = wh.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = wh.lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_Q17_ORACLE = f"""
+SELECT CAST({dsum_sql('l.l_extendedprice')} / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.2 * {davg_sql('l2.l_quantity')}
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+@query("tpch_q17_small_qty", _Q17_ORACLE)
+def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape (small-quantity-order revenue): revenue/7 from
+    orders of one brand whose quantity sits below 20% of that part's mean
+    quantity. The Spark side decorrelates EXPLICITLY — per-part exact mean
+    (decimal path) aggregated once, broadcast back — while the oracle keeps
+    the correlated scalar subquery, so both the value AND Catalyst-free
+    semantics are pinned. At 100 TB the per-part aggregate is tiny
+    (|parts|) and broadcasts; the brand filter reaches the part scan."""
+    wh = Warehouse(spark, sf_dir)
+    li = wh.lineitem
+    brand_parts = wh.part.filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        davg(F.col("l_quantity")).alias("avg_qty")
+    )
+    rows = (
+        li.join(F.broadcast(brand_parts), li["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(per_part.withColumnRenamed("l_partkey", "ap_key")),
+              F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return rows.agg(
+        (dsum(F.col("l_extendedprice")) / 7.0).cast("double").alias("avg_yearly")
+    )
+
+
+_Q18_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey, {dsum_sql('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {dsum_sql('l_quantity')} > 150.0
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@query("tpch_q18_large_volume", _Q18_ORACLE)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape (large-volume customers): orders whose line
+    quantities sum past a threshold, top-100 by order value. The quantity
+    rollup HAVING-filters BEFORE joining orders/customer (the aggregate is
+    the small side after filtering — broadcast), and the top-100 is
+    TakeOrderedAndProject with the unique o_orderkey tiebreak, never a
+    global sort."""
+    wh = Warehouse(spark, sf_dir)
+    big = (
+        wh.lineitem.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150.0)
+    )
+    return (
+        F.broadcast(big)
+        .join(wh.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(wh.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+_Q20_SQL = f"""
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_type LIKE '%PROMO%'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l.l_suppkey
+  HAVING {dsum_sql('l.l_quantity')} > 500.0
+)
+"""
+
+
+@query("tpch_q20_promo_suppliers", _Q20_SQL)
+def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape (potential part promotion), fixture-adapted: the
+    original's partsupp availability chain becomes shipped-quantity — the
+    fixture has no partsupp table (FIXTURES.md) — keeping the
+    IN-(grouped-HAVING-subquery) nesting that must decorrelate to an
+    aggregate + semi join. Dialect-shared SQL: Catalyst's own
+    decorrelation is under test (engine entry point B)."""
+    return _sql(spark, sf_dir, ["supplier", "lineitem", "part"], _Q20_SQL)
+
+
+_Q22_SQL = f"""
+SELECT
+  CAST(c.c_nationkey AS BIGINT) AS cntrycode,
+  COUNT(*) AS numcust,
+  {dsum_sql('c.c_acctbal')} AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (
+    SELECT {davg_sql('c2.c_acctbal')} FROM customer c2
+    WHERE c2.c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY c.c_nationkey
+"""
+
+
+@query("tpch_q22_dormant_rich", _Q22_SQL)
+def tpch_q22_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22 shape (global sales opportunity), fixture-adapted:
+    cntrycode comes from c_nationkey (no c_phone in the fixture) and
+    "never ordered" becomes "no order since 1999" (every fixture customer
+    has SOME order, so the literal form returns empty — dormancy keeps the
+    shape selective). Scalar-average subquery (one-row broadcast) + NOT
+    EXISTS anti join on the filtered orders, grouped per country — the
+    exact decorrelation pair q22 exists to exercise. Dialect-shared SQL."""
+    return _sql(spark, sf_dir, ["customer", "orders"], _Q22_SQL)
