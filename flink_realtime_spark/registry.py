@@ -35,6 +35,7 @@ _MODULES = [
     "flink_realtime_spark.operators.tpch",
     "flink_realtime_spark.operators.windows",
     "flink_realtime_spark.operators.analytic",
+    "flink_realtime_spark.operators.serving",
     "flink_realtime_spark.functions.scalar",
     "flink_realtime_spark.functions.udx",
     "flink_realtime_spark.streaming.stateful",
