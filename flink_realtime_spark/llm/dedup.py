@@ -782,6 +782,71 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_dup_gram_share",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(ws[i:i+{_DECON_N - 1}], ' ') AS gram
+      FROM w, UNNEST(range(1, greatest(len(ws) - {_DECON_N - 2}, 1))) AS t(i)
+    ),
+    dfreq AS (SELECT gram, COUNT(*) AS ndocs FROM g GROUP BY gram),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+    sh AS (
+      SELECT g.doc_id, COUNT(*) AS n_shared
+      FROM g JOIN dfreq USING (gram)
+      WHERE dfreq.ndocs >= 2
+      GROUP BY g.doc_id
+    )
+    SELECT
+      t.doc_id,
+      t.n_grams,
+      COALESCE(s.n_shared, 0) AS n_shared,
+      CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_grams AS dup_share
+    FROM tot t LEFT JOIN sh s USING (doc_id)
+    """,
+)
+def llm_dup_gram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus self-overlap per document: the fraction of a doc's distinct
+    word {_DECON_N}-grams that appear in at least one OTHER document (each
+    gram is distinct within a doc, so a corpus document-frequency >= 2
+    means another doc shares it). This is the cross-document companion to
+    the within-doc `llm_repetition` signal — RefinedWeb-style pipelines
+    gate on both before the expensive pairwise dedup stages.
+
+    Scale shape: gram postings on 8-byte xxhash64 keys, one shuffle to the
+    document-frequency table, one posting re-join, two keyed aggs — linear
+    in total grams, never pairwise. The hot-gram skew AQE can't fix here
+    is bounded: the df table only answers ">= 2", so at 100 TB the count
+    agg can cap per-gram partials early."""
+    wh = Warehouse(spark, sf_dir)
+    grams = _word_ngrams(wh.documents.select("doc_id", "text"), _DECON_N).select(
+        "doc_id", F.xxhash64("gram").alias("gh")
+    )
+    # Three consumers of one narrow relation: materialize once (same
+    # rationale as the minhash posting list; at 100 TB this is an explicit
+    # intermediate table write).
+    grams = grams.localCheckpoint(eager=False)
+    dfreq = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("ndocs"))
+    tot = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (
+        grams.join(dfreq.filter(F.col("ndocs") >= 2), "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return tot.join(shared, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        (
+            F.coalesce("n_shared", F.lit(0)).cast("double") / F.col("n_grams")
+        ).alias("dup_share"),
+    )
+
+
 # ---- semantic dedup (SemDeDup shape): cosine near-dup pairs restricted to
 # a coarse cluster assignment — here the fixture's label column stands in
 # for the k-means cell id an IVF-style quantizer would assign.
