@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from flink_realtime_spark.exprs import bigint
 from flink_realtime_spark.registry import query
-from flink_realtime_spark.tables import Warehouse
+from flink_realtime_spark.tables import Warehouse, rebalance
 
 # Normalized text: lowercase, collapsed whitespace, trimmed.
 _NORM_SPARK = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
@@ -93,8 +93,20 @@ def _with_shingles(df):
     columns don't survive optimization), and higher-order lambdas run
     outside codegen. zip_with passes elements as lambda VARIABLES, so the
     underlying arrays are evaluated once per row and the per-element work
-    is a concat — measured 40× faster at sf0.1."""
+    is a concat — measured 40× faster at sf0.1. The lambdas are still
+    interpreted per element, making this the most CPU-dense narrow stage in
+    the LLM family — rebalance first so it runs at core parallelism instead
+    of the scan's byte-sized task count (no-op once the scan is wide;
+    measured 1.25 s → ~0.2 s at sf0.1).
+
+    Documents with fewer than 3 normalized words (i.e. an empty shingle
+    set) are dropped HERE, as a cheap O(len) predicate evaluated in the
+    scan task — callers must NOT re-filter on ``size(sh) > 0``: that
+    predicate pushes through the rebalance exchange and re-evaluates the
+    full shingle expression single-threaded in the scan (measured: it
+    erased the entire rebalance win)."""
     ws = F.split(F.lower(F.trim(F.regexp_replace("text", "\\s+", " "))), " ")
+    df = rebalance(df.filter(F.size(ws) >= 3), "doc_id")
     n = F.size(ws)
     ln = F.greatest(n - 2, F.lit(0))
     w1 = F.slice(ws, F.lit(1), ln)
@@ -105,12 +117,7 @@ def _with_shingles(df):
         w3,
         lambda ab, c: F.concat_ws(" ", ab, c),
     )
-    return df.withColumn(
-        "sh",
-        F.when(n >= 3, F.array_distinct(grams)).otherwise(
-            F.array().cast("array<string>")
-        ),
-    )
+    return df.withColumn("sh", F.array_distinct(grams))
 
 
 @query(
@@ -395,8 +402,7 @@ def minhash_pairs_over(docs: DataFrame) -> DataFrame:
     representatives instead of the full corpus."""
     sh = (
         _with_shingles(docs.select("doc_id", "text"))
-        .select("doc_id", "sh")
-        .filter(F.size("sh") > 0)
+        .select("doc_id", "sh")  # <3-word docs already dropped upstream
     )
     # The shingle relation feeds three branches (posting list + two
     # verification joins); Spark recomputes lineage per branch, so
@@ -682,8 +688,7 @@ def llm_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = Warehouse(spark, sf_dir)
     sh = (
         _with_shingles(wh.documents.select("doc_id", "text"))
-        .select("doc_id", "sh")
-        .filter(F.size("sh") > 0)
+        .select("doc_id", "sh")  # <3-word docs already dropped upstream
     )
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
     # Both sides of the self-similarity join read feats: truncate lineage so
@@ -737,7 +742,10 @@ def _word_ngrams(df: DataFrame, n: int) -> DataFrame:
     """Distinct word n-grams per doc as column ``gram`` (exploded), built by
     zip_with over shifted slices — same rationale as _with_shingles: lambda
     variables keep the split() evaluated once per row (CollapseProject
-    re-inlines staged columns into element_at lambdas, going O(words²))."""
+    re-inlines staged columns into element_at lambdas, going O(words²)).
+    Rebalanced first: the zip_with chain is interpreted CPU over a
+    byte-small scan (see _with_shingles)."""
+    df = rebalance(df, "doc_id")
     ws = F.split(F.col("text"), " ")
     ln = F.greatest(F.size(ws) - (n - 1), F.lit(0))
     acc = F.slice(ws, F.lit(1), ln)
@@ -1127,8 +1135,7 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = Warehouse(spark, sf_dir)
     sh = (
         _with_shingles(wh.documents.select("doc_id", "text"))
-        .select("doc_id", "sh")
-        .filter(F.size("sh") > 0)
+        .select("doc_id", "sh")  # <3-word docs already dropped upstream
     )
     sh = sh.localCheckpoint(eager=False)
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
@@ -1224,7 +1231,7 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     split per element (CollapseProject), while posexplode + groupBy stays
     in whole-stage codegen."""
     wh = Warehouse(spark, sf_dir)
-    words = wh.documents.select(
+    words = rebalance(wh.documents, "doc_id").select(
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("wpos", "w"),
     )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from flink_realtime_spark.llm.dedup import cosine_expr
 from flink_realtime_spark.registry import query
-from flink_realtime_spark.tables import Warehouse
+from flink_realtime_spark.tables import Warehouse, rebalance
 
 K = 5
 N_QUERIES = 20
@@ -57,7 +57,10 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order-dependent only at the ~1e-16 ulp level (decimal sums were tried
     # and are 3× slower on the BigDecimal agg path); the 6-decimal rounding
     # and rank tiebreaks absorb it.
-    x = wh.embeddings.select(
+    # The dot-product join fans each corpus vector out |queries| times —
+    # compute-dense relative to the byte-small scan, so rebalance the
+    # corpus to core parallelism first (no-op once the scan is wide).
+    x = rebalance(wh.embeddings, "vec_id").select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
     )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_realtime_spark.registry import query
-from flink_realtime_spark.tables import Warehouse
+from flink_realtime_spark.tables import Warehouse, rebalance
 
 _STOPWORDS = ["the", "a", "of", "and", "to", "in", "on", "for", "with", "by"]
 _SW_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
@@ -198,7 +198,7 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang-id / domain-classification pass; swap the voting table for real
     per-language n-gram profiles when labels aren't available."""
     wh = Warehouse(spark, sf_dir)
-    doc_tokens = wh.documents.select(
+    doc_tokens = rebalance(wh.documents, "doc_id").select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
     ).distinct()
     word_lang = doc_tokens.groupBy("word", "lang").agg(
@@ -266,7 +266,6 @@ def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = Warehouse(spark, sf_dir)
     shingles = (
         _with_shingles(wh.documents.select("doc_id", "text"))
-        .filter(F.size("sh") > 0)
         .select("doc_id", F.explode("sh").alias("sh"))
     )
     return shingles.groupBy("doc_id").agg(
@@ -317,7 +316,7 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(ws, 2, F.size(ws) - 1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    grams = wh.documents.filter(F.size(ws) >= 2).select(
+    grams = rebalance(wh.documents.filter(F.size(ws) >= 2), "doc_id").select(
         "doc_id",
         F.size(ws).alias("n_words"),
         F.size(F.array_distinct(ws)).alias("n_unique"),

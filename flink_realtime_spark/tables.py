@@ -87,6 +87,35 @@ def evict_table_cache(sf_dir: str | None = None) -> None:
             del per_session[key]
 
 
+def rebalance(df: DataFrame, key: str = None) -> DataFrame:
+    """Ensure a CPU-dense narrow stage runs with parallelism >= cores.
+
+    Parquet scans partition by BYTES (maxPartitionBytes), which is right for
+    IO-bound work but starves compute-dense transforms over byte-small
+    inputs: a 1 MB single-row-group documents file is ONE task no matter how
+    expensive the per-row work (shingling, signature hashing) — and a
+    single-row-group file cannot be split, so minPartitionNum can't help.
+    This is the same mismatch AQE's rebalance fixes for shuffle stages,
+    applied to the scan side: hash-repartition to the session's parallelism
+    BEFORE the dense transform. Gated on the input's current partition
+    count, so at real scale (scan already wider than the core count) it is
+    an exact no-op and costs nothing; when it does fire, it ships raw rows
+    once — negligible against the transform CPU it parallelizes.
+
+    ``key`` (a column name) makes the placement a deterministic hash
+    partitioning; without it Spark uses round-robin, fine for stateless
+    per-row work."""
+    try:
+        sc_parallelism = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # e.g. Spark Connect: no SparkContext handle
+        sc_parallelism = os.cpu_count() or 8
+    if df.rdd.getNumPartitions() >= sc_parallelism:
+        return df
+    if key is not None:
+        return df.repartition(sc_parallelism, F.col(key))
+    return df.repartition(sc_parallelism)
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, fresh: bool = False
 ) -> DataFrame:

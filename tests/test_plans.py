@@ -241,3 +241,41 @@ def test_line_dedup_stays_linear(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final for segs/freq
+
+
+def test_rebalance_gates_on_partition_count(spark):
+    """rebalance() must widen a narrow scan to core parallelism and be an
+    exact no-op (same object) when the input is already wide — the
+    guarantee that makes it free at real scale."""
+    from flink_realtime_spark.tables import rebalance
+
+    wide = spark.range(0, 1000, 1, 64).withColumnRenamed("id", "k")
+    assert rebalance(wide, "k") is wide
+    narrow = spark.range(0, 1000, 1, 1).withColumnRenamed("id", "k")
+    out = rebalance(narrow, "k")
+    assert (
+        out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_shingle_rebalance_not_undone_by_pushdown(spark):
+    """Regression guard for the pushdown-through-repartition trap
+    (SCALE.md Lessons): no zip_with (the dense shingle expression) may
+    appear BELOW the rebalance Exchange — a `size(sh) > 0`-style filter
+    pushed through it would re-run the whole shingle build serially in
+    the single-task scan."""
+    from flink_realtime_spark.llm.dedup import _with_shingles
+    from flink_realtime_spark.tables import Warehouse
+
+    wh = Warehouse(spark, SF_DIR)
+    df = _with_shingles(wh.documents.select("doc_id", "text"))
+    found = []
+    for n in _iter_nodes(df._jdf.queryExecution().optimizedPlan()):
+        if "RepartitionByExpression" in n.nodeName():
+            found.append(n)
+    assert found, "shingle build lost its rebalance exchange"
+    for rep in found:
+        below = rep.children().apply(0).treeString()
+        assert "zip_with" not in below, (
+            "dense shingle expression pushed below the rebalance exchange"
+        )
