@@ -971,7 +971,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_realtime_spark.plans.graph import pagerank
 
     wh = Warehouse(spark, sf_dir)
-    pairs = minhash_pairs(wh).select("doc_a", "doc_b")
+    # The edge relation feeds every power round: materialize the banded
+    # LSH + verification ONCE (without this the whole pair derivation
+    # replays per round — measured 10 rounds × ~1 s of redundant work).
+    pairs = minhash_pairs(wh).select("doc_a", "doc_b").localCheckpoint(
+        eager=False
+    )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(

@@ -1124,3 +1124,110 @@ def test_stream_session_dynamic_gap_equals_batch(spark):
     batch = registry.QUERIES["win_session_dynamic"](spark, SF_DIR)
     cols = ["user_id", "sess_start", "sess_end", "n_events"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_mv_incremental_stream_matches_batch(spark, chunked_events_dir, tmp_path):
+    """Continuous MV maintenance (the streaming form of
+    mv_incremental_refresh): a foreachBatch loop folds each micro-batch's
+    commutative partials (count / exact-decimal sum / max) into a stored
+    MV. After replaying all chunks, serving the MV (avg derived from the
+    partials) must equal the from-scratch batch recompute — the
+    merge==recompute contract held continuously, not just once."""
+    from flink_realtime_spark.operators.serving import mv_serve, mv_stream_writer
+
+    mv_dir = str(tmp_path / "mv_store")
+    sdf = file_stream_source(
+        spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
+    )
+    q = mv_stream_writer(sdf, mv_dir).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    served = mv_serve(spark, mv_dir)
+    ev = load_table(spark, SF_DIR, "events")
+    batch = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("d"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_dec"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "d",
+            "event_type",
+            "n_events",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+            "max_value",
+            (F.col("sum_dec").cast("double") / F.col("n_events"))
+            .cast("double")
+            .alias("avg_value"),
+        )
+    )
+    cols = ["d", "event_type", "n_events", "sum_value", "max_value", "avg_value"]
+    assert _rows(served, cols) == _rows(batch, cols)
+
+
+def test_rule_engine_stream_applies_refreshed_rules(
+    spark, chunked_events_dir, tmp_path
+):
+    """Dynamic rules against a live stream (the Flink broadcast-state
+    pattern behind state_rule_engine): each micro-batch joins the CURRENT
+    rules snapshot; the rules are rewritten between micro-batches and the
+    later batches must alert under the NEW thresholds. Per-batch alert
+    counts are checked against batch recomputes of each chunk under the
+    rule version that was live when it arrived."""
+    from flink_realtime_spark.streaming.lookup import lookup_join_per_batch
+
+    rules_dir = str(tmp_path / "rules")
+    rules_ddl = "event_type STRING, threshold DOUBLE"
+    types = ["click", "view", "purchase", "signup", "error"]
+
+    def write_rules(threshold: float) -> None:
+        spark.createDataFrame(
+            [(t, threshold) for t in types], rules_ddl
+        ).coalesce(1).write.mode("overwrite").parquet(rules_dir)
+
+    write_rules(90.0)  # v1: strict — few alerts
+
+    sdf = file_stream_source(
+        spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
+    )
+    alerts: dict[int, int] = {}
+
+    def sink(joined, batch_id: int) -> None:
+        alerts[batch_id] = joined.filter(
+            F.col("value") > F.col("threshold")
+        ).count()
+        if batch_id == 0:
+            write_rules(50.0)  # v2: looser — alert rate jumps mid-stream
+
+    q = (
+        lookup_join_per_batch(
+            sdf,
+            rules_dir,
+            rules_ddl,
+            on=lambda b, d: b["event_type"] == d["event_type"],
+            sink=sink,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert sorted(alerts) == [0, 1, 2]
+    ev = load_table(spark, SF_DIR, "events")
+    n = ev.count()
+
+    def chunk_alerts(i: int, threshold: float) -> int:
+        return (
+            ev.filter(
+                (F.col("event_id") >= i * n / 3)
+                & (F.col("event_id") < (i + 1) * n / 3)
+            )
+            .filter(F.col("value") > threshold)
+            .count()
+        )
+
+    assert alerts[0] == chunk_alerts(0, 90.0)  # v1 rules live for batch 0
+    assert alerts[1] == chunk_alerts(1, 50.0)  # v2 picked up mid-stream
+    assert alerts[2] == chunk_alerts(2, 50.0)
+    assert alerts[1] > alerts[0]  # the refresh visibly changed behavior
