@@ -94,6 +94,65 @@ def build_dup_docs(spark, k: int) -> str:
     return out
 
 
+def build_distinct_docs(spark, k: int) -> str:
+    """documents grown k× with DISTINCT text: every word in replica r is
+    tagged ``word_r``, so replicas share no shingles (vocabulary scales
+    k×, zero cross-replica near-dup pairs). This is the corpus-GROWTH
+    shape — more unique content — as opposed to build_dup_docs's
+    duplicate-heavy shape; together they bracket what a crawl does."""
+    out = f"{WORK}/grow{k}"
+    if os.path.exists(os.path.join(out, "_OK")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = load_table(spark, SRC, "documents")
+    n_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+    (
+        docs.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n_doc)
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda w: F.concat(w, F.lit("_"), F.col("rep")),
+                ),
+                " ",
+            ),
+        )
+        .drop("rep")
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "documents.parquet"))
+    )
+    for name in TABLE_NAMES:
+        dst = os.path.join(out, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, f"{name}.parquet"), dst)
+    open(os.path.join(out, "_OK"), "w").close()
+    return out
+
+
+def corpus_scale(spark, ks) -> None:
+    """Corpus-growth curve for the LLM family: wall time per key at k×
+    DISTINCT corpus size. Near-linear growth = the posting/banding plans
+    scale with content volume; super-linear growth would mean a pairwise
+    blow-up hiding somewhere."""
+    for k in ks:
+        sf_dir = SRC if k == 1 else build_distinct_docs(spark, k)
+        for key in (
+            "llm_dedup_exact",
+            "llm_dedup_minhash",
+            "llm_dedup_ngram_jaccard",
+            "llm_dup_gram_share",
+            "llm_text_stats",
+        ):
+            t0 = time.perf_counter()
+            n = registry.QUERIES[key](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            print(f"grow×{k:<3} {key:<24} {dt:6.2f}s  ({n} out rows)")
+
+
 def dedup_stress(spark, ks) -> None:
     for k in ks:
         sf_dir = SRC if k == 1 else build_dup_docs(spark, k)
@@ -106,6 +165,15 @@ def dedup_stress(spark, ks) -> None:
 
 
 def main() -> None:
+    if "--corpus" in sys.argv:
+        sys.argv.remove("--corpus")
+        ks = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
+        registry.load_all()
+        spark = get_spark("scale-probe-corpus")
+        registry.QUERIES["llm_dedup_minhash"](spark, SRC).count()  # warm
+        corpus_scale(spark, ks)
+        spark.stop()
+        return
     if "--dedup" in sys.argv:
         sys.argv.remove("--dedup")
         ks = [int(a) for a in sys.argv[1:]] or [1, 5, 10]
