@@ -279,3 +279,66 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("max_abs_err"),
     )
+
+
+_PROJ_DIM = 16  # output dimensionality of the signed projection
+
+# Deterministic ±1 sign matrix both engines can compute bit-identically:
+# s(i, j) = +1 iff ((i+7)·(j+13)·2654435761) mod 1000 < 500. Integer-only,
+# so Spark and DuckDB agree exactly; a production system would use a
+# seeded Gaussian/sparse JL matrix — the plan shape is identical.
+_PROJ_SIGN_SQL = "CASE WHEN ((i+7)*(j+13)*2654435761) % 1000 < 500 THEN 1.0 ELSE -1.0 END"
+
+
+@query(
+    "llm_random_projection",
+    f"""
+    WITH x AS (
+      SELECT vec_id,
+             unnest(CAST(embedding AS DOUBLE[])) AS v,
+             unnest(generate_series(0, len(embedding) - 1)) AS i
+      FROM embeddings
+    )
+    SELECT
+      vec_id,
+      CAST(j AS BIGINT) AS out_dim,
+      ROUND(CAST(SUM(CAST(v * {_PROJ_SIGN_SQL} AS DECIMAL(28,10)))
+            AS DOUBLE) / sqrt({_PROJ_DIM}), 6) AS proj
+    FROM x CROSS JOIN generate_series(0, {_PROJ_DIM - 1}) AS t(j)
+    GROUP BY vec_id, j
+    """,
+)
+def llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection (Johnson–Lindenstrauss family): reduce the
+    embedding to {_PROJ_DIM} dims via a deterministic ±1 sign matrix —
+    the standard cheap preprocessing before LSH bucketing or coarse ANN,
+    and the dense-matrix analog of SimHash's hyperplane signs. Long-format
+    output (vec_id, out_dim, proj).
+
+    Scale shape: posexplode the (rebalanced) corpus, broadcast the tiny
+    output-dimension range, one two-phase keyed agg — a pure GEMM-by-join
+    that stays in whole-stage codegen; cost is O(N·d·k) map-side work with
+    partial aggregation, no driver materialization. Sums go through
+    DECIMAL(28,10) per term so accumulation order (partitioning) cannot
+    move the rounded result."""
+    wh = Warehouse(spark, sf_dir)
+    x = rebalance(wh.embeddings, "vec_id").select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v"),
+    )
+    dims = wh.spark.range(_PROJ_DIM).select(F.col("id").alias("j"))
+    sign = F.when(
+        ((F.col("i") + 7) * (F.col("j") + 13) * F.lit(2654435761)) % 1000 < 500,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    return (
+        x.crossJoin(F.broadcast(dims))
+        .groupBy("vec_id", F.col("j").cast("long").alias("out_dim"))
+        .agg(
+            F.round(
+                F.sum((F.col("v") * sign).cast("decimal(28,10)")).cast("double")
+                / F.lit(_PROJ_DIM) ** 0.5,
+                6,
+            ).alias("proj")
+        )
+    )

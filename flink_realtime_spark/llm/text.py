@@ -596,3 +596,77 @@ def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+_BPE_TOPK = 20
+
+_BPE_ORACLE = f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS wf FROM (
+    SELECT unnest(str_split(text, ' ')) AS word FROM documents
+  ) GROUP BY word
+),
+pairs AS (
+  SELECT
+    unnest(list_transform(
+      generate_series(1, len(string_split(word, '')) - 1),
+      i -> string_split(word, '')[i] || string_split(word, '')[i + 1]
+    )) AS pair,
+    wf
+  FROM words
+),
+scored AS (
+  SELECT pair, CAST(SUM(wf) AS BIGINT) AS freq FROM pairs GROUP BY pair
+)
+SELECT pair, freq,
+       CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, pair ASC) AS BIGINT)
+         AS rnk
+FROM scored
+ORDER BY rnk
+LIMIT {_BPE_TOPK}
+"""
+
+
+@query("llm_bpe_pair_freq", _BPE_ORACLE)
+def llm_bpe_pair_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction, one merge round: adjacent-character pair
+    frequencies over word TYPES weighted by corpus word frequency — the
+    statistic every byte-pair-encoding trainer computes before each merge.
+    Top-{_BPE_TOPK} pairs with a deterministic (freq desc, pair asc) rank.
+
+    Scale shape: the corpus collapses to its word-frequency table first
+    (one token shuffle — word types ≪ tokens), chars explode only over
+    the small type table, and the pair agg is two-phase over a pair space
+    bounded by alphabet². A full BPE trainer is this statistic in a loop
+    with a merge-apply step between rounds. The oracle's per-element
+    string_split lambda is quadratic per word but words are short; the
+    Spark side uses the zip_with shifted-slice builder (SCALE.md
+    Lessons)."""
+    wh = Warehouse(spark, sf_dir)
+    words = (
+        rebalance(wh.documents, "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    cs = F.split(F.col("word"), "")
+    ln = F.greatest(F.size(cs) - 1, F.lit(0))
+    prs = F.zip_with(
+        F.slice(cs, F.lit(1), ln),
+        F.slice(cs, F.lit(2), ln),
+        lambda a, b: F.concat(a, b),
+    )
+    scored = (
+        words.select(F.explode(prs).alias("pair"), "wf")
+        .groupBy("pair")
+        .agg(F.sum("wf").cast("long").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("pair").asc())
+    # Global top-K over the tiny aggregated pair table (alphabet² rows) —
+    # the partition-less window sits over an Aggregate, the allowed shape
+    # (tests/test_plans.py sweep).
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _BPE_TOPK)
+        .orderBy("rnk")
+    )

@@ -63,6 +63,8 @@ _PRIORITY_HEAD = [
     "llm_dedup_exact", "llm_knn_cosine", "llm_text_stats",
     "pipe_sample_hash", "llm_multimodal_join", "udf_scalar_pandas",
     "sort_topk", "subq_lateral_topn", "tpch_q6_forecast",
+    "mv_incremental_refresh", "state_rule_engine", "dq_anomaly_zscore",
+    "llm_dup_gram_share",
     # widen each family with its other cheap members
     "flatmap_explode", "dedup_exact", "setop_union_all", "sort_multi_key",
     "join_outer_left", "join_semi", "join_anti", "join_dim_broadcast",
