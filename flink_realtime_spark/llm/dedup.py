@@ -396,24 +396,16 @@ def minhash_pairs(wh: Warehouse) -> DataFrame:
     return minhash_pairs_over(wh.documents)
 
 
-def minhash_pairs_over(docs: DataFrame) -> DataFrame:
-    """minhash_pairs over an arbitrary (doc_id, text) relation — lets the
-    two-stage pipeline run the banded search on exact-group
-    representatives instead of the full corpus."""
-    sh = (
-        _with_shingles(docs.select("doc_id", "text"))
-        .select("doc_id", "sh")  # <3-word docs already dropped upstream
-    )
-    # The shingle relation feeds three branches (posting list + two
-    # verification joins); Spark recomputes lineage per branch, so
-    # materialize it once. localCheckpoint truncates lineage into the
-    # block manager (MBs here; at 100 TB this step is an explicit
-    # intermediate parquet/Delta write). Measured 2.3× at sf0.1.
-    sh = sh.localCheckpoint(eager=False)
-    # Minhashes as plain codegen'd columns over the exploded posting list —
-    # higher-order lambdas are interpreted per element in Spark and measure
-    # ~10x slower here; explode + groupBy(min x16) stays in whole-stage
-    # codegen with a map-side partial min.
+def _band_signatures(sh: DataFrame) -> DataFrame:
+    """Banded MinHash signatures (doc_id, sig) from a (doc_id, sh)
+    relation. Minhashes as plain codegen'd columns over the exploded
+    posting list — higher-order lambdas are interpreted per element in
+    Spark and measure ~10x slower here; explode + groupBy(min x16) stays
+    in whole-stage codegen with a map-side partial min. One long per
+    band: xxhash64 over the band's 4 minhashes + band idx — a scalar
+    join key keeps the bucket join a plain shuffled hash join (array
+    keys degrade it); hash collisions are harmless, candidates are
+    verified with exact Jaccard downstream."""
     posting = sh.select("doc_id", F.explode("sh").alias("s"))
     minh = posting.groupBy("doc_id").agg(
         *[
@@ -421,11 +413,7 @@ def minhash_pairs_over(docs: DataFrame) -> DataFrame:
             for i in range(_N_HASH)
         ]
     )
-    # One long per band: xxhash64 over the band's 4 minhashes + band idx.
-    # A scalar join key keeps this a plain shuffled hash join (array-typed
-    # keys degrade the join); hash collisions are harmless — candidates are
-    # verified with exact Jaccard below.
-    bands = minh.select(
+    return minh.select(
         "doc_id",
         F.explode(
             F.array(
@@ -442,6 +430,23 @@ def minhash_pairs_over(docs: DataFrame) -> DataFrame:
             )
         ).alias("sig"),
     )
+
+
+def minhash_pairs_over(docs: DataFrame) -> DataFrame:
+    """minhash_pairs over an arbitrary (doc_id, text) relation — lets the
+    two-stage pipeline run the banded search on exact-group
+    representatives instead of the full corpus."""
+    sh = (
+        _with_shingles(docs.select("doc_id", "text"))
+        .select("doc_id", "sh")  # <3-word docs already dropped upstream
+    )
+    # The shingle relation feeds three branches (posting list + two
+    # verification joins); Spark recomputes lineage per branch, so
+    # materialize it once. localCheckpoint truncates lineage into the
+    # block manager (MBs here; at 100 TB this step is an explicit
+    # intermediate parquet/Delta write). Measured 2.3× at sf0.1.
+    sh = sh.localCheckpoint(eager=False)
+    bands = _band_signatures(sh)
     cand = (
         bands.alias("a")
         .join(
@@ -492,6 +497,65 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin-gapped corpus the outputs coincide; the property test guards the
     recall assumption."""
     return minhash_pairs(Warehouse(spark, sf_dir))
+
+
+_INCR_MOD = 10  # doc_id % 10 == 0 models "today's new batch"; rest = index
+
+_INCR_ORACLE = f"""
+    WITH {_PAIRS_CTE_DUCK}
+    SELECT doc_a AS new_id, doc_b AS corpus_id, jaccard FROM pairs
+    WHERE doc_a % {_INCR_MOD} = 0 AND doc_b % {_INCR_MOD} <> 0
+    UNION ALL
+    SELECT doc_b AS new_id, doc_a AS corpus_id, jaccard FROM pairs
+    WHERE doc_b % {_INCR_MOD} = 0 AND doc_a % {_INCR_MOD} <> 0
+"""
+
+
+@query("llm_dedup_incremental", _INCR_ORACLE)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production ingestion shape: dedup TODAY'S
+    batch against the already-indexed corpus, never recomputing
+    corpus×corpus. The banded-signature relation is the persistent index
+    (at 100 TB a stored table keyed by band sig, appended per batch);
+    each ingest computes signatures for the NEW docs only and equi-joins
+    them against the index, so per-batch cost is O(|batch|) + one bucket
+    join — while full-recompute dedup is O(|corpus|) every day. Candidates
+    get the same exact-Jaccard verification as llm_dedup_minhash; the
+    oracle is the exact cross-partition pair set (new side %{_INCR_MOD}
+    == 0, both directions)."""
+    wh = Warehouse(spark, sf_dir)
+    sh = (
+        _with_shingles(wh.documents.select("doc_id", "text"))
+        .select("doc_id", "sh")
+        .localCheckpoint(eager=False)
+    )
+    bands = _band_signatures(sh).localCheckpoint(eager=False)
+    is_new = F.col("doc_id") % _INCR_MOD == 0
+    newb = bands.filter(is_new)
+    index = bands.filter(~is_new)
+    cand = (
+        newb.alias("n")
+        .join(index.alias("c"), F.col("n.sig") == F.col("c.sig"))
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    cand = cand.join(
+        sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sha")),
+        "new_id",
+    ).join(
+        sh.select(F.col("doc_id").alias("corpus_id"), F.col("sh").alias("shb")),
+        "corpus_id",
+    )
+    shared = F.size(F.array_intersect("sha", "shb"))
+    union_n = F.size("sha") + F.size("shb") - shared
+    return (
+        cand.withColumn("jaccard", shared.cast("double") / union_n)
+        .filter(shared >= 0.5 * union_n)
+        .select("new_id", "corpus_id", "jaccard")
+    )
 
 
 # Connected components over the near-dup pair graph: the step that turns
