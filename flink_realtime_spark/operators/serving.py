@@ -339,3 +339,99 @@ def dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.cast("decimal(18,3)").cast("double").alias("zscore"),
         (~z.between(-_Z_FLAG, _Z_FLAG)).alias("is_anomaly"),
     )
+
+
+# Spike-count series: rare enough (value > threshold) that some (day,
+# type) slots have no observation — the gap the fill must close.
+_SPIKE_THR = 350.0
+
+_FFILL_WIN_SQL = (
+    "OVER (PARTITION BY g.event_type ORDER BY g.d "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
+
+@query(
+    "ads_gap_fill_ffill",
+    f"""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ),
+    days AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+             AS TIMESTAMP) AS d
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    obs AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, event_type,
+             COUNT(*) AS n
+      FROM events WHERE value > {_SPIKE_THR} GROUP BY 1, 2
+    ),
+    grid AS (SELECT d, event_type FROM days CROSS JOIN types)
+    SELECT
+      g.d,
+      g.event_type,
+      CAST(COALESCE(last_value(o.n IGNORE NULLS) {_FFILL_WIN_SQL}, 0)
+           AS BIGINT) AS n_filled,
+      CASE WHEN o.n IS NOT NULL THEN 'obs'
+           WHEN last_value(o.n IGNORE NULLS) {_FFILL_WIN_SQL} IS NOT NULL
+             THEN 'ffill'
+           ELSE 'none' END AS src
+    FROM grid g LEFT JOIN obs o USING (d, event_type)
+    """,
+)
+def ads_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-series gap filling with forward-fill — the densification step
+    between a sparse metric (here: daily count of value>{_SPIKE_THR} spike
+    events per type) and a dashboard that needs one row per (day, type)
+    slot. Build the complete day×type grid from the data's own bounds,
+    left-join the observations, carry the last observation forward per
+    type (`F.last(ignorenulls=True)` over a rows frame), and label each
+    slot obs/ffill/none so consumers can see what is real.
+
+    Scale shape: the grid is days×types rows (metadata-sized), built from
+    a 1-row bounds aggregate; the only event-scale work is the one
+    filtered pre-aggregation. The fill window partitions by type and
+    orders by the unique day — per-partition state is one value. The
+    companion detector is dq_gap_detection; this op CLOSES the gaps."""
+    wh = Warehouse(spark, sf_dir)
+    ev = wh.events
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("d")
+    )
+    types = ev.select("event_type").distinct()
+    obs = (
+        ev.filter(F.col("value") > _SPIKE_THR)
+        .groupBy(F.date_trunc("day", "ts").alias("d"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = days.crossJoin(F.broadcast(types))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last("n", ignorenulls=True).over(w)
+    return (
+        grid.join(obs, ["d", "event_type"], "left")
+        .select(
+            "d",
+            "event_type",
+            F.coalesce(filled, F.lit(0)).cast("long").alias("n_filled"),
+            F.when(F.col("n").isNotNull(), F.lit("obs"))
+            .when(filled.isNotNull(), F.lit("ffill"))
+            .otherwise(F.lit("none"))
+            .alias("src"),
+        )
+    )
