@@ -8,6 +8,10 @@ planning) an unbounded run uses; Kafka swaps in for the file source with
 identical downstream plans.
 
 Usage: python tools/stream_bench.py [k]   (events replicated k×, default 10)
+       python tools/stream_bench.py --stateful [k]
+         (same replay through the applyInPandasWithState keyed-state path —
+          per-user latest-image compaction — measuring the Python-state
+          operator family's events/s instead of the JVM-only topology)
 """
 
 from __future__ import annotations
@@ -32,7 +36,53 @@ from flink_realtime_spark.tables import load_table
 SRC = "/root/testdata/sf0.1"
 
 
+def stateful_main() -> None:
+    """Throughput of the keyed Python-state path: per-user latest-image
+    compaction via applyInPandasWithState (RocksDB state store). This is
+    the family every custom stateful operator (CDC compaction, SCD2,
+    timers, NFA) pays for — Arrow batches in, per-key state rows, Arrow
+    out."""
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("stream-bench-stateful")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    from flink_realtime_spark.streaming.stateful import (
+        apply_with_state,
+        latest_image_state_fn,
+    )
+    from tools.scale_probe import build
+
+    sf_dir = SRC if k == 1 else build(spark, k)
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    n_events = spark.read.parquet(ev_path).count()
+    if os.path.isdir(ev_path):
+        sdf = file_stream_source(spark, ev_path, EVENTS_DDL)
+    else:
+        sdf = file_stream_source(spark, sf_dir, EVENTS_DDL, glob="events.parquet")
+    out = apply_with_state(
+        sdf.select("user_id", "event_id", "ts", "event_type", "value"),
+        "user_id",
+        latest_image_state_fn,
+    )
+    t0 = time.perf_counter()
+    n_out = run_available_now(out, "append").count()
+    dt = time.perf_counter() - t0
+    print(
+        f"streamed {n_events} events through applyInPandasWithState "
+        f"latest-image in {dt:.2f}s = {n_events / dt / 1e3:.0f}k events/s "
+        f"({n_out} state emissions)"
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if "--stateful" in sys.argv:
+        sys.argv.remove("--stateful")
+        stateful_main()
+        return
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("stream-bench")
     from tools.scale_probe import build  # reuses the key-offset replicas
