@@ -60,12 +60,21 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The dot-product join fans each corpus vector out |queries| times —
     # compute-dense relative to the byte-small scan, so rebalance the
     # corpus to core parallelism first (no-op once the scan is wide).
-    x = rebalance(wh.embeddings, "vec_id").select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    base = rebalance(wh.embeddings, "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    norms = x.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm")
+    x = base.select(
+        "vec_id", F.posexplode("emb").alias("pos", "v")
+    )
+    # Norms straight off the array column (one interpreted aggregate over
+    # a |corpus|-row relation — trivial) instead of a fourth branch of the
+    # exploded relation: keeps the plan to two posexplode subtrees, and a
+    # norms table this small broadcasts for BOTH sim joins.
+    norms = base.select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate("emb", F.lit(0.0), lambda acc, e: acc + e * e)
+        ).alias("norm"),
     )
     qx = x.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "pos", F.col("v").alias("qv")
@@ -83,7 +92,9 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
         )
         .join(
-            norms.withColumnsRenamed({"vec_id": "neighbor_id", "norm": "nn"}),
+            F.broadcast(
+                norms.withColumnsRenamed({"vec_id": "neighbor_id", "norm": "nn"})
+            ),
             "neighbor_id",
         )
         .withColumn("sim", F.col("dot") / (F.col("qn") * F.col("nn")))
