@@ -521,7 +521,7 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     them against the index, so per-batch cost is O(|batch|) + one bucket
     join — while full-recompute dedup is O(|corpus|) every day. Candidates
     get the same exact-Jaccard verification as llm_dedup_minhash; the
-    oracle is the exact cross-partition pair set (new side %{_INCR_MOD}
+    oracle is the exact cross-partition pair set (new side doc_id % 10
     == 0, both directions)."""
     wh = Warehouse(spark, sf_dir)
     sh = (
@@ -883,7 +883,7 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_dup_gram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus self-overlap per document: the fraction of a doc's distinct
-    word {_DECON_N}-grams that appear in at least one OTHER document (each
+    word 4-grams that appear in at least one OTHER document (each
     gram is distinct within a doc, so a corpus document-frequency >= 2
     means another doc shares it). This is the cross-document companion to
     the within-doc `llm_repetition` signal — RefinedWeb-style pipelines

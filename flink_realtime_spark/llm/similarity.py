@@ -321,7 +321,7 @@ _PROJ_SIGN_SQL = "CASE WHEN ((i+7)*(j+13)*2654435761) % 1000 < 500 THEN 1.0 ELSE
 )
 def llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed random projection (Johnson–Lindenstrauss family): reduce the
-    embedding to {_PROJ_DIM} dims via a deterministic ±1 sign matrix —
+    embedding to 16 dims via a deterministic ±1 sign matrix —
     the standard cheap preprocessing before LSH bucketing or coarse ANN,
     and the dense-matrix analog of SimHash's hyperplane signs. Long-format
     output (vec_id, out_dim, proj).

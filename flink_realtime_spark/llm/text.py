@@ -632,7 +632,7 @@ def llm_bpe_pair_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE vocabulary induction, one merge round: adjacent-character pair
     frequencies over word TYPES weighted by corpus word frequency — the
     statistic every byte-pair-encoding trainer computes before each merge.
-    Top-{_BPE_TOPK} pairs with a deterministic (freq desc, pair asc) rank.
+    Top-20 pairs with a deterministic (freq desc, pair asc) rank.
 
     Scale shape: the corpus collapses to its word-frequency table first
     (one token shuffle — word types ≪ tokens), chars explode only over

@@ -55,8 +55,8 @@ _MV_CUTOFF = "2000-01-01"
 )
 def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance: a monthly revenue MV whose
-    base state (orders before {_MV_CUTOFF}) is merged with the intra-day
-    delta (orders on/after it) by unioning PARTIAL aggregate states —
+    base state (orders before the 2000-01-01 cutoff) is merged with the
+    intra-day delta (on/after it) by unioning PARTIAL aggregate states —
     (count, exact-decimal sum, max) — and re-combining with SUM/SUM/MAX.
     AVG is derived from the merged partials at serve time, never stored.
     The oracle recomputes the view from scratch over all orders; hash
@@ -136,7 +136,7 @@ def state_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic rule engine — the Flink broadcast-state pattern (a small,
     mutable rules relation evaluated against the keyed event stream) as a
     broadcast hash join. Rules here are data, not code: one threshold row
-    per event_type ({_RULE_FACTOR}× the type's mean value), derived from
+    per event_type (1.5× the type's mean value), derived from
     the same warehouse so the oracle can re-derive them; in production the
     rules side is the slowly-changing config stream Flink would broadcast.
 
@@ -385,7 +385,7 @@ _FFILL_WIN_SQL = (
 )
 def ads_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse-series gap filling with forward-fill — the densification step
-    between a sparse metric (here: daily count of value>{_SPIKE_THR} spike
+    between a sparse metric (here: daily counts of rare spike
     events per type) and a dashboard that needs one row per (day, type)
     slot. Build the complete day×type grid from the data's own bounds,
     left-join the observations, carry the last observation forward per
