@@ -44,7 +44,7 @@ N_QUERIES = 20
     """,
 )
 def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k (k={K}) for the first {N} query vectors, no UDF:
+    """Exact cosine top-k (k=5) for the first 20 query vectors, no UDF:
     exploded dot-product join with per-query rank and a deterministic
     neighbor_id tie-break. This is the correctness baseline llm_knn_ivf's
     recall is measured against."""
