@@ -765,3 +765,69 @@ def over_streak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("len").cast("long").alias("n_active_days"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+@query(
+    "ads_time_to_convert",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'view') AS first_view,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT
+        CAST(date_trunc('day', first_purchase) AS TIMESTAMP) AS conv_day,
+        epoch_us(first_purchase) - epoch_us(first_view) AS dur_us
+      FROM u
+      WHERE first_purchase > first_view
+    )
+    SELECT
+      conv_day,
+      COUNT(*) AS n_converted,
+      CAST(CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1000000.0 AS DOUBLE)
+        AS avg_sec,
+      CAST(median(dur_us) / 1000000.0 AS DOUBLE) AS median_sec
+    FROM conv
+    GROUP BY conv_day
+    """,
+)
+def ads_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert board (the latency companion to the conversion
+    funnel): per conversion day, how many users made their first purchase
+    after their first view, with mean and median view→purchase latency.
+    Durations are exact integer microseconds (unix_micros difference), so
+    the mean is SUM(BIGINT)/COUNT — one deterministic double division —
+    and the median interpolates two exact integers, identical in both
+    engines.
+
+    Scale shape: one keyed aggregation compresses events to a per-user
+    (first_view, first_purchase) pair — conditional MIN, the same
+    one-shuffle chain the windowed funnel uses — then a day-level agg
+    over |converted users| rows. The exact median sorts only the
+    day-group durations (group size = conversions/day); at extreme
+    volumes swap median for percentile_approx (t-digest, mergeable) per
+    the agg_approx_quantile pattern."""
+    wh = Warehouse(spark, sf_dir)
+    u = wh.events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    conv = u.filter(F.col("first_purchase") > F.col("first_view")).select(
+        F.date_trunc("day", "first_purchase").alias("conv_day"),
+        (
+            F.unix_micros("first_purchase") - F.unix_micros("first_view")
+        ).alias("dur_us"),
+    )
+    return conv.groupBy("conv_day").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        (F.sum("dur_us").cast("double") / F.count(F.lit(1)) / 1e6)
+        .cast("double")
+        .alias("avg_sec"),
+        (F.median("dur_us") / 1e6).cast("double").alias("median_sec"),
+    )
