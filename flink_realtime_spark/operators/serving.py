@@ -435,3 +435,100 @@ def ads_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("src"),
         )
     )
+
+
+# Drift detection: first half of the month is the reference window, the
+# second half is the current window; value distribution per event_type is
+# bucketed to fixed-width bins and compared.
+_DRIFT_SPLIT = "2024-01-16"
+_DRIFT_W = 50.0  # bucket width
+_DRIFT_NB = 10  # buckets 0..9, top bucket open-ended
+
+
+@query(
+    "dq_drift_chi2",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             ts >= TIMESTAMP '{_DRIFT_SPLIT}' AS is_cur,
+             LEAST(CAST(floor(value / {_DRIFT_W}) AS BIGINT), {_DRIFT_NB - 1})
+               AS bucket
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, bucket,
+             COUNT(*) FILTER (WHERE NOT is_cur) AS n_ref,
+             COUNT(*) FILTER (WHERE is_cur) AS n_cur
+      FROM b GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type,
+             SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+      FROM counts GROUP BY 1
+    )
+    SELECT
+      c.event_type,
+      CAST(t.t_ref AS BIGINT) AS n_ref,
+      CAST(t.t_cur AS BIGINT) AS n_cur,
+      CAST(SUM(CAST(
+        CASE WHEN c.n_ref > 0 THEN
+          (CAST(c.n_cur AS DOUBLE) / t.t_cur - CAST(c.n_ref AS DOUBLE) / t.t_ref)
+          * (CAST(c.n_cur AS DOUBLE) / t.t_cur - CAST(c.n_ref AS DOUBLE) / t.t_ref)
+          / (CAST(c.n_ref AS DOUBLE) / t.t_ref)
+        ELSE 0.0 END AS DECIMAL(18,8))) AS DOUBLE)
+        AS drift_chi2
+    FROM counts c JOIN tot t USING (event_type)
+    GROUP BY c.event_type, t.t_ref, t.t_cur
+    """,
+)
+def dq_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (the train/serve skew check an ML-ops
+    board runs on every feature): per event_type, the value distribution
+    of the current window (second half-month) against the reference
+    window (first half), bucketed to fixed 50-wide bins and scored with
+    the chi-square distance Σ (p_cur − p_ref)² / p_ref. Deliberately
+    transcendental-free — the PSI's ln() is libm-dependent across
+    engines, while this score is exact integer counts, two fixed double
+    divisions per bucket, and one decimal-pinned sum (per-bucket terms
+    cast DECIMAL(18,8); NO second rounding — re-rounding the exact
+    decimal sum to fewer places manufactures .5 ties where Spark's
+    HALF_UP and DuckDB's HALF_EVEN disagree), so the hash cannot
+    drift.
+
+    Scale shape: one two-phase agg to (type, bucket, ref/cur counts) —
+    constant-size output (types × buckets) regardless of event volume —
+    then arithmetic over that summary. Nothing after the first aggregate
+    scales with input."""
+    wh = Warehouse(spark, sf_dir)
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    bucket = F.least(
+        F.floor(F.col("value") / _DRIFT_W).cast("long"), F.lit(_DRIFT_NB - 1)
+    )
+    counts = (
+        wh.events.select(
+            "event_type",
+            (F.col("ts") >= split).alias("is_cur"),
+            bucket.alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.when(~F.col("is_cur"), 1)).alias("n_ref"),
+            F.count(F.when(F.col("is_cur"), 1)).alias("n_cur"),
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    j = counts.join(F.broadcast(tot), "event_type")
+    p_ref = F.col("n_ref").cast("double") / F.col("t_ref")
+    p_cur = F.col("n_cur").cast("double") / F.col("t_cur")
+    term = F.when(
+        F.col("n_ref") > 0, (p_cur - p_ref) * (p_cur - p_ref) / p_ref
+    ).otherwise(F.lit(0.0))
+    return j.groupBy(
+        "event_type",
+        F.col("t_ref").cast("long").alias("n_ref"),
+        F.col("t_cur").cast("long").alias("n_cur"),
+    ).agg(
+        F.sum(term.cast("decimal(18,8)")).cast("double").alias("drift_chi2")
+    )
