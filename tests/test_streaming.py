@@ -1231,3 +1231,72 @@ def test_rule_engine_stream_applies_refreshed_rules(
     assert alerts[1] == chunk_alerts(1, 50.0)  # v2 picked up mid-stream
     assert alerts[2] == chunk_alerts(2, 50.0)
     assert alerts[1] > alerts[0]  # the refresh visibly changed behavior
+
+
+def test_drift_monitor_stream_flags_shifted_batch(
+    spark, chunked_events_dir, tmp_path
+):
+    """Continuous distribution monitoring (the streaming form of
+    dq_drift_chi2): each micro-batch's value distribution is scored
+    against a static reference histogram; organic chunks of the same
+    fixture score near zero, and a planted covariate-shifted chunk
+    (value × 3) must spike the chi-square distance — the alert a
+    train/serve-skew monitor exists to raise."""
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    for i in (0, 1):
+        shutil.copy(f"{chunked_events_dir}/chunk{i}.parquet", staging)
+    ev = load_table(spark, SF_DIR, "events")
+    n = ev.count()
+    # chunk 2 re-enters with value*3: same rows, shifted distribution
+    (
+        ev.filter(F.col("event_id") >= 2 * n / 3)
+        .withColumn("value", F.col("value") * 3)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "shifted"))
+    )
+    shifted_file = [
+        f for f in os.listdir(tmp_path / "shifted") if f.endswith(".parquet")
+    ][0]
+    shutil.copy(tmp_path / "shifted" / shifted_file, staging / "chunk2.parquet")
+
+    bucket = F.least(F.floor(F.col("value") / 50.0).cast("long"), F.lit(9))
+    ref = (
+        ev.select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+        .crossJoin(ev.select(F.count(F.lit(1)).alias("t_ref")).limit(1))
+        .collect()
+    )
+    ref_p = {r["b"]: r["n_ref"] / r["t_ref"] for r in ref}
+
+    scores: dict[int, float] = {}
+
+    def sink(bdf, batch_id: int) -> None:
+        rows = (
+            bdf.select(bucket.alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        t = sum(r["n"] for r in rows) or 1
+        cur_p = {r["b"]: r["n"] / t for r in rows}
+        scores[batch_id] = sum(
+            (cur_p.get(b, 0.0) - p) ** 2 / p for b, p in ref_p.items() if p > 0
+        )
+
+    sdf = file_stream_source(
+        spark, str(staging), EVENTS_DDL, max_files_per_trigger=1
+    )
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert sorted(scores) == [0, 1, 2]
+    organic = [scores[0], scores[1]]
+    assert max(organic) < 0.01  # same-distribution chunks barely drift
+    assert scores[2] > 10 * max(organic)  # the shifted batch must spike
