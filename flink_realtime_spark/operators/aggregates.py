@@ -733,3 +733,38 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
     )
+
+
+@query(
+    "agg_bool_family",
+    """
+    SELECT
+      o_orderstatus,
+      COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+      bool_and(o_totalprice > 1000) AS all_over_1k,
+      bool_or(o_totalprice > 400000) AS any_over_400k,
+      CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_urgent,
+      MIN(o_orderkey) AS first_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_bool_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate family (Flink SQL COUNT FILTER /
+    EVERY / SOME parity): count_if, bool_and (EVERY), bool_or (SOME), a
+    conditional sum, and a deterministic ANY_VALUE stand-in (MIN — the
+    nondeterministic any_value has no cross-engine oracle). All map-side
+    combinable single-bit states — the cheapest aggregates there are."""
+    wh = Warehouse(spark, sf_dir)
+    return wh.orders.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_urgent"),
+        F.min("o_orderkey").alias("first_key"),
+    )
