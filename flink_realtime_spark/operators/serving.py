@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_realtime_spark.exprs import davg_sql, dsum, dsum_sql
+from flink_realtime_spark.exprs import davg, davg_sql, dsum, dsum_sql
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse
 
@@ -147,13 +147,7 @@ def state_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = Warehouse(spark, sf_dir)
     ev = wh.events.select("event_type", "ts", "value")
     rules = ev.groupBy("event_type").agg(
-        (
-            F.lit(_RULE_FACTOR)
-            * (
-                F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
-                / F.count("value")
-            ).cast("double")
-        )
+        (F.lit(_RULE_FACTOR) * davg(F.col("value")))
         .cast("double")
         .alias("threshold")
     )
@@ -246,7 +240,17 @@ def mv_stream_writer(stream_df: DataFrame, mv_dir: str):
         shutil.rmtree(old, ignore_errors=True)
         if os.path.isdir(mv_dir):
             os.rename(mv_dir, old)
-        os.rename(tmp, mv_dir)
+        try:
+            os.rename(tmp, mv_dir)
+        except BaseException:
+            # Roll the previous state back — without this, a crash in the
+            # swap window leaves no mv_dir, and the next batch's isdir
+            # check would silently RESET the MV to that batch's partials
+            # (total state loss) instead of failing loudly (the
+            # plans/layout.compact_layer discipline).
+            if os.path.isdir(old):
+                os.rename(old, mv_dir)
+            raise
         shutil.rmtree(old, ignore_errors=True)
 
     return stream_df.writeStream.foreachBatch(_fb)

@@ -75,15 +75,20 @@ _DF_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def evict_table_cache(sf_dir: str | None = None) -> None:
-    """Drop cached scan plans — all of them, or only those under ``sf_dir``.
-    Required before re-reading a table whose parquet directory was
-    rewritten in-place during this session."""
+    """Drop cached scan plans — all of them, or those at or under
+    ``sf_dir`` (prefix match, so evicting a parent directory evicts every
+    fixture dir beneath it). Required before re-reading a table whose
+    parquet directory was rewritten in-place during this session."""
     if sf_dir is None:
         _DF_CACHE.clear()
         return
     prefix = os.path.abspath(sf_dir)
     for per_session in _DF_CACHE.values():
-        for key in [k for k in per_session if k[0] == prefix]:
+        for key in [
+            k
+            for k in per_session
+            if k[0] == prefix or k[0].startswith(prefix + os.sep)
+        ]:
             del per_session[key]
 
 
@@ -107,9 +112,14 @@ def rebalance(df: DataFrame, key: str = None) -> DataFrame:
     per-row work."""
     try:
         sc_parallelism = df.sparkSession.sparkContext.defaultParallelism
-    except Exception:  # e.g. Spark Connect: no SparkContext handle
-        sc_parallelism = os.cpu_count() or 8
-    if df.rdd.getNumPartitions() >= sc_parallelism:
+        n_parts = df.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect: no SparkContext handle and no .rdd — the gate
+        # cannot probe the scan's width, and blindly adding a full-data
+        # exchange would be wrong at real scale, so decline (query still
+        # runs, at the scan's own parallelism).
+        return df
+    if n_parts >= sc_parallelism:
         return df
     if key is not None:
         return df.repartition(sc_parallelism, F.col(key))
