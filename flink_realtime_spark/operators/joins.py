@@ -479,6 +479,58 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_nearest",
+    """
+    SELECT click_id, user_id, purchase_id, purchase_value FROM (
+      SELECT
+        c.event_id AS click_id,
+        c.user_id,
+        p.event_id AS purchase_id,
+        CAST(p.value AS DOUBLE) AS purchase_value,
+        ROW_NUMBER() OVER (
+          PARTITION BY c.event_id
+          ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+                   p.ts ASC, p.event_id ASC
+        ) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        USING (user_id)
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (pandas merge_asof direction='nearest' parity):
+    each click attaches the user's time-CLOSEST purchase, before or after,
+    exact-µs tie preferring the earlier one. Composed from the same
+    one-shuffle merge as backward/forward — both direction windows share
+    the key exchange, only the second sort is added — then a per-fact
+    pick of the smaller delta. The oracle ranks the per-user pair space
+    by absolute delta (fine at oracle scale); the engine side never
+    builds pairs."""
+    wh = Warehouse(spark, sf_dir)
+    ev = wh.events
+    facts = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    versions = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").cast("double").alias("purchase_value"),
+    )
+    return asof_join(
+        facts,
+        versions,
+        key="user_id",
+        fact_ts="ts",
+        version_ts="purchase_ts",
+        version_cols=["purchase_id", "purchase_value"],
+        how="inner",
+        direction="nearest",
+    ).select("click_id", "user_id", "purchase_id", "purchase_value")
+
+
+@query(
     "join_salted_skew",
     f"""
     SELECT

@@ -72,28 +72,66 @@ def asof_join(
     merged = left.select(sorted(left.columns)).unionByName(
         right.select(sorted(right.columns))
     )
-    ts_order = (
-        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
-    )
-    w = (
-        Window.partitionBy(key)
-        .orderBy(ts_order, F.col(_TAG).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = merged.select(
-        *fact_cols,
-        F.col(_TAG),
-        *[
+
+    def win(dirn: str) -> Window:
+        ts_order = F.col("__ts").asc() if dirn == "backward" else F.col("__ts").desc()
+        return (
+            Window.partitionBy(key)
+            .orderBy(ts_order, F.col(_TAG).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    def fills(dirn: str, prefix: str):
+        w = win(dirn)
+        cols = [
             F.last(F.when(F.col(_TAG) == 0, F.col(c)), ignorenulls=True)
             .over(w)
-            .alias(f"__v_{c}")
+            .alias(f"{prefix}{c}")
             for c in version_cols
-        ],
-    )
-    out = filled.filter(F.col(_TAG) == 1).select(
-        *fact_cols,
-        *[F.col(f"__v_{c}").alias(c) for c in version_cols],
-    )
+        ]
+        cols.append(
+            F.last(F.when(F.col(_TAG) == 0, F.col("__ts")), ignorenulls=True)
+            .over(w)
+            .alias(f"{prefix}__ts")
+        )
+        return cols
+
+    if direction in ("backward", "forward"):
+        filled = merged.select(
+            *fact_cols, F.col(_TAG), *fills(direction, "__v_")
+        )
+        out = filled.filter(F.col(_TAG) == 1).select(
+            *fact_cols,
+            *[F.col(f"__v_{c}").alias(c) for c in version_cols],
+        )
+    elif direction == "nearest":
+        # Both windows share the partitionBy(key) exchange — Spark reuses
+        # the shuffle and only adds the second sort. Per fact, keep the
+        # time-closer match; exact-µs tie prefers the earlier (backward)
+        # version, a deterministic rule the oracle mirrors.
+        filled = merged.select(
+            *fact_cols,
+            F.col(_TAG),
+            F.col("__ts"),
+            *fills("backward", "__b_"),
+            *fills("forward", "__f_"),
+        )
+        d_back = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__b___ts"))
+        d_fwd = F.unix_micros(F.col("__f___ts")) - F.unix_micros(F.col("__ts"))
+        use_back = F.col("__f___ts").isNull() | (
+            F.col("__b___ts").isNotNull() & (d_back <= d_fwd)
+        )
+        out = filled.filter(F.col(_TAG) == 1).select(
+            *fact_cols,
+            *[
+                F.when(use_back, F.col(f"__b_{c}"))
+                .otherwise(F.col(f"__f_{c}"))
+                .alias(c)
+                for c in version_cols
+            ],
+        )
+    else:
+        raise ValueError(f"unknown asof direction {direction!r}")
     if how == "inner":
         out = out.filter(F.col(version_cols[0]).isNotNull())
     return out
