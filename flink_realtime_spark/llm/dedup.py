@@ -558,6 +558,108 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class MinhashIndex:
+    """Persistent banded-MinHash dedup index — the continuously-ingesting
+    form of llm_dedup_incremental. ``update(batch_docs)`` returns every
+    near-dup pair the batch introduces (within-batch pairs AND
+    batch-vs-index pairs, exact-Jaccard verified) and appends the batch's
+    signatures + shingle sets to the store, so over any partition of a
+    corpus into arrival batches the union of emitted pairs equals the
+    full-corpus ``minhash_pairs`` result (streaming==batch, equivalence-
+    tested in tests/test_streaming.py).
+
+    Storage is two parquet datasets (band signatures; shingle arrays as
+    xxhash64 longs), appended per batch — at 100 TB these are the same
+    tables a daily-ingest job keys by band sig / doc id, and the
+    verification join reads only candidate docs' rows. Retries of the
+    same batch would double-append (at-least-once); production puts both
+    datasets behind a transactional table format, the same caveat as the
+    parquet MV store (operators/serving.py)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        import os
+
+        self.spark = spark
+        self.bands_dir = os.path.join(path, "bands")
+        self.sh_dir = os.path.join(path, "shingles")
+
+    def _read(self, d: str, ddl: str) -> DataFrame:
+        import os
+
+        if os.path.isdir(d):
+            return self.spark.read.schema(ddl).parquet(d)
+        return self.spark.createDataFrame([], ddl)
+
+    def update(self, batch_docs: DataFrame) -> DataFrame:
+        sh = (
+            _with_shingles(batch_docs.select("doc_id", "text"))
+            .select(
+                "doc_id",
+                F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"),
+            )
+            .localCheckpoint(eager=True)  # consumed by 3 branches + write
+        )
+        bands = _band_signatures(_rehydrate_for_bands(sh)).localCheckpoint(
+            eager=True
+        )
+        idx_bands = self._read(self.bands_dir, "doc_id LONG, sig LONG")
+        idx_sh = self._read(self.sh_dir, "doc_id LONG, hs ARRAY<LONG>")
+        # candidates: batch self-pairs + batch-vs-index (both directions
+        # collapse to new-id-vs-any with doc_id inequality on the self
+        # side; the index side is strictly older docs, so no dedup of
+        # pair orientation is needed across the two sources)
+        self_cand = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+        )
+        cross_cand = (
+            bands.alias("n")
+            .join(idx_bands.alias("i"), F.col("n.sig") == F.col("i.sig"))
+            .select(
+                F.least(F.col("n.doc_id"), F.col("i.doc_id")).alias("doc_a"),
+                F.greatest(F.col("n.doc_id"), F.col("i.doc_id")).alias("doc_b"),
+            )
+        )
+        cand = self_cand.unionByName(cross_cand).distinct()
+        all_sh = sh.unionByName(idx_sh)
+        cand = cand.join(
+            all_sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha")),
+            "doc_a",
+        ).join(
+            all_sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb")),
+            "doc_b",
+        )
+        shared = F.size(F.array_intersect("ha", "hb"))
+        union_n = F.size("ha") + F.size("hb") - shared
+        pairs = (
+            cand.withColumn("jaccard", shared.cast("double") / union_n)
+            .filter(shared >= 0.5 * union_n)
+            .select("doc_a", "doc_b", "jaccard")
+            .localCheckpoint(eager=True)  # materialize BEFORE the appends
+        )
+        bands.write.mode("append").parquet(self.bands_dir)
+        sh.write.mode("append").parquet(self.sh_dir)
+        return pairs
+
+
+def _rehydrate_for_bands(sh_hashed: DataFrame) -> DataFrame:
+    """_band_signatures expects a (doc_id, sh) relation it can explode and
+    xxhash64 with per-hash seeds; the index stores shingles already folded
+    to base xxhash64 longs, so feed those longs through the same seeded
+    hashing (xxhash64 of a LONG with seed i — a different but equally
+    valid hash family; within one index the family is consistent, which
+    is all banding needs)."""
+    return sh_hashed.select("doc_id", F.col("hs").alias("sh"))
+
+
 # Connected components over the near-dup pair graph: the step that turns
 # pairs into dedup DECISIONS (one canonical doc per duplicate cluster).
 # Oracle: DuckDB recursive CTE computing min-reachable-id per node over the

@@ -1300,3 +1300,52 @@ def test_drift_monitor_stream_flags_shifted_batch(
     organic = [scores[0], scores[1]]
     assert max(organic) < 0.01  # same-distribution chunks barely drift
     assert scores[2] > 10 * max(organic)  # the shifted batch must spike
+
+
+def test_minhash_index_streaming_ingest_equals_batch(spark, tmp_path):
+    """Continuous dedup ingest (MinhashIndex): documents arrive in three
+    micro-batches; each batch emits its within-batch pairs plus its
+    pairs against the accumulated index, then appends its signatures.
+    The union of emitted pairs over the whole replay must equal the
+    full-corpus batch minhash_pairs result — the streaming pipeline
+    composes to the batch answer regardless of how arrival splits the
+    corpus."""
+    from flink_realtime_spark.llm.dedup import MinhashIndex, minhash_pairs
+    from flink_realtime_spark.tables import Warehouse
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    chunks_dir = tmp_path / "doc_chunks"
+    chunks_dir.mkdir()
+    for i in range(3):
+        part = docs.filter(
+            (F.col("doc_id") >= i * n / 3) & (F.col("doc_id") < (i + 1) * n / 3)
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"p{i}")
+        )
+        f = [x for x in os.listdir(tmp_path / f"p{i}") if x.endswith(".parquet")][0]
+        shutil.copy(tmp_path / f"p{i}" / f, chunks_dir / f"chunk{i}.parquet")
+
+    idx = MinhashIndex(spark, str(tmp_path / "mh_index"))
+    emitted: list[tuple[int, int]] = []
+
+    def sink(bdf, _bid: int) -> None:
+        for r in idx.update(bdf).collect():
+            emitted.append((r["doc_a"], r["doc_b"]))
+
+    sdf = file_stream_source(
+        spark,
+        str(chunks_dir),
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+        max_files_per_trigger=1,
+    )
+    q = sdf.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    batch = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_pairs(Warehouse(spark, SF_DIR)).collect()
+    }
+    assert len(emitted) == len(set(emitted))  # no pair emitted twice
+    assert set(emitted) == batch
