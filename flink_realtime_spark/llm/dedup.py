@@ -558,6 +558,62 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDIT_ORACLE = f"""
+    WITH {_PAIRS_CTE_DUCK},
+    nt AS (
+      SELECT doc_id, {_NORM_DUCK} AS norm FROM documents
+    )
+    SELECT
+      p.doc_a,
+      p.doc_b,
+      CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS edit_dist,
+      CAST(1.0 - CAST(levenshtein(a.norm, b.norm) AS DOUBLE)
+           / greatest(len(a.norm), len(b.norm)) AS DOUBLE) AS edit_sim
+    FROM pairs p
+    JOIN nt a ON a.doc_id = p.doc_a
+    JOIN nt b ON b.doc_id = p.doc_b
+    WHERE levenshtein(a.norm, b.norm)
+          <= 0.5 * greatest(len(a.norm), len(b.norm))
+"""
+
+
+@query("llm_dedup_editdist", _EDIT_ORACLE)
+def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance rescoring of near-dup candidates: the banded-MinHash
+    pair set re-scored with character-level Levenshtein on normalized
+    text, keeping pairs whose distance is at most half the longer text.
+    The expensive O(len²) distance runs ONLY on the candidate pairs the
+    LSH stage surfaced — never all-pairs — which is the production
+    ordering for fuzzy dedup (set-similarity prefilter, edit-distance
+    confirm). Distances are exact integers in both engines, so the score
+    (one division + subtraction) is hash-stable."""
+    wh = Warehouse(spark, sf_dir)
+    pairs = minhash_pairs(wh).select("doc_a", "doc_b")
+    norm = wh.documents.select(
+        "doc_id", F.expr(_NORM_SPARK).alias("norm")
+    )
+    scored = pairs.join(
+        norm.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("na")),
+        "doc_a",
+    ).join(
+        norm.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("nb")),
+        "doc_b",
+    )
+    dist = F.levenshtein("na", "nb")
+    maxlen = F.greatest(F.length("na"), F.length("nb"))
+    return (
+        scored.filter(dist <= 0.5 * maxlen)
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.cast("long").alias("edit_dist"),
+            (1.0 - dist.cast("double") / maxlen)
+            .cast("double")
+            .alias("edit_sim"),
+        )
+    )
+
+
 class MinhashIndex:
     """Persistent banded-MinHash dedup index — the continuously-ingesting
     form of llm_dedup_incremental. ``update(batch_docs)`` returns every
