@@ -153,6 +153,40 @@ def corpus_scale(spark, ks) -> None:
             print(f"grow×{k:<3} {key:<24} {dt:6.2f}s  ({n} out rows)")
 
 
+def ingest_stress(spark, k: int, n_batches: int) -> None:
+    """Per-batch cost curve of the continuous dedup ingest (MinhashIndex):
+    a k×-grown distinct corpus arrives in n_batches; the question is how
+    per-batch wall grows as the index accumulates. The within-batch work
+    is constant; only the batch-vs-index band join and the verification
+    reads scale with the index, so the curve should rise gently and
+    sub-linearly — a super-linear bend would mean index scans are doing
+    corpus×corpus work."""
+    import shutil as _sh
+    import tempfile
+
+    from flink_realtime_spark.llm.dedup import MinhashIndex
+
+    sf_dir = SRC if k == 1 else build_distinct_docs(spark, k)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    work = tempfile.mkdtemp(prefix="mh_ingest_")
+    idx = MinhashIndex(spark, os.path.join(work, "idx"))
+    total_pairs = 0
+    for b in range(n_batches):
+        batch = docs.filter(
+            (F.col("doc_id") >= b * n / n_batches)
+            & (F.col("doc_id") < (b + 1) * n / n_batches)
+        )
+        t0 = time.perf_counter()
+        total_pairs += idx.update(batch).count()
+        dt = time.perf_counter() - t0
+        print(
+            f"ingest×{k} batch {b + 1}/{n_batches}: {dt:6.2f}s "
+            f"(cumulative pairs {total_pairs})"
+        )
+    _sh.rmtree(work, ignore_errors=True)
+
+
 def dedup_stress(spark, ks) -> None:
     for k in ks:
         sf_dir = SRC if k == 1 else build_dup_docs(spark, k)
@@ -165,6 +199,17 @@ def dedup_stress(spark, ks) -> None:
 
 
 def main() -> None:
+    if "--ingest" in sys.argv:
+        sys.argv.remove("--ingest")
+        args = [int(a) for a in sys.argv[1:]]
+        k = args[0] if args else 4
+        n_batches = args[1] if len(args) > 1 else 8
+        registry.load_all()
+        spark = get_spark("scale-probe-ingest")
+        registry.QUERIES["llm_dedup_minhash"](spark, SRC).count()  # warm
+        ingest_stress(spark, k, n_batches)
+        spark.stop()
+        return
     if "--corpus" in sys.argv:
         sys.argv.remove("--corpus")
         ks = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
