@@ -389,6 +389,39 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASH, _N_BANDS, _ROWS_PER_BAND = 16, 4, 4
 
 
+def _verify_pairs(
+    cand: DataFrame,
+    sets_df: DataFrame,
+    set_col: str = "sh",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against per-doc
+    shingle sets (string arrays or hashed-long arrays — set semantics
+    only): keep pairs with jaccard >= 0.5, emit (a_col, b_col, jaccard).
+    The single threshold/verification definition shared by the full-corpus
+    search, the batch-vs-index key and the streaming MinhashIndex — so the
+    three paths cannot drift apart."""
+    cand = cand.join(
+        sets_df.select(
+            F.col("doc_id").alias(a_col), F.col(set_col).alias("__sa")
+        ),
+        a_col,
+    ).join(
+        sets_df.select(
+            F.col("doc_id").alias(b_col), F.col(set_col).alias("__sb")
+        ),
+        b_col,
+    )
+    shared = F.size(F.array_intersect("__sa", "__sb"))
+    union_n = F.size("__sa") + F.size("__sb") - shared
+    return (
+        cand.withColumn("jaccard", shared.cast("double") / union_n)
+        .filter(shared >= 0.5 * union_n)
+        .select(a_col, b_col, "jaccard")
+    )
+
+
 def minhash_pairs(wh: Warehouse) -> DataFrame:
     """Banded-MinHash near-dup pairs with exact-Jaccard verification:
     columns (doc_a, doc_b, jaccard), doc_a < doc_b, jaccard >= 0.5. The
@@ -407,6 +440,13 @@ def _band_signatures(sh: DataFrame) -> DataFrame:
     keys degrade it); hash collisions are harmless, candidates are
     verified with exact Jaccard downstream."""
     posting = sh.select("doc_id", F.explode("sh").alias("s"))
+    return _bands_from_postings(posting)
+
+
+def _bands_from_postings(posting: DataFrame) -> DataFrame:
+    """Banded signatures from an exploded (doc_id, s) posting relation —
+    s may be the shingle string or an already-hashed long; the seeded
+    xxhash64 family only needs to be consistent within one index."""
     minh = posting.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
@@ -462,20 +502,7 @@ def minhash_pairs_over(docs: DataFrame) -> DataFrame:
     )
     # Exact-Jaccard verification: shingle arrays join only the (tiny)
     # candidate set, never the full corpus pair space.
-    cand = cand.join(
-        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")),
-        "doc_a",
-    ).join(
-        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")),
-        "doc_b",
-    )
-    shared = F.size(F.array_intersect("sha", "shb"))
-    union_n = F.size("sha") + F.size("shb") - shared
-    return (
-        cand.withColumn("jaccard", shared.cast("double") / union_n)
-        .filter(shared >= 0.5 * union_n)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_pairs(cand, sh)
 
 
 _MINHASH_ORACLE = f"""
@@ -542,20 +569,7 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    cand = cand.join(
-        sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sha")),
-        "new_id",
-    ).join(
-        sh.select(F.col("doc_id").alias("corpus_id"), F.col("sh").alias("shb")),
-        "corpus_id",
-    )
-    shared = F.size(F.array_intersect("sha", "shb"))
-    union_n = F.size("sha") + F.size("shb") - shared
-    return (
-        cand.withColumn("jaccard", shared.cast("double") / union_n)
-        .filter(shared >= 0.5 * union_n)
-        .select("new_id", "corpus_id", "jaccard")
-    )
+    return _verify_pairs(cand, sh, a_col="new_id", b_col="corpus_id")
 
 
 _EDIT_ORACLE = f"""
@@ -647,23 +661,27 @@ class MinhashIndex:
         return self.spark.createDataFrame([], ddl)
 
     def update(self, batch_docs: DataFrame) -> DataFrame:
-        sh = (
+        # Per-element hashing stays in whole-stage codegen: explode →
+        # xxhash64 → re-collect (the CLAUDE.md lesson; transform-lambdas
+        # are interpreted per element).
+        posting = (
             _with_shingles(batch_docs.select("doc_id", "text"))
-            .select(
-                "doc_id",
-                F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"),
-            )
-            .localCheckpoint(eager=True)  # consumed by 3 branches + write
+            .select("doc_id", F.explode("sh").alias("s"))
+            .select("doc_id", F.xxhash64("s").alias("s"))
+            .localCheckpoint(eager=True)  # feeds bands AND the set store
         )
-        bands = _band_signatures(_rehydrate_for_bands(sh)).localCheckpoint(
-            eager=True
+        sh = (
+            posting.groupBy("doc_id")
+            .agg(F.collect_list("s").alias("hs"))
+            .localCheckpoint(eager=True)
         )
+        bands = _bands_from_postings(posting).localCheckpoint(eager=True)
         idx_bands = self._read(self.bands_dir, "doc_id LONG, sig LONG")
         idx_sh = self._read(self.sh_dir, "doc_id LONG, hs ARRAY<LONG>")
-        # candidates: batch self-pairs + batch-vs-index (both directions
-        # collapse to new-id-vs-any with doc_id inequality on the self
-        # side; the index side is strictly older docs, so no dedup of
-        # pair orientation is needed across the two sources)
+        # candidates: batch self-pairs + batch-vs-index. The doc_id
+        # inequality also guards the at-least-once retry case: a
+        # re-delivered batch band-collides with its OWN stored
+        # signatures, which must not emit (x, x) self-pairs.
         self_cand = (
             bands.alias("a")
             .join(
@@ -678,7 +696,11 @@ class MinhashIndex:
         )
         cross_cand = (
             bands.alias("n")
-            .join(idx_bands.alias("i"), F.col("n.sig") == F.col("i.sig"))
+            .join(
+                idx_bands.alias("i"),
+                (F.col("n.sig") == F.col("i.sig"))
+                & (F.col("n.doc_id") != F.col("i.doc_id")),
+            )
             .select(
                 F.least(F.col("n.doc_id"), F.col("i.doc_id")).alias("doc_a"),
                 F.greatest(F.col("n.doc_id"), F.col("i.doc_id")).alias("doc_b"),
@@ -686,34 +708,12 @@ class MinhashIndex:
         )
         cand = self_cand.unionByName(cross_cand).distinct()
         all_sh = sh.unionByName(idx_sh)
-        cand = cand.join(
-            all_sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha")),
-            "doc_a",
-        ).join(
-            all_sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb")),
-            "doc_b",
-        )
-        shared = F.size(F.array_intersect("ha", "hb"))
-        union_n = F.size("ha") + F.size("hb") - shared
-        pairs = (
-            cand.withColumn("jaccard", shared.cast("double") / union_n)
-            .filter(shared >= 0.5 * union_n)
-            .select("doc_a", "doc_b", "jaccard")
-            .localCheckpoint(eager=True)  # materialize BEFORE the appends
+        pairs = _verify_pairs(cand, all_sh, set_col="hs").localCheckpoint(
+            eager=True  # materialize BEFORE the appends
         )
         bands.write.mode("append").parquet(self.bands_dir)
         sh.write.mode("append").parquet(self.sh_dir)
         return pairs
-
-
-def _rehydrate_for_bands(sh_hashed: DataFrame) -> DataFrame:
-    """_band_signatures expects a (doc_id, sh) relation it can explode and
-    xxhash64 with per-hash seeds; the index stores shingles already folded
-    to base xxhash64 longs, so feed those longs through the same seeded
-    hashing (xxhash64 of a LONG with seed i — a different but equally
-    valid hash family; within one index the family is consistent, which
-    is all banding needs)."""
-    return sh_hashed.select("doc_id", F.col("hs").alias("sh"))
 
 
 # Connected components over the near-dup pair graph: the step that turns
