@@ -1349,3 +1349,23 @@ def test_minhash_index_streaming_ingest_equals_batch(spark, tmp_path):
     }
     assert len(emitted) == len(set(emitted))  # no pair emitted twice
     assert set(emitted) == batch
+
+
+def test_minhash_index_retry_emits_no_self_pairs(spark, tmp_path):
+    """At-least-once hardening: re-delivering a batch whose signatures
+    already landed must not emit (x, x) self-pairs — every doc in the
+    retried batch band-collides with its own stored signature, and the
+    doc_id inequality on the batch-vs-index join is what keeps those
+    degenerate matches out. The re-emitted cross pairs themselves are the
+    documented at-least-once duplication; self-loops would corrupt any
+    downstream clustering."""
+    from flink_realtime_spark.llm.dedup import MinhashIndex
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 600)
+    idx = MinhashIndex(spark, str(tmp_path / "mh_retry"))
+    first = {(r["doc_a"], r["doc_b"]) for r in idx.update(docs).collect()}
+    assert first  # the slice contains planted near-dup pairs
+    retried = [(r["doc_a"], r["doc_b"]) for r in idx.update(docs).collect()]
+    assert all(a != b for a, b in retried)  # no self-loops
+    # the retry re-finds exactly the same real pairs, nothing new
+    assert set(retried) == first
