@@ -831,3 +831,36 @@ def ads_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_sec"),
         (F.median("dur_us") / 1e6).cast("double").alias("median_sec"),
     )
+
+
+@query(
+    "ads_heatmap_hour_dow",
+    """
+    SELECT
+      CAST(isodow(ts) AS BIGINT) AS dow,
+      CAST(hour(ts) AS BIGINT) AS hod,
+      COUNT(*) AS pv,
+      COUNT(DISTINCT user_id) AS uv
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ads_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap by (ISO day-of-week, hour-of-day) — the traffic
+    calendar on every ops dashboard. ISO numbering (Mon=1..Sun=7) on both
+    sides: Spark's dayofweek() counts from Sunday while DuckDB's counts
+    Monday=1, so the portable form is weekday()+1 == isodow — a
+    cross-engine calendar-convention trap worth pinning in code. Output is
+    at most 7×24 rows off one two-phase agg (the distinct-UV expansion is
+    the only second shuffle)."""
+    wh = Warehouse(spark, sf_dir)
+    return (
+        wh.events.groupBy(
+            (F.weekday("ts") + 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("pv"),
+            F.countDistinct("user_id").alias("uv"),
+        )
+    )
