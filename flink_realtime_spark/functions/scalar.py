@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_realtime_spark.exprs import bigint
+from flink_realtime_spark.exprs import bigint, dsum, dsum_sql
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse
 
@@ -437,4 +437,56 @@ def scalar_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.mask("source", F.lit("X"), F.lit("x"), F.lit("n"), F.lit(None)).alias(
             "masked"
         ),
+    )
+
+
+@query(
+    "dwd_try_safety",
+    f"""
+    WITH t AS (
+      SELECT
+        event_type,
+        CASE WHEN json_valid(props)
+             THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        END AS k,
+        value
+      FROM events
+    )
+    SELECT
+      event_type,
+      COUNT(*) AS n_rows,
+      COUNT(*) FILTER (WHERE k IS NULL) AS n_k_null,
+      CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k,
+      COUNT(*) FILTER (WHERE k IS NULL OR k % 5 = 0) AS n_div_null,
+      {dsum_sql("CASE WHEN k IS NOT NULL AND k % 5 <> 0 THEN value / (k % 5) END")}
+        AS sum_ratio
+    FROM t GROUP BY event_type
+    """,
+)
+def dwd_try_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family (Flink SQL TRY_CAST parity) at the
+    ODS→DWD boundary: Spark 4 runs ANSI mode by default, where a bad cast
+    or zero divisor THROWS — the try_* forms (try_cast, try_divide)
+    return NULL instead, which is what a cleansing layer wants for dirty
+    rows. get_json_object already yields NULL on invalid JSON; try_cast
+    nulls non-numeric payloads; try_divide nulls the manufactured zero
+    divisors (k % 5). The oracle mirrors every null with explicit
+    json_valid/TRY_CAST/CASE guards. Per-row narrow ops + one two-phase
+    agg."""
+    wh = Warehouse(spark, sf_dir)
+    # Column.try_cast is the API in this build (F.try_cast absent).
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    return (
+        wh.events.select("event_type", k.alias("k"), "value")
+        .withColumn("ratio", F.try_divide(F.col("value"), F.col("k") % 5))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("n_k_null"),
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("sum_k"),
+            F.count(
+                F.when(F.col("k").isNull() | (F.col("k") % 5 == 0), 1)
+            ).alias("n_div_null"),
+            dsum(F.col("ratio")).alias("sum_ratio"),
+        )
     )
