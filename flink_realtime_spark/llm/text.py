@@ -670,3 +670,73 @@ def llm_bpe_pair_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _BPE_TOPK)
         .orderBy("rnk")
     )
+
+
+_COOC_WIN = 2  # forward context window (offsets 1..2)
+_COOC_TOPK = 20
+
+_COOC_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(ws) AS word,
+         unnest(generate_series(1, len(ws))) AS i
+  FROM w
+),
+pairs AS (
+  SELECT a.word AS center, b.word AS context, COUNT(*) AS n
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id
+   AND b.i - a.i BETWEEN 1 AND {_COOC_WIN}
+  GROUP BY 1, 2
+)
+SELECT center, context, n,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY n DESC, center ASC, context ASC) AS BIGINT) AS rnk
+FROM pairs
+ORDER BY rnk
+LIMIT {_COOC_TOPK}
+"""
+
+
+@query("llm_cooccurrence", _COOC_ORACLE)
+def llm_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (the word2vec/GloVe pair statistic):
+    (center, context) frequencies for forward offsets 1..2, top-20 with a
+    deterministic (count desc, center, context) rank. Built with
+    lead(k) windows per document — one keyed sort instead of a positional
+    self-join, so the pair stream is |tokens| × window rows narrow off a
+    single exchange; the count agg is two-phase. The positional
+    self-join form the oracle uses is equivalent but shuffles the token
+    relation twice at scale."""
+    wh = Warehouse(spark, sf_dir)
+    tok = rebalance(wh.documents, "doc_id").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    pair_cols = [
+        F.lead("word", k).over(w).alias(f"ctx{k}")
+        for k in range(1, _COOC_WIN + 1)
+    ]
+    with_ctx = tok.select("word", *pair_cols)
+    pairs = None
+    for k in range(1, _COOC_WIN + 1):
+        p = with_ctx.select(
+            F.col("word").alias("center"), F.col(f"ctx{k}").alias("context")
+        ).filter(F.col("context").isNotNull())
+        pairs = p if pairs is None else pairs.unionByName(p)
+    counts = pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wr = Window.orderBy(
+        F.col("n").desc(), F.col("center").asc(), F.col("context").asc()
+    )
+    # Partition-less window over the aggregated pair table (vocab²-bounded,
+    # further capped by the count agg) — the allowed shape per the plan
+    # sweep (window over Aggregate).
+    return (
+        counts.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= _COOC_TOPK)
+        .orderBy("rnk")
+    )
