@@ -740,3 +740,110 @@ def llm_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _COOC_TOPK)
         .orderBy("rnk")
     )
+
+
+_LIFT_MIN_N = 50  # min pair support before a lift score is meaningful
+
+_LIFT_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(ws) AS word,
+         unnest(generate_series(1, len(ws))) AS i
+  FROM w
+),
+uni AS (SELECT word, COUNT(*) AS nw FROM tok GROUP BY word),
+tot AS (SELECT COUNT(*) AS n_tok FROM tok),
+pairs AS (
+  SELECT a.word AS center, b.word AS context, COUNT(*) AS n
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id
+   AND b.i - a.i BETWEEN 1 AND {_COOC_WIN}
+  GROUP BY 1, 2
+)
+SELECT center, context, n,
+       CAST(CAST(CAST(n AS DOUBLE) * t.n_tok
+            / (uc.nw * CAST(ux.nw AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)
+         AS lift,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY CAST(n AS DOUBLE) * t.n_tok / (uc.nw * CAST(ux.nw AS DOUBLE))
+                    DESC,
+                  center ASC, context ASC) AS BIGINT) AS rnk
+FROM pairs
+JOIN uni uc ON uc.word = pairs.center
+JOIN uni ux ON ux.word = pairs.context
+CROSS JOIN tot t
+WHERE n >= {_LIFT_MIN_N}
+QUALIFY rnk <= {_COOC_TOPK}
+ORDER BY rnk
+"""
+
+
+@query("llm_collocation_lift", _LIFT_ORACLE)
+def llm_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation detection by lift — PMI's ratio form
+    n(c,x)·N / (n(c)·n(x)) kept as an exact-arithmetic ratio instead of
+    its logarithm (ln is libm-dependent across engines; the ratio is two
+    integer products and one IEEE division, then pinned through
+    DECIMAL(18,6)). Pairs below a support floor are dropped first — the
+    standard guard against rare-pair lift explosions. Unigram counts and
+    the 1-row token total broadcast against the pair table; everything
+    else is the co-occurrence machinery above."""
+    wh = Warehouse(spark, sf_dir)
+    tok = rebalance(wh.documents, "doc_id").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "word")
+    )
+    uni = tok.groupBy("word").agg(F.count(F.lit(1)).alias("nw"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n_tok"))
+    w = Window.partitionBy("doc_id").orderBy("i")
+    pairs = None
+    for k in range(1, _COOC_WIN + 1):
+        p = tok.select(
+            F.col("word").alias("center"),
+            F.lead("word", k).over(w).alias("context"),
+        ).filter(F.col("context").isNotNull())
+        pairs = p if pairs is None else pairs.unionByName(p)
+    counts = (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _LIFT_MIN_N)
+    )
+    scored = (
+        counts.join(
+            F.broadcast(uni.withColumnsRenamed({"word": "center", "nw": "nc"})),
+            "center",
+        )
+        .join(
+            F.broadcast(uni.withColumnsRenamed({"word": "context", "nw": "nx"})),
+            "context",
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lift_raw",
+            F.col("n").cast("double")
+            * F.col("n_tok")
+            / (F.col("nc") * F.col("nx").cast("double")),
+        )
+    )
+    # Global rank via the two-phase range-partitioned form (plans/ordered
+    # — the scored relation hangs off joins, so the plan sweep can't prove
+    # it group-sized, and the two-phase rank is safe at any cardinality).
+    from flink_realtime_spark.plans.ordered import ordered_prefix
+
+    ranked = ordered_prefix(
+        scored,
+        [F.col("lift_raw").desc(), F.col("center").asc(), F.col("context").asc()],
+        pos_col="rnk",
+    )
+    return (
+        ranked.filter(F.col("rnk") <= _COOC_TOPK)
+        .select(
+            "center",
+            "context",
+            "n",
+            F.col("lift_raw").cast("decimal(18,6)").cast("double").alias("lift"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("rnk")
+    )
