@@ -428,3 +428,37 @@ def pipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
         .select("doc_id", "n_tokens", "cum_tokens")
     )
+
+
+@query(
+    "pipe_curriculum_ntile",
+    """
+    SELECT
+      doc_id,
+      source,
+      CAST(n_chars AS BIGINT) AS n_chars,
+      CAST(NTILE(4) OVER (
+        PARTITION BY source ORDER BY n_chars ASC, doc_id ASC
+      ) AS BIGINT) AS phase
+    FROM documents
+    """,
+)
+def pipe_curriculum_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phase assignment: quartile each source's documents by
+    length (short-to-long training order), deterministic via the
+    (n_chars, doc_id) total order — NTILE is tie-order-dependent, so the
+    unique tiebreak is what makes the phases reproducible across engines
+    and partitionings. Per-source partitioned window: parallel across
+    sources, never a global sort."""
+    wh = Warehouse(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    return wh.documents.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.ntile(4).over(w).cast("long").alias("phase"),
+    )

@@ -847,3 +847,65 @@ def llm_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+_VOCAB_K = 500  # tokenizer vocabulary budget (top-K corpus types)
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, COUNT(*) AS nw,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word ASC) AS r
+    FROM tok GROUP BY word
+  ) WHERE r <= {_VOCAB_K}
+)
+SELECT
+  t.doc_id,
+  COUNT(*) AS n_tokens,
+  COUNT(*) FILTER (WHERE v.word IS NULL) AS n_oov,
+  CAST(COUNT(*) FILTER (WHERE v.word IS NULL) AS DOUBLE) / COUNT(*)
+    AS oov_rate
+FROM tok t LEFT JOIN vocab v ON t.word = v.word
+GROUP BY t.doc_id
+"""
+
+
+@query("llm_vocab_coverage", _VOCAB_ORACLE)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage report: per-document out-of-vocabulary rate
+    against a top-500 corpus vocabulary (deterministic freq-then-word
+    rank) — the coverage check run before freezing a tokenizer's vocab
+    budget. The vocabulary is vocab-budget rows → broadcast, so the
+    token stream takes one membership probe and one keyed agg; the
+    vocab build itself is a two-phase count + a global top-K over the
+    TYPE table (window over Aggregate — the allowed partition-less
+    shape, group-cardinality input)."""
+    wh = Warehouse(spark, sf_dir)
+    tok = rebalance(wh.documents, "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    wv = Window.orderBy(F.col("nw").desc(), F.col("word").asc())
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("nw"))
+        .withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") <= _VOCAB_K)
+        .select("word")
+    )
+    return (
+        tok.join(
+            F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "word", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+            (
+                F.count(F.when(F.col("in_vocab").isNull(), 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+    )
