@@ -864,3 +864,67 @@ def ads_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("uv"),
         )
     )
+
+
+# The event-flow state machine the DQ board validates against: a user may
+# browse (view→view/click/signup), act (click→purchase/view/click), etc.
+# Transitions OUTSIDE this allowed set are process violations to count.
+_FSM_ALLOWED = [
+    "view>view", "view>click", "view>signup", "view>error",
+    "click>view", "click>click", "click>purchase",
+    "signup>view", "purchase>view", "error>view",
+]
+
+
+@query(
+    "dq_illegal_transitions",
+    f"""
+    WITH seq AS (
+      SELECT
+        user_id,
+        CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        LAG(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+        ) || '>' || event_type AS trans
+      FROM events
+    )
+    SELECT
+      d,
+      COUNT(*) AS n_transitions,
+      COUNT(*) FILTER (
+        WHERE trans NOT IN ({", ".join("'" + t + "'" for t in _FSM_ALLOWED)})
+      ) AS n_illegal,
+      CAST(COUNT(*) FILTER (
+        WHERE trans NOT IN ({", ".join("'" + t + "'" for t in _FSM_ALLOWED)})
+      ) AS DOUBLE) / COUNT(*) AS illegal_rate
+    FROM seq
+    WHERE trans IS NOT NULL
+    GROUP BY d
+    """,
+)
+def dq_illegal_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-flow FSM validation (the DQ twin of CEP pattern matching):
+    per-user consecutive event-type transitions checked against an
+    allowed-transition set, daily counts and illegal rate. One keyed
+    window (the same per-user LAG the CEP family uses — deterministic
+    (ts, event_id) tiebreak) and a membership probe against the literal
+    FSM edge list; the per-day agg is two-phase. At 100 TB the FSM table
+    is config data broadcast exactly like state_rule_engine's rules."""
+    wh = Warehouse(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = F.concat_ws(
+        ">", F.lag("event_type").over(w), F.col("event_type")
+    )
+    seq = wh.events.select(
+        F.date_trunc("day", "ts").alias("d"),
+        trans.alias("trans"),
+        F.lag("event_type").over(w).isNotNull().alias("has_prev"),
+    ).filter(F.col("has_prev"))
+    illegal = ~F.col("trans").isin(_FSM_ALLOWED)
+    return seq.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.count(F.when(illegal, 1)).alias("n_illegal"),
+        (
+            F.count(F.when(illegal, 1)).cast("double") / F.count(F.lit(1))
+        ).alias("illegal_rate"),
+    )
