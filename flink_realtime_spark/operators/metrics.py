@@ -928,3 +928,58 @@ def dq_illegal_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(illegal, 1)).cast("double") / F.count(F.lit(1))
         ).alias("illegal_rate"),
     )
+
+
+@query(
+    "ads_stickiness_dau_wau",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+      FROM events
+    ),
+    cal AS (SELECT DISTINCT d FROM days)
+    SELECT
+      c.d,
+      COUNT(DISTINCT CASE WHEN a.d = c.d THEN a.user_id END) AS dau,
+      COUNT(DISTINCT a.user_id) AS wau,
+      CAST(COUNT(DISTINCT CASE WHEN a.d = c.d THEN a.user_id END) AS DOUBLE)
+        / COUNT(DISTINCT a.user_id) AS stickiness
+    FROM cal c
+    JOIN days a
+      ON a.d BETWEEN c.d - INTERVAL 6 DAY AND c.d
+    GROUP BY c.d
+    """,
+)
+def ads_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness board: per calendar day, daily actives, trailing
+    7-day actives, and their ratio (the classic engagement-health metric).
+    Events compress to the distinct (user, day) relation FIRST — the same
+    compression retention uses, so the trailing-window join carries
+    active-days rows, not events; the calendar side is O(days) and the
+    range join's fan-out is bounded by 7. At extreme user counts the
+    exact distinct swaps for mergeable HLL sketches per day, unioned over
+    the window (the agg_uv_sketch_rollup pattern)."""
+    wh = Warehouse(spark, sf_dir)
+    days = (
+        wh.events.select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+    )
+    cal = days.select("d").distinct().select(F.col("d").alias("cd"))
+    joined = cal.join(
+        days,
+        (F.col("d") >= F.col("cd") - F.expr("INTERVAL 6 DAYS"))
+        & (F.col("d") <= F.col("cd")),
+    )
+    same_day_user = F.when(F.col("d") == F.col("cd"), F.col("user_id"))
+    return (
+        joined.groupBy("cd")
+        .agg(
+            F.countDistinct(same_day_user).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+            (
+                F.countDistinct(same_day_user).cast("double")
+                / F.countDistinct("user_id")
+            ).alias("stickiness"),
+        )
+        .withColumnRenamed("cd", "d")
+    )
