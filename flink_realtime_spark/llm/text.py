@@ -704,28 +704,28 @@ LIMIT {_COOC_TOPK}
 def llm_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram co-occurrence counts (the word2vec/GloVe pair statistic):
     (center, context) frequencies for forward offsets 1..2, top-20 with a
-    deterministic (count desc, center, context) rank. Built with
-    lead(k) windows per document — one keyed sort instead of a positional
-    self-join, so the pair stream is |tokens| × window rows narrow off a
-    single exchange; the count agg is two-phase. The positional
-    self-join form the oracle uses is equivalent but shuffles the token
-    relation twice at scale."""
+    deterministic (count desc, center, context) rank. Built with ONE
+    window pass per document emitting `array(lead(1) .. lead(k))`, then
+    posexplode — one keyed sort instead of a positional self-join, and no
+    per-offset union (the round-2 per-k union branched the plan k ways,
+    re-running the window subtree per branch: 14 exchanges for the lift
+    variant; the array form plans a single WindowExec). The pair stream
+    is |tokens| × window rows narrow off a single exchange; the count agg
+    is two-phase. The positional self-join form the oracle uses is
+    equivalent but shuffles the token relation twice at scale."""
     wh = Warehouse(spark, sf_dir)
     tok = rebalance(wh.documents, "doc_id").select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("i", "word")
     )
     w = Window.partitionBy("doc_id").orderBy("i")
-    pair_cols = [
-        F.lead("word", k).over(w).alias(f"ctx{k}")
-        for k in range(1, _COOC_WIN + 1)
-    ]
-    with_ctx = tok.select("word", *pair_cols)
-    pairs = None
-    for k in range(1, _COOC_WIN + 1):
-        p = with_ctx.select(
-            F.col("word").alias("center"), F.col(f"ctx{k}").alias("context")
-        ).filter(F.col("context").isNotNull())
-        pairs = p if pairs is None else pairs.unionByName(p)
+    ctxs = F.array(
+        *[F.lead("word", k).over(w) for k in range(1, _COOC_WIN + 1)]
+    )
+    pairs = (
+        tok.select(F.col("word").alias("center"), ctxs.alias("ctxs"))
+        .select("center", F.explode("ctxs").alias("context"))
+        .filter(F.col("context").isNotNull())
+    )
     counts = pairs.groupBy("center", "context").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -764,7 +764,7 @@ pairs AS (
 )
 SELECT center, context, n,
        CAST(CAST(CAST(n AS DOUBLE) * t.n_tok
-            / (uc.nw * CAST(ux.nw AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)
+            / (uc.nw * CAST(ux.nw AS DOUBLE)) AS DECIMAL(28,12)) AS DOUBLE)
          AS lift,
        CAST(ROW_NUMBER() OVER (
          ORDER BY CAST(n AS DOUBLE) * t.n_tok / (uc.nw * CAST(ux.nw AS DOUBLE))
@@ -786,7 +786,7 @@ def llm_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n(c,x)·N / (n(c)·n(x)) kept as an exact-arithmetic ratio instead of
     its logarithm (ln is libm-dependent across engines; the ratio is two
     integer products and one IEEE division, then pinned through
-    DECIMAL(18,6)). Pairs below a support floor are dropped first — the
+    DECIMAL(28,12)). Pairs below a support floor are dropped first — the
     standard guard against rare-pair lift explosions. Unigram counts and
     the 1-row token total broadcast against the pair table; everything
     else is the co-occurrence machinery above."""
@@ -797,13 +797,17 @@ def llm_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = tok.groupBy("word").agg(F.count(F.lit(1)).alias("nw"))
     tot = tok.agg(F.count(F.lit(1)).alias("n_tok"))
     w = Window.partitionBy("doc_id").orderBy("i")
-    pairs = None
-    for k in range(1, _COOC_WIN + 1):
-        p = tok.select(
-            F.col("word").alias("center"),
-            F.lead("word", k).over(w).alias("context"),
-        ).filter(F.col("context").isNotNull())
-        pairs = p if pairs is None else pairs.unionByName(p)
+    # One WindowExec emitting array(lead 1..k) + explode — not a per-k
+    # union, which would re-run the window subtree per branch (the
+    # round-2 14-exchange plan).
+    ctxs = F.array(
+        *[F.lead("word", k).over(w) for k in range(1, _COOC_WIN + 1)]
+    )
+    pairs = (
+        tok.select(F.col("word").alias("center"), ctxs.alias("ctxs"))
+        .select("center", F.explode("ctxs").alias("context"))
+        .filter(F.col("context").isNotNull())
+    )
     counts = (
         pairs.groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -842,7 +846,13 @@ def llm_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "center",
             "context",
             "n",
-            F.col("lift_raw").cast("decimal(18,6)").cast("double").alias("lift"),
+            # DECIMAL(28,12), not (18,6): lift is an exact integer ratio
+            # n·N/(nc·nx), and dyadic ratios (odd/2^k) terminate with a
+            # trailing 5 that can land exactly on a scale-6 rounding tie
+            # where Spark HALF_UP and DuckDB HALF_EVEN disagree; at scale
+            # 12 a tie needs denominator 2^13 · odd — beyond any count
+            # product the support floor admits.
+            F.col("lift_raw").cast("decimal(28,12)").cast("double").alias("lift"),
             F.col("rnk").cast("long").alias("rnk"),
         )
         .orderBy("rnk")

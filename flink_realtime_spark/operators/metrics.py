@@ -954,22 +954,37 @@ def ads_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU stickiness board: per calendar day, daily actives, trailing
     7-day actives, and their ratio (the classic engagement-health metric).
     Events compress to the distinct (user, day) relation FIRST — the same
-    compression retention uses, so the trailing-window join carries
-    active-days rows, not events; the calendar side is O(days) and the
-    range join's fan-out is bounded by 7. At extreme user counts the
-    exact distinct swaps for mergeable HLL sketches per day, unioned over
-    the window (the agg_uv_sketch_rollup pattern)."""
+    compression retention uses, so the trailing-window path carries
+    active-days rows, not events. The trailing membership is then a
+    BOUNDED EXPLODE, not a theta join: each active day covers exactly the
+    7 calendar days [d, d+6] (`explode(sequence(d, d+6))`), and the
+    observed-calendar restriction rides a broadcast EQUI-join on the
+    exploded day — a BroadcastHashJoin with 7× fan-out on the big side,
+    versus the naive `a.d BETWEEN c.d-6 AND c.d` predicate which has no
+    equi component and plans a BroadcastNestedLoopJoin comparing every
+    (user, day) row against ALL calendar days (O(|user-days| × |cal|) —
+    ~1000× avoidable work at 3 years of data). Same bounded-fanout trick
+    as join_range_binned. At extreme user counts the exact distinct swaps
+    for mergeable HLL sketches per day, unioned over the window (the
+    agg_uv_sketch_rollup pattern)."""
     wh = Warehouse(spark, sf_dir)
     days = (
         wh.events.select("user_id", F.date_trunc("day", "ts").alias("d"))
         .distinct()
     )
     cal = days.select("d").distinct().select(F.col("d").alias("cd"))
-    joined = cal.join(
-        days,
-        (F.col("d") >= F.col("cd") - F.expr("INTERVAL 6 DAYS"))
-        & (F.col("d") <= F.col("cd")),
+    covered = days.select(
+        "user_id",
+        "d",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("cd"),
     )
+    joined = covered.join(F.broadcast(cal), "cd")
     same_day_user = F.when(F.col("d") == F.col("cd"), F.col("user_id"))
     return (
         joined.groupBy("cd")

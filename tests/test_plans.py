@@ -234,6 +234,69 @@ def test_no_partitionless_window_over_raw_relation(spark, key):
     assert not offenders, offenders
 
 
+def _physical_nodes(df):
+    return _iter_nodes(df._jdf.queryExecution().sparkPlan())
+
+
+def _subtree_is_bounded(n) -> bool:
+    # A relation is metadata-sized iff somewhere below the broadcast sits a
+    # full aggregation (group-cardinality output: 1-row stat frames, the
+    # 16-centroid fit, a distinct types dim) or an explicit row limit, or
+    # it is a literal LocalRelation. Scan-rooted subtrees with none of
+    # those grow with the data → fact-sized.
+    name = n.nodeName()
+    if "Aggregate" in name or "Limit" in name or "TakeOrdered" in name:
+        return True
+    if "LocalTableScan" in name or name == "LocalRelation":
+        return True
+    # createDataFrame from driver-side data (e.g. the fitted KMeans
+    # centroids in llm_knn_ivf): driver-memory-bounded by construction.
+    if "ExistingRDD" in name:
+        return True
+    # spark.range with a literal small cardinality (e.g. the 16 projection
+    # dims in llm_random_projection). A big Range stays fact-sized.
+    if name == "Range":
+        import re
+
+        m = re.match(r"Range \((-?\d+), (-?\d+)", n.simpleString(120))
+        if m and int(m.group(2)) - int(m.group(1)) <= 100_000:
+            return True
+    ch = n.children()
+    return any(
+        _subtree_is_bounded(ch.apply(i)) for i in range(ch.size())
+    )
+
+
+@pytest.mark.parametrize("key", sorted(registry.QUERIES))
+def test_no_bnl_with_unbounded_broadcast(spark, key):
+    """Sweep every key's physical plan: a BroadcastNestedLoopJoin is legal
+    ONLY when its broadcast side is bounded (aggregate-/limit-derived or a
+    literal relation — O(1) vs the data), so the join costs
+    O(stream × O(1)). A BNL whose broadcast side is itself fact-sized
+    (e.g. the round-2 ads_stickiness_dau_wau calendar theta-join) is the
+    scale-killer this guards against: O(|stream| × |broadcast|)
+    comparisons with no equi pruning."""
+    df = registry.QUERIES[key](spark, SF_DIR)
+    offenders = []
+    for n in _physical_nodes(df):
+        if "BroadcastNestedLoopJoin" not in n.nodeName():
+            continue
+        build_right = "BuildRight" in n.toString().splitlines()[0]
+        build = n.children().apply(1 if build_right else 0)
+        if not _subtree_is_bounded(build):
+            offenders.append(n.simpleString(160))
+    assert not offenders, offenders
+
+
+def test_stickiness_is_bounded_explode_equijoin(spark):
+    # Regression for the round-2 finding: the trailing-7-day membership
+    # must ride the exploded-day equi-join, never a calendar theta BNL.
+    plan = plan_of(spark, "ads_stickiness_dau_wau")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_line_dedup_stays_linear(spark):
     # Line-level dedup must be linear: frequency join on the hashed
     # segment, no pairwise join shapes, partial aggregation present.
