@@ -386,6 +386,17 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collides with p <= 4*0.2^4 = 0.6% and is then discarded by the exact
 # filter anyway). Hence the oracle below is the exact all-pairs SQL, and
 # the Spark side is free to use fast native hashing.
+#
+# FIXTURE DEPENDENCY (do not change these silently): the keys that gate a
+# probabilistic candidate stage against an EXACT all-pairs oracle
+# (llm_dedup_minhash, llm_dedup_incremental, llm_dedup_editdist,
+# llm_dedup_two_stage, llm_dedup_cluster) hash-match only because every
+# planted pair in /root/testdata's documents fixture sits at jaccard
+# >= 0.8, where at least one band collides w.h.p. — recall at j = 0.5
+# would be ~23% and the equality would break. Changing _N_HASH/_N_BANDS
+# or regenerating the fixture with weaker planted pairs requires
+# re-deriving that margin (tests/test_llm_props.py's recall property test
+# covers the planted-pair list explicitly).
 _N_HASH, _N_BANDS, _ROWS_PER_BAND = 16, 4, 4
 
 
@@ -707,7 +718,13 @@ class MinhashIndex:
             )
         )
         cand = self_cand.unionByName(cross_cand).distinct()
-        all_sh = sh.unionByName(idx_sh)
+        # dropDuplicates(doc_id): an at-least-once retry re-delivers docs
+        # whose shingle sets are ALREADY in the index, and a doubled
+        # verification relation would emit each surviving pair 4× through
+        # the two set-joins — dedup bounds retry duplication to the
+        # documented single pair re-emission. Batch row wins arbitrarily;
+        # both copies are identical by content-hash construction.
+        all_sh = sh.unionByName(idx_sh).dropDuplicates(["doc_id"])
         pairs = _verify_pairs(cand, all_sh, set_col="hs").localCheckpoint(
             eager=True  # materialize BEFORE the appends
         )

@@ -211,6 +211,25 @@ def mv_merge(cur: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
+def _recover_interrupted_swap(mv_dir: str) -> None:
+    """Recover a swap interrupted by a HARD crash (SIGKILL/power loss):
+    the in-process try/except below can't run then, and the store may be
+    left with state only in ``.old`` (between rename(mv->old) and
+    rename(tmp->mv)). Without this, the next batch's isdir(mv_dir) check
+    would silently REINITIALIZE the MV from that batch's partials — total
+    state loss. Called at the top of every fold and every read."""
+    import os
+    import shutil
+
+    old = mv_dir + ".old"
+    if not os.path.isdir(mv_dir) and os.path.isdir(old):
+        os.rename(old, mv_dir)
+        # A leftover .tmp (the write that never got renamed in) is partial
+        # output from the interrupted batch; the checkpoint will replay
+        # that batch, so drop it.
+        shutil.rmtree(mv_dir + ".tmp", ignore_errors=True)
+
+
 def mv_stream_writer(stream_df: DataFrame, mv_dir: str):
     """Continuous MV maintenance via foreachBatch: read the stored partial
     states, fold the micro-batch's partials in, atomically swap the store
@@ -228,6 +247,7 @@ def mv_stream_writer(stream_df: DataFrame, mv_dir: str):
 
     def _fb(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover_interrupted_swap(mv_dir)
         delta = mv_partial_events(batch_df)
         if os.path.isdir(mv_dir):
             cur = spark.read.schema(MV_STATE_DDL).parquet(mv_dir)
@@ -259,6 +279,7 @@ def mv_stream_writer(stream_df: DataFrame, mv_dir: str):
 def mv_serve(spark: SparkSession, mv_dir: str) -> DataFrame:
     """Serve the MV: derive AVG from the stored commutative partials (the
     reason the MV stores sums and counts, never finished averages)."""
+    _recover_interrupted_swap(mv_dir)
     mv = spark.read.schema(MV_STATE_DDL).parquet(mv_dir)
     return mv.select(
         "d",

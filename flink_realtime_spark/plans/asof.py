@@ -18,9 +18,15 @@ algorithm DuckDB's ASOF JOIN (our oracle) uses, expressed as DataFrame ops
 so Catalyst/Tungsten execute it fully JVM-side. At 100 TB both inputs
 shuffle once on the join key; skewed keys fall to AQE.
 
-Tie rule: a version with ts equal to the fact ts IS visible (tag orders
+Tie rules: a version with ts equal to the fact ts IS visible (tag orders
 versions before facts within equal timestamps), matching DuckDB ASOF
-``fact.ts >= version.ts``.
+``fact.ts >= version.ts``. Among VERSIONS sharing (key, ts), the one with
+the smallest ``tiebreak`` column (default: the first version_col — the id
+in every registered caller) wins, in every direction: without this the
+window order is not total and each version column's last() could pick a
+DIFFERENT same-ts row (mixing one row's id with another row's value,
+nondeterministically under recomputation). The join_asof_nearest oracle's
+``p.event_id ASC`` rank term encodes the same rule.
 """
 
 from __future__ import annotations
@@ -40,6 +46,7 @@ def asof_join(
     version_cols: list[str],
     how: str = "inner",
     direction: str = "backward",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """For every fact row, attach ``version_cols`` from the nearest version
     row of the same ``key``: with ``direction='backward'`` the latest one
@@ -50,8 +57,11 @@ def asof_join(
     order; ties stay version-visible in both directions.
 
     ``how='left'`` keeps facts with no visible version (nulls); ``'inner'``
-    drops them.
+    drops them. ``tiebreak`` (default ``version_cols[0]``) makes the
+    version order total: among same-(key, ts) versions the SMALLEST
+    tiebreak value wins deterministically.
     """
+    tiebreak = tiebreak or version_cols[0]
     fact_cols = facts.columns
     left = facts.withColumn(_TAG, F.lit(1)).withColumn(
         "__ts", F.col(fact_ts).cast("timestamp")
@@ -75,9 +85,14 @@ def asof_join(
 
     def win(dirn: str) -> Window:
         ts_order = F.col("__ts").asc() if dirn == "backward" else F.col("__ts").desc()
+        # Tiebreak DESC: within a same-(key, ts) run of versions the scan
+        # sees larger tiebreaks first, so last() lands on the SMALLEST —
+        # one consistent winning row for every version column. Fact rows
+        # carry NULL tiebreaks, but the tag term already orders them
+        # after the versions they can see.
         return (
             Window.partitionBy(key)
-            .orderBy(ts_order, F.col(_TAG).asc())
+            .orderBy(ts_order, F.col(_TAG).asc(), F.col(tiebreak).desc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
 

@@ -86,7 +86,22 @@ class ParquetUpsertStore:
         # immediately is safe.
         self.tombstone_col = tombstone_col
 
+    def _recover(self) -> None:
+        """Batch-boundary atomicity under HARD crashes (SIGKILL/power
+        loss): if a previous merge died between rename(path -> .old) and
+        rename(.staging -> path), the only complete state is .old —
+        without recovery the next read() returns None and the store
+        silently reinitializes from one batch's rows (total state loss).
+        Roll .old back and drop the incomplete staging dir; the streaming
+        checkpoint replays the interrupted batch, and replay is a no-op
+        by the latest-image contract."""
+        old = self.path + ".old"
+        if not os.path.isdir(self.path) and os.path.isdir(old):
+            os.rename(old, self.path)
+            shutil.rmtree(self.path + ".staging", ignore_errors=True)
+
     def read(self) -> DataFrame | None:
+        self._recover()
         if not os.path.isdir(self.path):
             return None
         return self.spark.read.parquet(self.path)
@@ -103,9 +118,21 @@ class ParquetUpsertStore:
             compacted = compacted.filter(~F.col(self.tombstone_col))
         tmp = self.path + ".staging"
         compacted.write.mode("overwrite").parquet(tmp)
+        # Rename-swap, never rmtree-then-rename: the store must hold a
+        # complete state under a crash at ANY point (the .old window is
+        # covered by _recover above; production form is a Delta/Iceberg
+        # MERGE where the log gives this for free).
+        old = self.path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
         if os.path.isdir(self.path):
-            shutil.rmtree(self.path)
-        os.rename(tmp, self.path)
+            os.rename(self.path, old)
+        try:
+            os.rename(tmp, self.path)
+        except BaseException:
+            if os.path.isdir(old):
+                os.rename(old, self.path)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def upsert_sink(

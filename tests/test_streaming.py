@@ -200,6 +200,81 @@ def test_upsert_store_two_phase_merge(spark, chunked_events_dir):
     shutil.rmtree(workdir, ignore_errors=True)
 
 
+def test_upsert_store_survives_crash_mid_swap(spark):
+    """Crash injection at the worst point of the atomic swap: after
+    rename(store -> .old) but before rename(.staging -> store) — the state
+    a SIGKILL/power loss leaves behind. The next read()/merge() must
+    recover the complete pre-crash state from .old (NOT silently
+    reinitialize from the next batch), and a replayed merge must be a
+    no-op per the latest-image contract."""
+    from flink_realtime_spark.streaming.sinks import ParquetUpsertStore
+
+    workdir = tempfile.mkdtemp(prefix="upsert_crash_")
+    path = os.path.join(workdir, "store")
+    store = ParquetUpsertStore(
+        spark,
+        path,
+        keys=["user_id"],
+        order_cols=[F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    full = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    n = full.count()
+    first = full.filter(F.col("event_id") < n / 2)
+    second = full.filter(F.col("event_id") >= n / 2)
+    store.merge(first)
+    expect_first = _rows(store.read(), ["user_id", "event_id"])
+
+    # Hard crash mid-swap: complete state only in .old, partial staging.
+    os.rename(path, path + ".old")
+    os.makedirs(path + ".staging")
+    with open(os.path.join(path + ".staging", "part-junk"), "w") as f:
+        f.write("incomplete")
+
+    assert _rows(store.read(), ["user_id", "event_id"]) == expect_first
+    assert not os.path.isdir(path + ".staging")
+    assert not os.path.isdir(path + ".old")
+
+    # Crash mid-swap again, then recover via merge() (the checkpoint's
+    # batch replay path) instead of read().
+    os.rename(path, path + ".old")
+    store.merge(second)
+    got = store.read()
+    batch = registry.QUERIES["cdc_latest_image"](spark, SF_DIR)
+    assert _rows(got, ["user_id", "event_id"]) == _rows(
+        batch, ["user_id", "last_event_id"]
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_mv_store_survives_crash_mid_swap(spark, chunked_events_dir, tmp_path):
+    """Same crash injection for the MV fold store: state stranded in .old
+    must be recovered by the next fold, and the refolded MV must equal the
+    from-scratch recompute."""
+    from flink_realtime_spark.operators.serving import (
+        mv_merge,
+        mv_partial_events,
+        mv_serve,
+        mv_stream_writer,
+    )
+
+    mv_dir = str(tmp_path / "mv_crash")
+    sdf = file_stream_source(
+        spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
+    )
+    q = mv_stream_writer(sdf, mv_dir).trigger(availableNow=True).start()
+    q.awaitTermination()
+    expect = _rows(mv_serve(spark, mv_dir), ["d", "event_type", "n_events"])
+
+    os.rename(mv_dir, mv_dir + ".old")
+    os.makedirs(mv_dir + ".tmp")
+    got = _rows(mv_serve(spark, mv_dir), ["d", "event_type", "n_events"])
+    assert got == expect
+    assert not os.path.isdir(mv_dir + ".old")
+    assert not os.path.isdir(mv_dir + ".tmp")
+
+
 def test_stream_stream_interval_join(spark):
     """Stream-stream time-interval join with dual watermarks (the streaming
     form of join_interval_time): clicks x purchases of the same user within
@@ -1369,3 +1444,7 @@ def test_minhash_index_retry_emits_no_self_pairs(spark, tmp_path):
     assert all(a != b for a, b in retried)  # no self-loops
     # the retry re-finds exactly the same real pairs, nothing new
     assert set(retried) == first
+    # ... and each pair exactly ONCE: the verification relation dedups by
+    # doc_id, so the doubled (batch + already-indexed) shingle rows can't
+    # multiply each surviving pair 4x through the two set-joins.
+    assert len(retried) == len(first)
