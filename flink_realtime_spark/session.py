@@ -96,10 +96,42 @@ def prepare(spark: SparkSession) -> SparkSession:
     return spark
 
 
+_KAFKA_JAR_SEARCH = (
+    "env SPARK_GRAFT_KAFKA_JARS",
+    "<repo>/vendor/jars/*.jar",
+    "~/.ivy2/jars/*kafka*.jar",
+    "~/.m2/**/spark-sql-kafka*/*.jar",
+)
+
+
+def find_kafka_jars() -> list[str]:
+    """Locate a vendored spark-sql-kafka connector (plus its
+    kafka-clients/commons-pool2/token-provider deps) without any network:
+    an explicit env override first, then the repo vendor dir, then the
+    usual local artifact caches. Returns [] when the sandbox has none —
+    the searched locations are _KAFKA_JAR_SEARCH, quoted verbatim by the
+    test-skip reason so the missing artifact is documented, not silent."""
+    import glob
+
+    paths: list[str] = []
+    env = os.environ.get("SPARK_GRAFT_KAFKA_JARS", "")
+    if env:
+        paths.extend(p for p in env.split(",") if os.path.isfile(p))
+    repo_vendor = os.path.join(os.path.dirname(os.path.dirname(__file__)), "vendor", "jars")
+    for pat in (
+        os.path.join(repo_vendor, "*.jar"),
+        os.path.expanduser("~/.ivy2/jars/*kafka*.jar"),
+        os.path.expanduser("~/.m2/**/spark-sql-kafka*/*.jar"),
+    ):
+        paths.extend(glob.glob(pat, recursive=True))
+    return sorted(set(paths))
+
+
 def get_spark(app_name: str = "flink-realtime-spark") -> SparkSession:
     """Local session for tests/bench. On a real cluster, submit with the
     same confs via spark-submit; the engine code itself is deploy-agnostic."""
     cpus = default_parallelism()
+    kafka_jars = find_kafka_jars()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -113,6 +145,8 @@ def get_spark(app_name: str = "flink-realtime-spark") -> SparkSession:
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
         )
     )
+    if kafka_jars:
+        builder = builder.config("spark.jars", ",".join(kafka_jars))
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
     return prepare(builder.getOrCreate())

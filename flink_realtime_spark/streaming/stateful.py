@@ -365,22 +365,193 @@ def apply_with_state(
     )
 
 
+def tws_available() -> bool:
+    """Capability gate for transformWithStateInPandas: its Python state
+    server speaks protobuf to the JVM, so the API constructs fine but
+    EXECUTION needs google.protobuf. Detected at runtime — never assumed
+    either way; tests skip-or-run per stateful op on this flag, and
+    clusters with protobuf get the full timers/TTL path below."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def transform_with_state(
     sdf: DataFrame,
     key: str,
     processor,
     output_schema: str,
     output_mode: str = "Append",
+    time_mode: str = "None",
 ) -> DataFrame:
     """Wrapper for groupBy(key).transformWithStateInPandas — the
     full-featured (timers/TTL/map/list state) path on clusters where
-    google.protobuf is available."""
+    google.protobuf is available (``tws_available``). ``time_mode``
+    "EventTime" enables registerTimer/handleExpiredTimer driven by the
+    watermark."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf at execution "
+            "time (absent here); use apply_with_state — the equivalent "
+            "applyInPandasWithState forms cover every registered stateful op"
+        )
     return sdf.groupBy(key).transformWithStateInPandas(
         statefulProcessor=processor,
         outputStructType=output_schema,
         outputMode=output_mode,
-        timeMode="None",
+        timeMode=time_mode,
     )
+
+
+# --- transformWithStateInPandas processor forms -------------------------
+# The TWS twins of latest_image_state_fn / timeout_alert_state_fn: same
+# semantics on the Spark 4 arbitrary-state API (ValueState + named event
+# timers with TTL support) instead of GroupState. Classes construct
+# without protobuf (import-safe); execution is gated by tws_available and
+# equivalence-tested against the applyInPandasWithState forms in
+# tests/test_streaming.py::test_tws_* (skip-or-pass per op, never silent).
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class TwsLatestImageProcessor(StatefulProcessor):
+    """cdc_latest_image on TWS: ValueState holds the running latest
+    (ts_us, event_id, type, value) per key; one refreshed image emitted
+    per micro-batch — identical update-stream contract to
+    latest_image_state_fn."""
+
+    OUTPUT_SCHEMA = (
+        "user_id LONG, last_event_id LONG, last_type STRING, "
+        "last_value DOUBLE, last_ts_us LONG"
+    )
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._latest = handle.getValueState(
+            "latest", "ts_us LONG, event_id LONG, event_type STRING, value DOUBLE"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        best = tuple(self._latest.get()) if self._latest.exists() else None
+        user_id = key[0]
+        for pdf in rows:
+            for r in pdf.itertuples(index=False):
+                cand = (
+                    int(r.ts.value // 1000),
+                    int(r.event_id),
+                    str(r.event_type),
+                    float(r.value),
+                )
+                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                    best = cand
+        if best is not None:
+            self._latest.update(best)
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([user_id], dtype="int64"),
+                    "last_event_id": pd.Series([best[1]], dtype="int64"),
+                    "last_type": [best[2]],
+                    "last_value": pd.Series([best[3]], dtype="float64"),
+                    "last_ts_us": pd.Series([best[0]], dtype="int64"),
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+class TwsTimeoutAlertProcessor(StatefulProcessor):
+    """state_timeout_alert on TWS: pending clicks in ValueState, a REAL
+    registered event-time timer at the earliest outstanding deadline
+    (timeout_alert_state_fn approximates this with GroupState's single
+    setTimeoutTimestamp); purchases clear the clicks they satisfy; expired
+    clicks emit from handleExpiredTimer, plus inline when a batch advances
+    the watermark past older deadlines."""
+
+    OUTPUT_SCHEMA = "user_id LONG, click_id LONG, click_ts_us LONG"
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._pend = handle.getValueState(
+            "pending", "pend_ts ARRAY<LONG>, pend_id ARRAY<LONG>"
+        )
+        self._handle = handle
+
+    def _load(self):
+        if self._pend.exists():
+            ts_l, id_l = self._pend.get()
+            return list(ts_l), list(id_l)
+        return [], []
+
+    def _emit_and_store(self, user_id, pend_ts, pend_id, wm_us):
+        import pandas as pd
+
+        expired = [
+            (ct, ci)
+            for ct, ci in zip(pend_ts, pend_id)
+            if ct + _TIMEOUT_US < wm_us
+        ]
+        live = [
+            (ct, ci)
+            for ct, ci in zip(pend_ts, pend_id)
+            if ct + _TIMEOUT_US >= wm_us
+        ]
+        if live:
+            ts_l, id_l = [list(x) for x in zip(*live)]
+            self._pend.update((ts_l, id_l))
+            self._handle.registerTimer(min(ts_l) // 1000 + _TIMEOUT_US // 1000)
+        else:
+            self._pend.clear()
+        if expired:
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series(
+                        [user_id] * len(expired), dtype="int64"
+                    ),
+                    "click_id": pd.Series(
+                        [ci for _, ci in expired], dtype="int64"
+                    ),
+                    "click_ts_us": pd.Series(
+                        [ct for ct, _ in expired], dtype="int64"
+                    ),
+                }
+            )
+
+    def handleInputRows(self, key, rows, timerValues):
+        pend_ts, pend_id = self._load()
+        for pdf in rows:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples(index=False):
+                t_us = int(r.ts.value // 1000)
+                if r.event_type == "click":
+                    pend_ts.append(t_us)
+                    pend_id.append(int(r.event_id))
+                elif r.event_type == "purchase":
+                    keep = [
+                        (ct, ci)
+                        for ct, ci in zip(pend_ts, pend_id)
+                        if not (ct < t_us <= ct + _TIMEOUT_US)
+                    ]
+                    pend_ts, pend_id = (
+                        [list(x) for x in zip(*keep)] if keep else ([], [])
+                    )
+        wm_us = timerValues.getCurrentWatermarkInMs() * 1000
+        yield from self._emit_and_store(key[0], pend_ts, pend_id, wm_us)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        self._handle.deleteTimer(expiredTimerInfo.getExpiryTimeInMs())
+        pend_ts, pend_id = self._load()
+        wm_us = timerValues.getCurrentWatermarkInMs() * 1000
+        yield from self._emit_and_store(key[0], pend_ts, pend_id, wm_us)
+
+    def close(self) -> None:
+        pass
 
 
 @query(

@@ -390,6 +390,78 @@ def test_stream_slide_complete_equals_batch(spark):
     assert _rows(streamed, ["ws", "n"]) == _rows(batch, ["ws", "n"])
 
 
+@pytest.mark.parametrize("op", ["cdc_latest_image", "state_timeout_alert"])
+def test_tws_form_equivalent_when_protobuf_present(
+    spark, chunked_events_dir, op
+):
+    """Capability-gated transformWithStateInPandas equivalence: when
+    google.protobuf is importable, each stateful op's TWS processor form
+    must emit the same final state as its applyInPandasWithState form;
+    when it is not, this records an explicit per-op skip (never silent) —
+    the applyInPandasWithState equivalence tests still cover the op's
+    semantics either way."""
+    from flink_realtime_spark.streaming.stateful import (
+        TwsLatestImageProcessor,
+        TwsTimeoutAlertProcessor,
+        apply_with_state,
+        latest_image_state_fn,
+        timeout_alert_state_fn,
+        transform_with_state,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip(
+            f"transformWithStateInPandas form of {op} gated off: "
+            "google.protobuf is not importable in this container (the TWS "
+            "Python state server requires it; CLAUDE.md invariant). The "
+            "applyInPandasWithState form is the one exercised and "
+            "equivalence-tested here."
+        )
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    if op == "cdc_latest_image":
+        sdf = file_stream_source(
+            spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
+        ).select("user_id", "event_id", "ts", "event_type", "value")
+        tws = transform_with_state(
+            sdf,
+            "user_id",
+            TwsLatestImageProcessor(),
+            TwsLatestImageProcessor.OUTPUT_SCHEMA,
+        )
+        aps = apply_with_state(sdf, "user_id", latest_image_state_fn)
+        cols = ["user_id", "last_event_id", "last_type", "last_value", "last_ts_us"]
+    else:
+        sdf = (
+            file_stream_source(
+                spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
+            )
+            .withWatermark("ts", "0 seconds")
+            .select("user_id", "event_id", "ts", "event_type")
+        )
+        tws = transform_with_state(
+            sdf,
+            "user_id",
+            TwsTimeoutAlertProcessor(),
+            TwsTimeoutAlertProcessor.OUTPUT_SCHEMA,
+            time_mode="EventTime",
+        )
+        aps = apply_with_state(
+            sdf, "user_id", timeout_alert_state_fn, timeout="event"
+        )
+        cols = ["user_id", "click_id", "click_ts_us"]
+    got_tws = run_available_now(tws, "append").toPandas()
+    got_aps = run_available_now(aps, "append").toPandas()
+    if op == "cdc_latest_image":
+        got_tws = got_tws.groupby("user_id", sort=True).last().reset_index()
+        got_aps = got_aps.groupby("user_id", sort=True).last().reset_index()
+    for df in (got_tws, got_aps):
+        df.sort_values(cols, inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    assert got_tws[cols].values.tolist() == got_aps[cols].values.tolist()
+
+
 def _kafka_connector_available(spark) -> bool:
     try:
         spark._jvm.java.lang.Class.forName(
@@ -427,11 +499,19 @@ def test_kafka_roundtrip_when_environment_allows(spark, chunked_events_dir):
     import uuid
 
     if not _kafka_connector_available(spark):
+        from flink_realtime_spark.session import _KAFKA_JAR_SEARCH, find_kafka_jars
+
+        found = find_kafka_jars()
         pytest.skip(
-            "no spark-sql-kafka connector jar in this environment; "
+            "no spark-sql-kafka connector jar: vendored-jar load attempted "
+            f"(searched {', '.join(_KAFKA_JAR_SEARCH)}; found {found or 'none'}; "
+            "Maven Central unreachable from this sandbox — curl to "
+            "repo1.maven.org resolves no route), so the missing artifact is "
+            "spark-sql-kafka-0-10_2.13 + kafka-clients. "
             "kafka_json_source/_sink stay plan-construction-verified "
             "(test_kafka_builder_requires_connector) with the file-replay "
-            "stand-in covering stream semantics"
+            "stand-in covering stream semantics; drop the jars in "
+            "vendor/jars/ or set SPARK_GRAFT_KAFKA_JARS to flip this to a run"
         )
     brokers = os.environ.get("KAFKA_BOOTSTRAP_SERVERS")
     if not brokers:
