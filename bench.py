@@ -20,7 +20,9 @@ from flink_realtime_spark import registry
 from flink_realtime_spark.session import get_spark
 
 # Headline set: one representative per major category (keys missing from the
-# registry — not yet implemented this round — are skipped silently).
+# registry — not yet implemented this round — are skipped silently), PLUS
+# each family's WORST-case key (BASELINE.md per-family table) so the
+# per-round artifact captures tail regressions, not just the fast paths.
 HEADLINE = [
     "agg_star_flagship",
     "agg_groupby_basic",
@@ -38,6 +40,15 @@ HEADLINE = [
     "llm_dedup_minhash",
     "llm_knn_cosine",
     "llm_text_stats",
+    # per-family worst keys (tail guard)
+    "cogroup_apply",
+    "agg_funnel_window",
+    "tpch_q21_waiting",
+    "llm_doc_keywords",
+    "llm_knn_ivf",
+    "llm_cooccurrence",
+    "ads_stickiness_dau_wau",
+    "graph_pagerank",
 ]
 
 
@@ -79,6 +90,10 @@ def main() -> None:
         print(f"# {key}: {times[key]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 4)
+    # r01/r02 comparability: the headline total covered exactly the first
+    # 16 keys through round 2; the widened set adds the per-family worst
+    # keys, so expose the legacy subtotal alongside.
+    legacy16 = round(sum(times[k] for k in HEADLINE[:16] if k in times), 4)
     print(
         json.dumps(
             {
@@ -86,6 +101,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "legacy16_total_sec": legacy16,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
