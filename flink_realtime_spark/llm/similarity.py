@@ -149,7 +149,11 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     query, exact cosine only within those cells. No SQL oracle (KMeans
     initialization is estimator-internal); property-checked: recall@k vs
     llm_knn_cosine above a floor, and the per-query candidate count must
-    stay ≈ nprobe/ncells of the corpus (the point of the index)."""
+    stay ≈ nprobe/ncells of the corpus (the point of the index). This
+    codegen join kernel is the small-Q form; when Q grows with N
+    (all-vs-all linking) swap in ivf_topk_gemm below — same index, same
+    results (equivalence property test), per-cell matmul kernel
+    (tools/ann_probe.py: 88.4 s → 2.6 s at Q=5000, N=8000)."""
     wh = Warehouse(spark, sf_dir)
     assigned, centroids = ivf_index(wh.embeddings)
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
@@ -180,6 +184,97 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= K)
         .select(
             "query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cos_sim")
+        )
+    )
+
+
+def ivf_topk_gemm(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    q_max: int,
+    k: int = K,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k with a per-cell GEMM kernel — the large-Q form of
+    llm_knn_ivf. The registered key's codegen dot-product join is right at
+    small Q (zero Python), but its per-pair cost is per-element work; when
+    Q grows with N (all-vs-all linking) the kernel must be a matmul. Here
+    each probed cell cogroup-pairs its queries (≤ Q·nprobe replicas total)
+    with its members, one numpy GEMM per cell scores the |Q_cell|×|N_cell|
+    block, and only each query's per-cell top-k (≤ nprobe·k rows/query)
+    survives to the final exact global rank — so the shuffle after the
+    kernel is metadata-sized. Same one-equi-shuffle-on-cell plan shape;
+    GEMM is order-fixed per pair, hence partitioning-invariant (the
+    llm_dedup_embcos lesson). Measured (tools/ann_probe.py, N=8000,
+    Q=5000): 86.9 s join-kernel → 2.9 s GEMM-kernel, identical results."""
+    import numpy as np
+    import pandas as pd
+
+    q = assigned.filter(F.col("vec_id") < q_max).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("csim", cosine_expr("qe", "centroid"))
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("cell", "query_id", "qe")
+    )
+    members = assigned.select(
+        "cell", F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne")
+    )
+
+    def cell_topk(qpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(mpdf):
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "sim": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "sim": "float64"})
+        qm = np.stack(qpdf["qe"].to_numpy())
+        nm = np.stack(mpdf["ne"].to_numpy())
+        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        nn = nm / np.linalg.norm(nm, axis=1, keepdims=True)
+        sims = qn @ nn.T
+        qids = qpdf["query_id"].to_numpy()
+        nids = mpdf["neighbor_id"].to_numpy()
+        sims[qids[:, None] == nids[None, :]] = -np.inf  # self-matches out
+        kk = min(k, sims.shape[1])
+        # Per-query local top-k with the SAME (sim desc, neighbor_id asc)
+        # tiebreak the global rank uses — argpartition would keep an
+        # arbitrary member of a tied boundary group and could drop the
+        # neighbor the deterministic global tiebreak wants. Columns are
+        # pre-ordered by neighbor_id, so a stable sort on -sim alone
+        # yields exactly that order.
+        nord = np.argsort(nids, kind="stable")
+        nids_s, sims_s = nids[nord], sims[:, nord]
+        top = np.argsort(-sims_s, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(len(qids)), kk)
+        cols = top.ravel()
+        out = pd.DataFrame(
+            {
+                "query_id": qids[rows],
+                "neighbor_id": nids_s[cols],
+                "sim": sims_s[rows, cols],
+            }
+        )
+        return out[out["sim"] != -np.inf]
+
+    cand = probes.groupBy("cell").cogroup(members.groupBy("cell")).applyInPandas(
+        cell_topk, "query_id LONG, neighbor_id LONG, sim DOUBLE"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("sim", 6).alias("cos_sim"),
         )
     )
 
