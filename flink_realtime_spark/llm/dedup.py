@@ -1197,16 +1197,75 @@ def llm_dedup_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_pagerank")
+def _pagerank_oracle(iters: int = 10, beta: str = "0.85") -> str:
+    """DuckDB oracle for graph_pagerank: grouped aggregation inside a
+    recursive CTE is outside DuckDB's subset, but the round count is FIXED
+    (power iteration), so the loop UNROLLS into `iters` chained CTE
+    stages — each the exact relational twin of one plans/graph.py round
+    (per-edge rank/deg through DECIMAL(28,15) sums; dangling mass as a
+    1-row aggregate; the update expression associates identically:
+    ((1-β)/n + (β·dm)/n) + β·inflow). This upgrades the key from
+    rows-only to full hash-checked."""
+    # Every stage CTE is MATERIALIZED: r{k} is referenced twice by round
+    # k+1 (contribs + dangling mass), so un-materialized inlining would
+    # re-expand the whole prefix per reference — 2^iters evaluations of
+    # the shingle-pair derivation (measured: the plain form never
+    # finishes; materialized, the oracle runs in seconds).
+    stages = []
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        stages.append(f"""
+    c{k} AS MATERIALIZED (
+      SELECT e.dst AS id,
+             CAST(SUM(CAST(r.rank / deg.deg AS DECIMAL(28,15))) AS DOUBLE)
+               AS inflow
+      FROM e JOIN {p} r ON e.src = r.id JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    d{k} AS MATERIALIZED (
+      SELECT CAST(SUM(CAST(r.rank AS DECIMAL(28,15))) AS DOUBLE) AS dm
+      FROM {p} r JOIN dang ON dang.id = r.id
+    ),
+    r{k} AS MATERIALIZED (
+      SELECT nodes.id,
+             ((1.0 - {beta}) / nn.n + {beta} * COALESCE(d.dm, 0.0) / nn.n)
+               + {beta} * COALESCE(c.inflow, 0.0) AS rank
+      FROM nodes CROSS JOIN nn CROSS JOIN d{k} d
+      LEFT JOIN c{k} c ON c.id = nodes.id
+    )""")
+    return f"""
+    WITH {_PAIRS_CTE_DUCK},
+    e AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents),
+    nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+    dang AS MATERIALIZED (
+      SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM deg)
+    ),
+    r0 AS MATERIALIZED (
+      SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
+    ),
+    {",".join(stages)}
+    SELECT id AS doc_id, ROUND(rank, 12) AS rank FROM r{iters}
+    """
+
+
+@query("graph_pagerank", _pagerank_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-dup similarity graph (symmetrized MinHash
     pairs): within a duplicate cluster, the highest-ranked doc is the most
     central copy — an alternative canonical-pick to min-doc_id that favors
-    the version most others resemble. Rows-only check (grouped
-    aggregation inside recursion is outside DuckDB's recursive-CTE
-    subset); property-tested against numpy power iteration on random
-    graphs (tests/test_cluster_props.py). Ranks are partitioning-invariant
-    (decimal contribution sums — plans/graph.py)."""
+    the version most others resemble. Hash-checked against a DuckDB
+    oracle that unrolls the 10 fixed power rounds into chained CTE stages
+    (see _pagerank_oracle — Spark-side decimal contribution sums make
+    each round accumulation-order-free, so the two engines agree bit-for-
+    bit at the 12-decimal output rounding); additionally property-tested
+    against numpy power iteration on random graphs
+    (tests/test_cluster_props.py)."""
     from flink_realtime_spark.plans.graph import pagerank
 
     wh = Warehouse(spark, sf_dir)

@@ -8,10 +8,12 @@ with lineage truncation per round).
 
 Determinism: each round's contribution sum uses DECIMAL(28,15) per-edge
 casts, so accumulation order (partitioning, task order) cannot move the
-result — the same discipline exprs.dsum applies to money columns. No SQL
-oracle (grouped aggregation inside recursion is outside DuckDB's
-recursive-CTE subset); tests/test_cluster_props.py checks against numpy
-power iteration on random graphs instead.
+result — the same discipline exprs.dsum applies to money columns. The
+fixed round count lets the DuckDB oracle unroll the loop into chained
+MATERIALIZED CTE stages (llm/dedup._pagerank_oracle) — graph_pagerank is
+hash-checked bit-for-bit at the 12-decimal output rounding, and
+tests/test_cluster_props.py additionally checks against numpy power
+iteration on random graphs.
 
 Scale: per round, one shuffle keyed on the destination node + one
 broadcast-or-shuffle join on ranks. State = one rank per node. Rounds are
