@@ -833,10 +833,16 @@ def llm_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Global rank via the two-phase range-partitioned form (plans/ordered
     # — the scored relation hangs off joins, so the plan sweep can't prove
     # it group-sized, and the two-phase rank is safe at any cardinality).
+    # Lazy-checkpoint scored first: ordered_prefix's annotated + summary
+    # branches both consume it, and while AQE's exchange reuse already
+    # executes the subtree once, the un-checkpointed form re-PLANS the
+    # whole token pipeline per branch (13 static exchanges in the audit);
+    # scored is post-support-floor tiny, so truncating lineage here is
+    # free and the audited plan shows the real shape (~5 exchanges).
     from flink_realtime_spark.plans.ordered import ordered_prefix
 
     ranked = ordered_prefix(
-        scored,
+        scored.localCheckpoint(eager=False),
         [F.col("lift_raw").desc(), F.col("center").asc(), F.col("context").asc()],
         pos_col="rnk",
     )
