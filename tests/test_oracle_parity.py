@@ -40,3 +40,35 @@ def test_entry_smoke(spark):
     assert {"r_name", "o_orderpriority", "l_returnflag", "revenue"} <= set(
         out.columns
     )
+
+
+def test_driver_window_rotation():
+    """The driver checks exactly the FIRST 50 keys of ordered_queries()
+    per round (CLAUDE.md "Driver sampling"). Lock the round-3 contract:
+    the current window must consist of keys with no prior green driver
+    record — the two r01-fail reworks first, the rest never sampled — so
+    cumulative driver evidence grows every round instead of re-proving
+    keys already proven."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sampled: set[str] = set()
+    # Deliberately pinned to the records the CURRENT rotation was built
+    # against — extend this tuple together with each _PRIORITY_HEAD
+    # rotation (next round: add r03 and re-rotate).
+    for rec in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        path = os.path.join(root, rec)
+        if os.path.isfile(path):
+            with open(path) as f:
+                sampled |= set(json.load(f))
+    if not sampled:
+        pytest.skip("no prior CORRECTNESS records in this checkout")
+    window = list(registry.ordered_queries())[:50]
+    resampled = [k for k in window if k in sampled]
+    # agg_approx_distinct / agg_uv_sketch_rollup: only driver record is
+    # the r01 FAIL (reworked + judge-verified since) — they lead the
+    # window on purpose. Nothing else may be a repeat.
+    assert resampled == ["agg_approx_distinct", "agg_uv_sketch_rollup"], (
+        resampled
+    )
