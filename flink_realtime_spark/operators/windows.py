@@ -296,6 +296,108 @@ def win_late_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_late_refire",
+    f"""
+    WITH arr AS (
+      SELECT
+        event_id, ts, value,
+        MAX(ts) OVER (
+          ORDER BY
+            ts + CASE
+              WHEN event_id % 31 = 0 THEN INTERVAL '3 hours'
+              WHEN event_id % 7 = 0 THEN INTERVAL '30 minutes'
+              ELSE INTERVAL '0 seconds'
+            END,
+            event_id
+          ROWS UNBOUNDED PRECEDING
+        ) AS wm
+      FROM events
+    ),
+    cls AS (
+      SELECT
+        date_trunc('hour', ts) AS ws,
+        (wm - INTERVAL '10 minutes')
+          < date_trunc('hour', ts) + INTERVAL '1 hour' AS on_time,
+        value
+      FROM arr
+      WHERE (wm - INTERVAL '10 minutes')
+        < date_trunc('hour', ts) + INTERVAL '1 hour' + INTERVAL '1 hour'
+    )
+    SELECT
+      ws AS win_start,
+      CAST(COUNT(CASE WHEN on_time THEN 1 END) AS BIGINT) AS n_on_time,
+      COALESCE({dsum_sql('CASE WHEN on_time THEN value END')}, 0.0)
+        AS sum_on_time,
+      CAST(COUNT(CASE WHEN NOT on_time THEN 1 END) AS BIGINT) AS n_refires,
+      CAST(COUNT(*) AS BIGINT) AS n_final,
+      {dsum_sql('value')} AS sum_final,
+      CAST(COUNT(CASE WHEN NOT on_time THEN 1 END) > 0 AS BOOLEAN)
+        AS corrected
+    FROM cls
+    GROUP BY ws
+    """,
+)
+def win_late_refire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """allowedLateness re-fire, reconciled in batch (the §7.4 gap's
+    mitigation made executable): Flink re-fires a window for every late
+    element until watermark >= window_end + allowedLateness; Spark's
+    single global watermark can only drop. The engine's answer is the
+    Lambda patch — per window, emit BOTH panes: the first-fire aggregate
+    (elements that arrived while the watermark had not passed window end)
+    and the final corrected aggregate (plus within-lateness late
+    arrivals), with the re-fire count Flink would have emitted in
+    between. A serving layer upserts windows where ``corrected`` — the
+    same keyed-upsert contract the CDC sink uses, so downstream state
+    converges to Flink's post-lateness result without re-fire support.
+    Watermark model matches win_late_drop (running max event time over
+    arrival order, 10-minute delay; two-phase prefix, no partition-less
+    window); lateness = 1 hour; elements past window_end + lateness are
+    dropped exactly as Flink drops them. The fixture carries no arrival
+    timestamps (event_id order IS time order), so arrival order is
+    synthesized with a deterministic straggler pattern — every 7th event
+    arrives 30 minutes late (the re-fire band when it straddles an hour
+    boundary), every 31st three hours late (always past lateness →
+    dropped) — identical arithmetic on both engines, scale-invariant
+    pane semantics."""
+    from flink_realtime_spark.plans.ordered import Prefix, ordered_prefix
+
+    wh = Warehouse(spark, sf_dir)
+    delay = (
+        F.when(F.col("event_id") % 31 == 0, F.expr("INTERVAL 3 HOURS"))
+        .when(F.col("event_id") % 7 == 0, F.expr("INTERVAL 30 MINUTES"))
+        .otherwise(F.expr("INTERVAL 0 SECONDS"))
+    )
+    base = ordered_prefix(
+        wh.events.select(
+            "event_id", "ts", "value", (F.col("ts") + delay).alias("arr_ts")
+        ),
+        [F.col("arr_ts"), F.col("event_id")],
+        prefixes=[Prefix("wm", F.col("ts"), "max")],
+    )
+    ws = F.date_trunc("hour", F.col("ts"))
+    we = ws + F.expr("INTERVAL 1 HOUR")
+    eff = F.col("wm") - F.expr("INTERVAL 10 MINUTES")
+    on_time = eff < we
+    kept = eff < we + F.expr("INTERVAL 1 HOUR")
+    return (
+        base.filter(kept)
+        .select(ws.alias("ws"), on_time.alias("on_time"), "value")
+        .groupBy("ws")
+        .agg(
+            F.count(F.when(F.col("on_time"), 1)).alias("n_on_time"),
+            F.coalesce(
+                dsum(F.when(F.col("on_time"), F.col("value"))), F.lit(0.0)
+            ).alias("sum_on_time"),
+            F.count(F.when(~F.col("on_time"), 1)).alias("n_refires"),
+            F.count(F.lit(1)).alias("n_final"),
+            dsum(F.col("value")).alias("sum_final"),
+            (F.count(F.when(~F.col("on_time"), 1)) > 0).alias("corrected"),
+        )
+        .withColumnRenamed("ws", "win_start")
+    )
+
+
+@query(
     "win_tumble_offset",
     f"""
     SELECT
