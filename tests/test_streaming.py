@@ -1528,3 +1528,44 @@ def test_minhash_index_retry_emits_no_self_pairs(spark, tmp_path):
     # doc_id, so the doubled (batch + already-indexed) shingle rows can't
     # multiply each surviving pair 4x through the two set-joins.
     assert len(retried) == len(first)
+
+
+def test_late_refire_upsert_convergence(spark, tmp_path):
+    """The win_late_refire serving contract: replay the first-fire pane
+    emissions, then the corrected-window emissions, through the keyed
+    upsert store — the converged store must equal the final (post-
+    lateness) aggregates for EVERY window, i.e. downstream state reaches
+    Flink's allowedLateness result without streaming re-fire support."""
+    from flink_realtime_spark.streaming.sinks import ParquetUpsertStore
+
+    ref = registry.QUERIES["win_late_refire"](spark, SF_DIR)
+    assert ref.filter(F.col("corrected")).count() > 0  # panes exercised
+    store = ParquetUpsertStore(
+        spark,
+        str(tmp_path / "refire_store"),
+        keys=["win_start"],
+        order_cols=[F.col("seq").desc()],
+    )
+    fires = ref.select(
+        "win_start",
+        F.col("n_on_time").alias("n"),
+        F.col("sum_on_time").alias("s"),
+        F.lit(0).alias("seq"),
+    )
+    corrections = ref.filter(F.col("corrected")).select(
+        "win_start",
+        F.col("n_final").alias("n"),
+        F.col("sum_final").alias("s"),
+        F.lit(1).alias("seq"),
+    )
+    store.merge(fires)
+    store.merge(corrections)
+    got = store.read().select("win_start", "n", "s")
+    want = ref.select(
+        "win_start",
+        F.col("n_final").alias("n"),
+        F.col("sum_final").alias("s"),
+    )
+    assert _rows(got, ["win_start", "n", "s"]) == _rows(
+        want, ["win_start", "n", "s"]
+    )
