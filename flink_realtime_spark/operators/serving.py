@@ -293,6 +293,135 @@ def mv_serve(spark: SparkSession, mv_dir: str) -> DataFrame:
     )
 
 
+# ---- streaming late-refire reconciliation -------------------------------
+# The continuous form of win_late_refire (operators/windows.py): Flink
+# re-fires windows for within-lateness stragglers; Spark streaming can
+# only drop them past the watermark. This foreachBatch loop implements the
+# reconciliation incrementally: each micro-batch is classified against the
+# PREVIOUS batch's closing watermark (exactly Spark's own watermark
+# semantics — the watermark used in batch N was computed at the end of
+# batch N-1), late-but-within-lateness rows fold into the window's final
+# pane and bump its refire counter, and rows past window_end + lateness
+# are dropped as Flink drops them. Store = commutative per-window partial
+# states + the carried watermark scalar, swapped atomically with the same
+# crash-recovery discipline as the MV store.
+
+REFIRE_STATE_DDL = (
+    "win_start TIMESTAMP, n_on_time LONG, sum_on_dec DECIMAL(28,4), "
+    "n_refires LONG, n_final LONG, sum_final_dec DECIMAL(28,4)"
+)
+_REFIRE_WM_DDL = "wm_us LONG"
+
+
+def _refire_delta(batch_df: DataFrame, wm_us: int | None) -> DataFrame:
+    """Classify one micro-batch against the carried watermark and produce
+    its per-window partial states. ``wm_us`` None = first batch (watermark
+    unset → nothing can be late, Spark's own cold-start behavior)."""
+    ws = F.date_trunc("hour", F.col("ts"))
+    we = ws + F.expr("INTERVAL 1 HOUR")
+    if wm_us is None:
+        on_time, kept = F.lit(True), F.lit(True)
+    else:
+        eff = F.timestamp_micros(F.lit(wm_us)) - F.expr("INTERVAL 10 MINUTES")
+        on_time = eff < we
+        kept = eff < we + F.expr("INTERVAL 1 HOUR")
+    dec = F.col("value").cast("decimal(18,4)")
+    return (
+        batch_df.filter(kept)
+        .groupBy(ws.alias("win_start"))
+        .agg(
+            F.count(F.when(on_time, 1)).alias("n_on_time"),
+            F.sum(F.when(on_time, dec)).cast("decimal(28,4)").alias("sum_on_dec"),
+            F.count(F.when(~on_time, 1)).alias("n_refires"),
+            F.count(F.lit(1)).alias("n_final"),
+            F.sum(dec).cast("decimal(28,4)").alias("sum_final_dec"),
+        )
+    )
+
+
+def late_refire_stream_writer(stream_df: DataFrame, store_dir: str):
+    """foreachBatch incremental Lambda reconciliation; caller adds
+    trigger/checkpoint and start()s. Serve with late_refire_serve."""
+    import os
+    import shutil
+
+    def _fb(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_interrupted_swap(store_dir)
+        win_dir = os.path.join(store_dir, "windows")
+        wm_dir = os.path.join(store_dir, "wm")
+        wm_us = None
+        cur = None
+        if os.path.isdir(store_dir):
+            cur = spark.read.schema(REFIRE_STATE_DDL).parquet(win_dir)
+            rows = spark.read.schema(_REFIRE_WM_DDL).parquet(wm_dir).collect()
+            if rows and rows[0][0] is not None:
+                wm_us = rows[0][0]
+        delta = _refire_delta(batch_df, wm_us)
+        merged = (
+            delta
+            if cur is None
+            else cur.unionByName(delta)
+            .groupBy("win_start")
+            .agg(
+                F.sum("n_on_time").alias("n_on_time"),
+                F.sum("sum_on_dec").cast("decimal(28,4)").alias("sum_on_dec"),
+                F.sum("n_refires").alias("n_refires"),
+                F.sum("n_final").alias("n_final"),
+                F.sum("sum_final_dec")
+                .cast("decimal(28,4)")
+                .alias("sum_final_dec"),
+            )
+        )
+        batch_max = batch_df.agg(
+            F.max(F.unix_micros(F.col("ts"))).alias("m")
+        ).collect()[0][0]
+        new_wm = max(x for x in (wm_us, batch_max) if x is not None) if (
+            wm_us is not None or batch_max is not None
+        ) else None
+        tmp = store_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.coalesce(1).write.parquet(os.path.join(tmp, "windows"))
+        spark.createDataFrame([(new_wm,)], _REFIRE_WM_DDL).coalesce(1).write.parquet(
+            os.path.join(tmp, "wm")
+        )
+        old = store_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(store_dir):
+            os.rename(store_dir, old)
+        try:
+            os.rename(tmp, store_dir)
+        except BaseException:
+            if os.path.isdir(old):
+                os.rename(old, store_dir)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+
+    return stream_df.writeStream.foreachBatch(_fb)
+
+
+def late_refire_serve(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Serve the reconciled window board: both panes as doubles plus the
+    corrected flag — the same shape win_late_refire emits in batch."""
+    import os
+
+    _recover_interrupted_swap(store_dir)
+    st = spark.read.schema(REFIRE_STATE_DDL).parquet(
+        os.path.join(store_dir, "windows")
+    )
+    return st.select(
+        "win_start",
+        "n_on_time",
+        F.coalesce(F.col("sum_on_dec").cast("double"), F.lit(0.0)).alias(
+            "sum_on_time"
+        ),
+        "n_refires",
+        "n_final",
+        F.col("sum_final_dec").cast("double").alias("sum_final"),
+        (F.col("n_refires") > 0).alias("corrected"),
+    )
+
+
 # Flag days whose revenue is more than this many population std-devs from
 # the mean. Low threshold on purpose: the synthetic data is near-uniform,
 # and an all-false flag column would leave the predicate untested.

@@ -1569,3 +1569,108 @@ def test_late_refire_upsert_convergence(spark, tmp_path):
     assert _rows(got, ["win_start", "n", "s"]) == _rows(
         want, ["win_start", "n", "s"]
     )
+
+
+def test_late_refire_stream_matches_chunk_model(spark, tmp_path):
+    """Incremental reconciliation (late_refire_stream_writer) over a
+    3-micro-batch replay must equal a from-scratch model that classifies
+    each chunk against the previous chunks' closing watermark — the exact
+    batch-boundary watermark semantics Spark itself uses. The replay is
+    chunked by the SAME deterministic straggler arrival order the batch
+    win_late_refire key synthesizes (every 7th event +30 min, every 31st
+    +3 h), so later micro-batches genuinely carry late rows. Covers state
+    carry (watermark + window partials) across batches, late-row folding
+    into the final pane, and past-lateness drops."""
+    import math
+
+    from flink_realtime_spark.operators.serving import (
+        late_refire_serve,
+        late_refire_stream_writer,
+    )
+
+    # straggler-ordered 3-chunk replay fixture
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "ts", "value")
+    delay = (
+        F.when(F.col("event_id") % 31 == 0, F.expr("INTERVAL 3 HOURS"))
+        .when(F.col("event_id") % 7 == 0, F.expr("INTERVAL 30 MINUTES"))
+        .otherwise(F.expr("INTERVAL 0 SECONDS"))
+    )
+    arr = (
+        ev.withColumn("arr_ts", F.col("ts") + delay)
+        .orderBy("arr_ts", "event_id")
+        .toPandas()
+    )
+    n = len(arr)
+    arr["c"] = [min(i * 3 // n, 2) for i in range(n)]
+    d = str(tmp_path / "straggler_chunks")
+    os.makedirs(d)
+    for i in range(3):
+        chunk = arr[arr["c"] == i][["event_id", "ts", "value"]]
+        sub = spark.createDataFrame(chunk)
+        sub.coalesce(1).write.mode("overwrite").parquet(f"{d}/part{i}")
+        f = [x for x in os.listdir(f"{d}/part{i}") if x.endswith(".parquet")][0]
+        os.rename(f"{d}/part{i}/{f}", f"{d}/chunk{i}.parquet")
+        shutil.rmtree(f"{d}/part{i}")
+
+    store = str(tmp_path / "refire_inc")
+    sdf = file_stream_source(
+        spark, d, "event_id LONG, ts TIMESTAMP, value DOUBLE",
+        max_files_per_trigger=1,
+    )
+    q = (
+        late_refire_stream_writer(sdf, store)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    served = {
+        r.win_start: r
+        for r in late_refire_serve(spark, store).collect()
+    }
+
+    # driver-side model over the same chunks
+    pdf = arr
+    ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")  # µs epoch
+    chunk_max = {c: int(ts_us[pdf["c"] == c].max()) for c in (0, 1, 2)}
+    wm_prev = {
+        0: None,
+        1: chunk_max[0],
+        2: max(chunk_max[0], chunk_max[1]),
+    }
+    HOUR = 3600 * 1_000_000
+    D = 10 * 60 * 1_000_000
+    model: dict = {}
+    for t, v, c in zip(ts_us, pdf["value"], pdf["c"]):
+        t = int(t)
+        ws = (t // HOUR) * HOUR
+        we = ws + HOUR
+        wmp = wm_prev[c]
+        if wmp is None:
+            on_time, kept = True, True
+        else:
+            eff = wmp - D
+            on_time = eff < we
+            kept = eff < we + HOUR
+        if not kept:
+            continue
+        m = model.setdefault(ws, [0, 0.0, 0, 0, 0.0])
+        val = round(float(v), 4)
+        if on_time:
+            m[0] += 1
+            m[1] += val
+        else:
+            m[2] += 1
+        m[3] += 1
+        m[4] += val
+    assert len(served) == len(model)
+    total_refires = sum(m[2] for m in model.values())
+    assert total_refires > 0  # stragglers must actually exercise the path
+    import datetime as dt
+
+    for ws_us, (n_on, s_on, n_re, n_fin, s_fin) in model.items():
+        key = dt.datetime.utcfromtimestamp(ws_us / 1e6)
+        r = served[key]
+        assert (r.n_on_time, r.n_refires, r.n_final) == (n_on, n_re, n_fin), key
+        assert math.isclose(r.sum_on_time, s_on, abs_tol=1e-4)
+        assert math.isclose(r.sum_final, s_fin, abs_tol=1e-4)
+        assert r.corrected == (n_re > 0)
