@@ -1674,3 +1674,64 @@ def test_late_refire_stream_matches_chunk_model(spark, tmp_path):
         assert math.isclose(r.sum_on_time, s_on, abs_tol=1e-4)
         assert math.isclose(r.sum_final, s_fin, abs_tol=1e-4)
         assert r.corrected == (n_re > 0)
+
+
+def test_mv_checkpoint_restart_resumes_state(spark, tmp_path):
+    """Checkpoint RESTART (not just multi-batch): fold chunk 0 in one
+    streaming query, stop it, land two more chunks, start a NEW query on
+    the SAME checkpoint — the restarted query must resume from the
+    committed offset (no re-fold of chunk 0, no gap) and the final MV must
+    equal the from-scratch batch recompute. This is the recovery contract
+    a production job relies on after any redeploy/crash."""
+    from flink_realtime_spark.operators.serving import mv_serve, mv_stream_writer
+
+    ev = load_table(spark, SF_DIR, "events")
+    n = ev.count()
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+
+    def land(i):
+        chunk = ev.filter(
+            (F.col("event_id") >= i * n / 3) & (F.col("event_id") < (i + 1) * n / 3)
+        )
+        chunk.coalesce(1).write.mode("overwrite").parquet(f"{src}/part{i}")
+        f = [x for x in os.listdir(f"{src}/part{i}") if x.endswith(".parquet")][0]
+        os.rename(f"{src}/part{i}/{f}", f"{src}/chunk{i}.parquet")
+        shutil.rmtree(f"{src}/part{i}")
+
+    mv_dir = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+
+    land(0)
+    sdf = file_stream_source(spark, src, EVENTS_DDL, max_files_per_trigger=1)
+    q = (
+        mv_stream_writer(sdf, mv_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    after_first = {
+        (r.d, r.event_type): r.n_events for r in mv_serve(spark, mv_dir).collect()
+    }
+    assert sum(after_first.values()) == ev.filter(F.col("event_id") < n / 3).count()
+
+    land(1)
+    land(2)
+    q2 = (
+        mv_stream_writer(sdf, mv_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    served = mv_serve(spark, mv_dir)
+    batch = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("d"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {(r.d, r.event_type): r.n_events for r in served.collect()}
+    want = {(r.d, r.event_type): r.n_events for r in batch.collect()}
+    # exact equality proves chunk 0 was not re-folded on restart
+    assert got == want
