@@ -237,7 +237,16 @@ def main() -> None:
     for k in ks:
         sf_dir = SRC if k == 1 else build(spark, k)
         spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-        for key in ("agg_star_flagship", "agg_groupby_basic", "win_tumble"):
+        for key in (
+            "agg_star_flagship",
+            "agg_groupby_basic",
+            "win_tumble",
+            # round-3 reworked event-table keys: the bounded-explode
+            # stickiness join and the two-phase-prefix refire board must
+            # scale with event volume, not degrade
+            "ads_stickiness_dau_wau",
+            "win_late_refire",
+        ):
             t0 = time.perf_counter()
             n = registry.QUERIES[key](spark, sf_dir).count()
             dt = time.perf_counter() - t0
