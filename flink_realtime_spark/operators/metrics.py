@@ -998,3 +998,77 @@ def ads_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("cd", "d")
     )
+
+
+@query(
+    "ads_stickiness_sketch",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+      FROM events
+    ),
+    cal AS (SELECT DISTINCT d AS cd FROM days),
+    cov AS (
+      SELECT user_id, d,
+             unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))
+               AS cd
+      FROM days
+    ),
+    j AS (SELECT cov.* FROM cov JOIN cal USING (cd))
+    SELECT
+      cd AS d,
+      COUNT(DISTINCT CASE WHEN d = cd THEN user_id END) AS dau_exact,
+      COUNT(DISTINCT user_id) AS wau_exact,
+      CAST(abs(approx_count_distinct(CASE WHEN d = cd THEN user_id END)
+               - COUNT(DISTINCT CASE WHEN d = cd THEN user_id END))
+           <= 0.05 * COUNT(DISTINCT CASE WHEN d = cd THEN user_id END)
+           AS BOOLEAN) AS dau_ok,
+      CAST(abs(approx_count_distinct(user_id)
+               - COUNT(DISTINCT user_id))
+           <= 0.05 * COUNT(DISTINCT user_id) AS BOOLEAN) AS wau_ok
+    FROM j
+    GROUP BY cd
+    """,
+)
+def ads_stickiness_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stickiness board's documented 100 TB path made executable: at
+    extreme user counts the exact COUNT(DISTINCT) over the 7×-exploded
+    relation swaps for mergeable HLL sketches (1.5 KB/group vs the key
+    universe). Estimator internals differ across engines, so the
+    oracle-checkable contract is the agg_approx_distinct tolerance
+    verdict: both engines emit the exact counts (identical by definition)
+    plus booleans asserting their OWN estimator lands within ±5%. Same
+    bounded-explode equi-join shape as ads_stickiness_dau_wau."""
+    wh = Warehouse(spark, sf_dir)
+    days = (
+        wh.events.select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+    )
+    cal = days.select("d").distinct().select(F.col("d").alias("cd"))
+    covered = days.select(
+        "user_id",
+        "d",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("cd"),
+    )
+    joined = covered.join(F.broadcast(cal), "cd")
+    same_day = F.when(F.col("d") == F.col("cd"), F.col("user_id"))
+    dau_exact = F.countDistinct(same_day)
+    wau_exact = F.countDistinct("user_id")
+    dau_hll = F.approx_count_distinct(same_day, rsd=0.02)
+    wau_hll = F.approx_count_distinct("user_id", rsd=0.02)
+    return (
+        joined.groupBy("cd")
+        .agg(
+            dau_exact.alias("dau_exact"),
+            wau_exact.alias("wau_exact"),
+            (F.abs(dau_hll - dau_exact) <= 0.05 * dau_exact).alias("dau_ok"),
+            (F.abs(wau_hll - wau_exact) <= 0.05 * wau_exact).alias("wau_ok"),
+        )
+        .withColumnRenamed("cd", "d")
+    )
