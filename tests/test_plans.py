@@ -161,6 +161,45 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.set(k, v)
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """The 100 TB selective-join posture: when a big-big join's build side
+    carries a selective filter, Spark injects a runtime bloom filter on
+    the probe side (BloomFilterAggregate → might_contain above the fact
+    scan), so fact rows that cannot join die before the shuffle. Size
+    thresholds are lowered to trigger on sf-test data; production keeps
+    the defaults (the feature is on by default and sizes itself)."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_spark.tables import Warehouse
+    from tests.conftest import SF_DIR
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        wh = Warehouse(spark, SF_DIR)
+        sel = wh.orders.filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey", "o_orderdate")
+        j = wh.lineitem.join(sel, wh.lineitem["l_orderkey"] == sel["o_orderkey"])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        assert "might_contain" in buf.getvalue()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_range_binned_join_is_hash_not_bnl(spark):
     # The whole point of join_range_binned: the interval predicate must ride
     # an equi-join on the bin, never a nested-loop over (rows × bands).
