@@ -106,3 +106,68 @@ def test_compact_layer_reduces_files_preserves_rows(spark):
     import shutil
 
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark):
+    """Static pruning (above) needs the literal partition predicate; the
+    production star-join case filters a DIMENSION and expects the fact
+    scan to prune at RUNTIME — Spark's dynamic partition pruning inserts a
+    `dynamicpruning` subquery on the fact's partition column from the dim
+    side's filter. Without DPP a 100 TB date-partitioned fact would full-
+    scan whenever the date restriction arrives through a join. Two
+    triggers matter and both are pinned here: the dim predicate must be
+    LIKELY-SELECTIVE (an `= literal` — a bare boolean attribute does not
+    qualify), and at sf-test size the stats-based benefit estimate vetoes
+    the subquery, so the fallback ratio simulates the 100 TB fact
+    (production keeps the defaults)."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("dpp_fact", "dpp_dim"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    ev = load_table(spark, SF_DIR, "events").withColumn("day", F.to_date("ts"))
+    ev.write.partitionBy("day").saveAsTable("dpp_fact")
+    (
+        ev.select("day")
+        .distinct()
+        .withColumn(
+            "tag",
+            F.when(F.dayofmonth("day") <= 2, "campaign").otherwise("normal"),
+        )
+        .write.saveAsTable("dpp_dim")
+    )
+    confs = {
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats": "false",
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio": "1000",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = spark.sql(
+            "SELECT * FROM dpp_fact JOIN dpp_dim ON dpp_fact.day = dpp_dim.day "
+            "WHERE dpp_dim.tag = 'campaign'"
+        )
+        plan = _plan(j)
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        want = (
+            spark.table("dpp_fact")
+            .join(
+                F.broadcast(
+                    spark.table("dpp_dim").filter("tag = 'campaign'").select("day")
+                ),
+                "day",
+            )
+            .count()
+        )
+        assert j.count() == want > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        for t in ("dpp_fact", "dpp_dim"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
