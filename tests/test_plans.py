@@ -278,11 +278,15 @@ def _physical_nodes(df):
 
 
 def _subtree_is_bounded(n) -> bool:
-    # A relation is metadata-sized iff somewhere below the broadcast sits a
-    # full aggregation (group-cardinality output: 1-row stat frames, the
-    # 16-centroid fit, a distinct types dim) or an explicit row limit, or
-    # it is a literal LocalRelation. Scan-rooted subtrees with none of
-    # those grow with the data → fact-sized.
+    # A relation is metadata-sized iff boundedness holds at THIS node: it
+    # is a full aggregation (group-cardinality output: 1-row stat frames,
+    # the 16-centroid fit, a distinct types dim), an explicit row limit, a
+    # literal/driver-side relation, a small literal Range — or every input
+    # of a non-bounding node is itself bounded (a join of two bounded
+    # relations stays bounded; a projection over a raw scan does NOT:
+    # requiring ALL children, not ANY, is what stops `fact JOIN tiny-agg`
+    # from laundering a fact-sized broadcast through a contained
+    # aggregate). A bare scan is fact-sized by definition.
     name = n.nodeName()
     if "Aggregate" in name or "Limit" in name or "TakeOrdered" in name:
         return True
@@ -301,7 +305,9 @@ def _subtree_is_bounded(n) -> bool:
         if m and int(m.group(2)) - int(m.group(1)) <= 100_000:
             return True
     ch = n.children()
-    return any(
+    if ch.size() == 0:
+        return False  # raw scan / leaf source: grows with the data
+    return all(
         _subtree_is_bounded(ch.apply(i)) for i in range(ch.size())
     )
 
