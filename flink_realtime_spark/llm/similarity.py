@@ -193,6 +193,20 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("llm_knn_ivf_gemm")
+def llm_knn_ivf_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GEMM-kernel form of llm_knn_ivf as a first-class query: same
+    index, same results (per-key equivalence property test,
+    tests/test_llm_props.py), per-cell matmul kernel — the form to run
+    when Q grows with N. No SQL oracle for the same reason as
+    llm_knn_ivf (KMeans initialization is estimator-internal); the
+    equivalence test plus llm_knn_ivf's recall/scan-fraction properties
+    are the correctness contract."""
+    wh = Warehouse(spark, sf_dir)
+    assigned, centroids = ivf_index(wh.embeddings)
+    return ivf_topk_gemm(assigned, centroids, N_QUERIES)
+
+
 def ivf_topk_gemm(
     assigned: DataFrame,
     centroids: DataFrame,

@@ -111,7 +111,7 @@ _PRIORITY_HEAD = [
 _PRIORITY_TAIL = [
     "llm_dedup_semantic", "llm_dedup_embcos",
     "cogroup_apply", "src_stream_smoke",
-    "llm_dedup_minhash_ml", "llm_knn_ivf",
+    "llm_dedup_minhash_ml", "llm_knn_ivf", "llm_knn_ivf_gemm",
     "llm_dedup_cluster", "llm_dedup_two_stage",
     "graph_pagerank",
 ]
