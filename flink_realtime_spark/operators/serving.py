@@ -293,6 +293,113 @@ def mv_serve(spark: SparkSession, mv_dir: str) -> DataFrame:
     )
 
 
+# ---- retract-changelog synthesis ----------------------------------------
+# Flink SQL aggregations emit a RETRACT stream (+I first image, -U old /
+# +U new on change, -D on delete); Spark's update mode only overwrites by
+# key at the sink (SURVEY §7.4). The gap closes in foreachBatch: diff the
+# MV state BEFORE and AFTER each fold and emit the exact changelog rows
+# Flink would have — a downstream consumer (Kafka compacted topic, another
+# engine's upsert source) sees identical semantics. Cost per batch is one
+# full-outer join of two group-cardinality relations — metadata-sized next
+# to the fold itself.
+
+CHANGELOG_DDL = (
+    "op STRING, batch_id LONG, d TIMESTAMP, event_type STRING, "
+    "n_events LONG, sum_dec DECIMAL(28,4), max_value DOUBLE"
+)
+
+
+def mv_changelog_diff(
+    old: DataFrame | None, new: DataFrame, batch_id: int
+) -> DataFrame:
+    """Changelog rows turning ``old`` into ``new`` (keys: d, event_type):
+    +I for inserted keys, -U/+U pairs for changed keys (old image then
+    new image — the Flink retract order), -D for deleted keys. Unchanged
+    keys emit nothing."""
+    keys = ["d", "event_type"]
+    vals = ["n_events", "sum_dec", "max_value"]
+    n = new.select(*keys, *[F.col(c).alias(f"n_{c}") for c in vals])
+    if old is None:
+        o = n.filter(F.lit(False)).select(
+            *keys, *[F.col(f"n_{c}").alias(f"o_{c}") for c in vals]
+        )
+    else:
+        o = old.select(*keys, *[F.col(c).alias(f"o_{c}") for c in vals])
+    j = o.join(n, keys, "full_outer")
+    in_old = F.col("o_n_events").isNotNull()
+    in_new = F.col("n_n_events").isNotNull()
+    changed = in_old & in_new & (
+        (F.col("o_n_events") != F.col("n_n_events"))
+        | (F.col("o_sum_dec") != F.col("n_sum_dec"))
+        | (F.col("o_max_value") != F.col("n_max_value"))
+    )
+
+    def emit(op, prefix, cond):
+        return j.filter(cond).select(
+            F.lit(op).alias("op"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            *keys,
+            *[F.col(f"{prefix}_{c}").alias(c) for c in vals],
+        )
+
+    return (
+        emit("+I", "n", in_new & ~in_old)
+        .unionByName(emit("-U", "o", changed))
+        .unionByName(emit("+U", "n", changed))
+        .unionByName(emit("-D", "o", in_old & ~in_new))
+    )
+
+
+def mv_stream_writer_with_changelog(
+    stream_df: DataFrame, mv_dir: str, changelog_dir: str
+):
+    """mv_stream_writer plus per-batch retract-changelog emission into an
+    append-only parquet log. The changelog is written BEFORE the state
+    swap (same order a transactional sink would use: emit, then commit
+    state); a replayed batch re-emits its diff — at-least-once, absorbed
+    by the changelog's (op, batch_id, key) identity downstream."""
+    import os
+
+    def _fb(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_interrupted_swap(mv_dir)
+        delta = mv_partial_events(batch_df)
+        if os.path.isdir(mv_dir):
+            cur = spark.read.schema(MV_STATE_DDL).parquet(mv_dir)
+            merged = mv_merge(cur, delta)
+        else:
+            cur = None
+            merged = delta
+        merged = merged.localCheckpoint(eager=True)  # diff + swap read it
+        mv_changelog_diff(cur, merged, batch_id).write.mode("append").parquet(
+            changelog_dir
+        )
+        _swap_in(merged, mv_dir)
+
+    return stream_df.writeStream.foreachBatch(_fb)
+
+
+def _swap_in(merged: DataFrame, mv_dir: str) -> None:
+    """The mv_stream_writer swap, shared: write aside, rename over, with
+    the .old crash window covered by _recover_interrupted_swap."""
+    import os
+    import shutil
+
+    tmp = mv_dir + ".tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    old = mv_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(mv_dir):
+        os.rename(mv_dir, old)
+    try:
+        os.rename(tmp, mv_dir)
+    except BaseException:
+        if os.path.isdir(old):
+            os.rename(old, mv_dir)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+
+
 # ---- streaming late-refire reconciliation -------------------------------
 # The continuous form of win_late_refire (operators/windows.py): Flink
 # re-fires windows for within-lateness stragglers; Spark streaming can

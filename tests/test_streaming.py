@@ -1735,3 +1735,61 @@ def test_mv_checkpoint_restart_resumes_state(spark, tmp_path):
     want = {(r.d, r.event_type): r.n_events for r in batch.collect()}
     # exact equality proves chunk 0 was not re-folded on restart
     assert got == want
+
+
+def test_mv_changelog_retract_stream(spark, chunked_events_dir, tmp_path):
+    """Retract-stream synthesis (the SURVEY 7.4 gap made executable):
+    each fold emits the exact +I/-U/+U/-D changelog Flink's aggregation
+    would; replaying the changelog (latest non-delete image per key)
+    must reconstruct the final MV, retractions must pair up, and the
+    first batch must be pure inserts."""
+    from flink_realtime_spark.operators.serving import (
+        mv_serve,
+        mv_stream_writer_with_changelog,
+        CHANGELOG_DDL,
+    )
+
+    mv_dir = str(tmp_path / "mv_cl")
+    cl_dir = str(tmp_path / "changelog")
+    sdf = file_stream_source(
+        spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
+    )
+    q = (
+        mv_stream_writer_with_changelog(sdf, mv_dir, cl_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from pyspark.sql import Window
+
+    cl = spark.read.schema(CHANGELOG_DDL).parquet(cl_dir)
+    ops = {r.op: r.n for r in cl.groupBy("op").agg(F.count("*").alias("n")).collect()}
+    assert ops.get("-U", 0) == ops.get("+U", 0) > 0  # retractions pair up
+    first = cl.filter(F.col("batch_id") == cl.agg(F.min("batch_id")).collect()[0][0])
+    assert {r.op for r in first.select("op").distinct().collect()} == {"+I"}
+
+    # replay: latest image per key from the changelog == served MV
+    w = Window.partitionBy("d", "event_type").orderBy(
+        F.col("batch_id").desc(),
+        # within a batch -U precedes +U; the new image must win
+        F.when(F.col("op") == "-U", 0).otherwise(1).desc(),
+    )
+    latest = (
+        cl.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "-D") & (F.col("op") != "-U"))
+        .select("d", "event_type", "n_events", "sum_dec", "max_value")
+    )
+    served = mv_serve(spark, mv_dir).select(
+        "d", "event_type", "n_events",
+        F.col("sum_value"), "max_value",
+    )
+    got = _rows(
+        latest.select(
+            "d", "event_type", "n_events",
+            F.col("sum_dec").cast("double").alias("sum_value"), "max_value",
+        ),
+        ["d", "event_type", "n_events", "sum_value", "max_value"],
+    )
+    want = _rows(served, ["d", "event_type", "n_events", "sum_value", "max_value"])
+    assert got == want
