@@ -243,7 +243,6 @@ def mv_stream_writer(stream_df: DataFrame, mv_dir: str):
     at-least-once folding on retry (fine for the bounded replay tests, not
     for production)."""
     import os
-    import shutil
 
     def _fb(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -254,24 +253,7 @@ def mv_stream_writer(stream_df: DataFrame, mv_dir: str):
             merged = mv_merge(cur, delta)
         else:
             merged = delta
-        tmp = mv_dir + ".tmp"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        old = mv_dir + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(mv_dir):
-            os.rename(mv_dir, old)
-        try:
-            os.rename(tmp, mv_dir)
-        except BaseException:
-            # Roll the previous state back — without this, a crash in the
-            # swap window leaves no mv_dir, and the next batch's isdir
-            # check would silently RESET the MV to that batch's partials
-            # (total state loss) instead of failing loudly (the
-            # plans/layout.compact_layer discipline).
-            if os.path.isdir(old):
-                os.rename(old, mv_dir)
-            raise
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_in(merged, mv_dir)
 
     return stream_df.writeStream.foreachBatch(_fb)
 
