@@ -248,6 +248,64 @@ def join_interval_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_interval_left",
+    """
+    SELECT
+      c.user_id,
+      c.event_id AS click_id,
+      COALESCE(p.event_id, -1) AS purchase_id,
+      CAST(COALESCE(DATE_DIFF('second', c.ts, p.ts), -1) AS BIGINT)
+        AS lag_sec
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def join_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval join (Flink supports all outer variants of
+    intervalJoin; Spark's streaming stream-stream join does too, emitting
+    the null side once the watermark closes the interval): every click
+    kept, un-purchased clicks carry sentinel -1 (nulls coalesced on BOTH
+    sides — the outer-join int64→float64 pandas gotcha). Plan shape is
+    identical to the inner form: hash join on the user equi-key with the
+    time residual as a join-condition filter, never a BNL."""
+    wh = Warehouse(spark, sf_dir)
+    ev = wh.events
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "left",
+    ).select(
+        "user_id",
+        "click_id",
+        F.coalesce("purchase_id", F.lit(-1)).cast("long").alias("purchase_id"),
+        F.coalesce(
+            F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long"),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("lag_sec"),
+    )
+
+
+@query(
     "join_asof_temporal",
     """
     SELECT
