@@ -124,6 +124,40 @@ def flatmap_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flatmap_explode_outer",
+    """
+    SELECT doc_id, w.word
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(fw) = 0 THEN [''] ELSE fw END AS fw2
+      FROM (
+        SELECT doc_id,
+               list_filter(str_split(text, ' '), x -> length(x) > 7) AS fw
+        FROM documents
+      )
+    ), UNNEST(fw2) AS w(word)
+    """,
+)
+def flatmap_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER unnest (Flink LEFT JOIN UNNEST / Spark explode_outer): every
+    document keeps a row even when its long-token list (> 7 chars; 106
+    of 500 sf0.01 docs have none, so both outer paths are exercised) is
+    empty — the variant plain explode silently drops, which matters
+    whenever the exploded attribute is optional (tags, attachments).
+    Nulls from the outer path coalesce to '' on both sides (the pivot/
+    outer-join null invariant). The per-token length predicate rides an
+    interpreted array lambda — one comparison per element, cheaper than
+    the explode-then-reaggregate alternative's extra shuffle."""
+    wh = Warehouse(spark, sf_dir)
+    long_words = F.filter(
+        F.split("text", " "), lambda w: F.length(w) > 7
+    )
+    return wh.documents.select(
+        "doc_id", F.explode_outer(long_words).alias("word")
+    ).select("doc_id", F.coalesce("word", F.lit("")).alias("word"))
+
+
+@query(
     "dedup_exact",
     "SELECT DISTINCT user_id, event_type FROM events",
 )
