@@ -244,6 +244,41 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sort_nulls_first",
+    """
+    SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_or_null
+    FROM orders
+    ORDER BY status_or_null ASC NULLS FIRST, o_orderkey ASC
+    LIMIT 1000
+    """,
+)
+def sort_nulls_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null ordering under a global top-k — a REAL cross-engine
+    divergence this key pins: Spark's ASC defaults to NULLS FIRST while
+    DuckDB's defaults to NULLS LAST, so any ordered limit over a nullable
+    sort key silently selects different ROWS unless the null placement is
+    written out on both sides. NULLIF manufactures nulls (5088 'P' rows
+    at sf0.01 > the limit), so the selected set exists entirely inside
+    the null partition and the hash check fails on any default-ordering
+    regression. Global top-k lowers to TakeOrderedAndProject — the
+    per-partition-heap form, no partition-less window."""
+    wh = Warehouse(spark, sf_dir)
+    return (
+        wh.orders.select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias(
+                "status_or_null"
+            ),
+        )
+        .orderBy(
+            F.col("status_or_null").asc_nulls_first(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(1000)
+    )
+
+
+@query(
     "sort_multi_key",
     """
     SELECT
