@@ -107,6 +107,40 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_div_mod",
+    """
+    SELECT
+      o_orderkey,
+      CAST(CAST(o_orderkey - 7500 AS DOUBLE) / 7 AS DOUBLE) AS fdiv,
+      CAST(TRUNC(CAST(o_orderkey - 7500 AS DOUBLE) / 7) AS BIGINT)
+        AS idiv_trunc,
+      CAST((o_orderkey - 7500) % 7 AS BIGINT) AS mod_signed,
+      CAST((((o_orderkey - 7500) % 7) + 7) % 7 AS BIGINT) AS mod_positive
+    FROM orders
+    """,
+)
+def scalar_div_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Division/modulo semantics on signed integers, pinned across
+    engines — two REAL divergences hide here: DuckDB's `//` FLOORS
+    (-7 // 2 = -4) while Spark's `DIV` truncates toward zero
+    (-7 DIV 2 = -3), so the oracle spells truncation out as
+    TRUNC(double-div); and Spark's pmod (always-positive modulo, the form
+    every hash-partitioner wants) has no DuckDB builtin, so the oracle
+    writes ((a % b) + b) % b. Plain `%` agrees (dividend-signed in both).
+    The 7500-shifted orderkey spans [-7499, 7500], so both sign rules
+    are actually exercised."""
+    wh = Warehouse(spark, sf_dir)
+    x = F.col("o_orderkey") - 7500
+    return wh.orders.select(
+        "o_orderkey",
+        (x.cast("double") / 7).alias("fdiv"),
+        F.expr("(o_orderkey - 7500) DIV 7").cast("long").alias("idiv_trunc"),
+        (x % 7).cast("long").alias("mod_signed"),
+        F.pmod(x, F.lit(7)).cast("long").alias("mod_positive"),
+    )
+
+
+@query(
     "scalar_math",
     """
     SELECT
