@@ -107,6 +107,35 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_calendar_dow",
+    """
+    SELECT
+      event_id,
+      CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+      CAST(dayofweek(ts) + 1 AS BIGINT) AS dow_sun1,
+      CAST(isodow(ts) AS BIGINT) AS dow_iso,
+      CAST(weekofyear(ts) AS BIGINT) AS iso_week
+    FROM events
+    """,
+)
+def scalar_calendar_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week/day-of-week calendar semantics, pinned: Spark's dayofweek is
+    1=Sunday..7=Saturday while DuckDB's is 0=Sunday..6=Saturday (the
+    oracle adds 1), and Spark's weekday is 0=Monday..6 while DuckDB's
+    isodow is 1=Monday..7 (the Spark side adds 1) — off-by-one DOW bugs
+    are a classic silent-corruption source in weekly rollups. date_trunc
+    week (Monday-start) and ISO week numbers agree natively."""
+    wh = Warehouse(spark, sf_dir)
+    return wh.events.select(
+        "event_id",
+        F.date_trunc("week", "ts").alias("week_start"),
+        F.dayofweek("ts").cast("long").alias("dow_sun1"),
+        (F.weekday("ts") + 1).cast("long").alias("dow_iso"),
+        F.weekofyear("ts").cast("long").alias("iso_week"),
+    )
+
+
+@query(
     "scalar_div_mod",
     """
     SELECT
