@@ -729,15 +729,22 @@ def llm_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = pairs.groupBy("center", "context").agg(
         F.count(F.lit(1)).alias("n")
     )
+    # Global top-K: orderBy().limit(K) lowers to TakeOrderedAndProject —
+    # every task keeps its local top-K and the driver merges K×#partitions
+    # rows, so no task ever sees the full pair table. (The previous
+    # partition-less row_number() window moved the whole (center,context)
+    # aggregate — corpus-growing, 10⁸–10⁹ pairs at 100 TB — to ONE task;
+    # the r03 bench log showed the `WindowExec: No Partition Defined`
+    # warning firing here.) The rank is then re-derived over the bounded
+    # K-row result, where a single-task window is O(K).
+    top = counts.orderBy(
+        F.col("n").desc(), F.col("center").asc(), F.col("context").asc()
+    ).limit(_COOC_TOPK)
     wr = Window.orderBy(
         F.col("n").desc(), F.col("center").asc(), F.col("context").asc()
     )
-    # Partition-less window over the aggregated pair table (vocab²-bounded,
-    # further capped by the count agg) — the allowed shape per the plan
-    # sweep (window over Aggregate).
     return (
-        counts.withColumn("rnk", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rnk") <= _COOC_TOPK)
+        top.withColumn("rnk", F.row_number().over(wr).cast("long"))
         .orderBy("rnk")
     )
 
@@ -895,20 +902,23 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a top-500 corpus vocabulary (deterministic freq-then-word
     rank) — the coverage check run before freezing a tokenizer's vocab
     budget. The vocabulary is vocab-budget rows → broadcast, so the
-    token stream takes one membership probe and one keyed agg; the
-    vocab build itself is a two-phase count + a global top-K over the
-    TYPE table (window over Aggregate — the allowed partition-less
-    shape, group-cardinality input)."""
+    token stream takes one membership probe and one keyed agg. The
+    vocab build is a two-phase count + orderBy().limit(K)
+    (TakeOrderedAndProject: per-task top-K, driver merge of
+    K×#partitions rows) — the word-TYPE table grows with the corpus
+    (heavy-tail tokens, 10⁸–10⁹ types at 100 TB), so the previous
+    partition-less row_number() window over it funneled the whole type
+    table through one task; no window is needed at all here since only
+    vocabulary membership, not the rank, is consumed downstream."""
     wh = Warehouse(spark, sf_dir)
     tok = rebalance(wh.documents, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
-    wv = Window.orderBy(F.col("nw").desc(), F.col("word").asc())
     vocab = (
         tok.groupBy("word")
         .agg(F.count(F.lit(1)).alias("nw"))
-        .withColumn("r", F.row_number().over(wv))
-        .filter(F.col("r") <= _VOCAB_K)
+        .orderBy(F.col("nw").desc(), F.col("word").asc())
+        .limit(_VOCAB_K)
         .select("word")
     )
     return (
