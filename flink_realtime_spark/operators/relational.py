@@ -131,8 +131,13 @@ def flatmap_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CASE WHEN len(fw) = 0 THEN [''] ELSE fw END AS fw2
       FROM (
+        -- COALESCE to []: a NULL text yields a NULL list, and DuckDB
+        -- UNNEST(NULL) emits ZERO rows while Spark explode_outer(NULL)
+        -- emits one null row (coalesced to '') — the empty-list branch
+        -- must cover NULL too for the sides to agree.
         SELECT doc_id,
-               list_filter(str_split(text, ' '), x -> length(x) > 7) AS fw
+               COALESCE(list_filter(str_split(text, ' '),
+                                    x -> length(x) > 7), []) AS fw
         FROM documents
       )
     ), UNNEST(fw2) AS w(word)

@@ -310,10 +310,14 @@ def mv_changelog_diff(
     j = o.join(n, keys, "full_outer")
     in_old = F.col("o_n_events").isNotNull()
     in_new = F.col("n_n_events").isNotNull()
-    changed = in_old & in_new & (
-        (F.col("o_n_events") != F.col("n_n_events"))
-        | (F.col("o_sum_dec") != F.col("n_sum_dec"))
-        | (F.col("o_max_value") != F.col("n_max_value"))
+    # Null-safe change detection: a plain != yields NULL (→ treated as
+    # unchanged) when a value column transitions to or from NULL — e.g. a
+    # key whose max_value group becomes all-NULL — and the -U/+U pair
+    # would be silently dropped, breaking changelog replay.
+    changed = in_old & in_new & ~(
+        F.col("o_n_events").eqNullSafe(F.col("n_n_events"))
+        & F.col("o_sum_dec").eqNullSafe(F.col("n_sum_dec"))
+        & F.col("o_max_value").eqNullSafe(F.col("n_max_value"))
     )
 
     def emit(op, prefix, cond):

@@ -413,6 +413,15 @@ def transform_with_state(
 # without protobuf (import-safe); execution is gated by tws_available and
 # equivalence-tested against the applyInPandasWithState forms in
 # tests/test_streaming.py::test_tws_* (skip-or-pass per op, never silent).
+#
+# CAVEAT (carried verification debt): in this sandbox google.protobuf is
+# absent, so BOTH equivalence tests skip and the processors' runtime API
+# details — registerTimer's millisecond units, TimerValues accessors, the
+# ValueState tuple codec — ship construction-checked but never executed.
+# Before relying on these in a protobuf-equipped deployment, run
+# tests/test_streaming.py::test_tws_latest_image_matches_apply_in_pandas
+# and ::test_tws_timeout_alert_matches_apply_in_pandas there once; they
+# flip from skip to pass with no code change.
 
 from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
     StatefulProcessor,

@@ -158,10 +158,33 @@ def test_ivf_gemm_kernel_matches_join_kernel(spark):
         )
         .collect()
     }
-    assert set(gemm) == set(join_form)
-    for pair, (rank, sim) in gemm.items():
+    # Tie-aware comparison (the ann_probe.py discipline): the two kernels
+    # sum dot products in different float orders, so near-tied sims at the
+    # top-k boundary may legally swap ranks k/k+1. Exact set/rank equality
+    # would go flaky the day the embeddings fixture gains near-ties.
+    EPS = 1e-6
+    for pair in set(gemm) & set(join_form):
+        grank, gsim = gemm[pair]
         jrank, jsim = join_form[pair]
-        assert rank == jrank and abs(sim - jsim) < 1e-9, (pair, gemm[pair], join_form[pair])
+        assert abs(gsim - jsim) < 1e-9, (pair, gemm[pair], join_form[pair])
+        if grank != jrank:
+            lo, hi = min(grank, jrank), max(grank, jrank)
+            between = [
+                s
+                for (qq, _), (r, s) in join_form.items()
+                if qq == pair[0] and lo <= r <= hi
+            ]
+            assert all(abs(s - gsim) <= EPS for s in between), (
+                pair, gemm[pair], join_form[pair], between,
+            )
+    for pair in set(gemm) ^ set(join_form):
+        src = gemm if pair in gemm else join_form
+        other = join_form if pair in gemm else gemm
+        _, sim = src[pair]
+        boundary = min(
+            s for (qq, _), (_, s) in other.items() if qq == pair[0]
+        )
+        assert abs(sim - boundary) <= EPS, (pair, sim, boundary)
 
 
 def test_approx_distinct_tolerance(spark):

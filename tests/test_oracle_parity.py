@@ -72,3 +72,42 @@ def test_driver_window_rotation():
     assert resampled == ["agg_approx_distinct", "agg_uv_sketch_rollup"], (
         resampled
     )
+
+
+def test_explode_outer_null_text_oracle_agreement(spark, tmp_path):
+    """ADVICE r3: DuckDB UNNEST over a NULL list emits zero rows while
+    Spark explode_outer(NULL) emits one coalesced row — the fixture has
+    no NULL text, so the driver can never catch a divergence. Run BOTH
+    sides of flatmap_explode_outer on a synthetic documents table with a
+    NULL-text doc, an empty-after-filter doc, and a normal doc."""
+    import duckdb
+    import pandas as pd
+
+    from tests.conftest import assert_frames_match
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.Series([1, 2, 3], dtype="int64"),
+            "text": ["longenough words keepthisone", "all tiny ws", None],
+            "lang": ["en", "en", "en"],
+            "source": ["web", "web", "web"],
+            "n_chars": pd.Series([28, 11, 0], dtype="int64"),
+        }
+    )
+    sf_dir = str(tmp_path)
+    pdf.to_parquet(f"{sf_dir}/documents.parquet")
+    spark_pdf = registry.QUERIES["flatmap_explode_outer"](
+        spark, sf_dir
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    oracle_pdf = con.execute(
+        registry.ORACLES["flatmap_explode_outer"]
+    ).fetchdf()
+    con.close()
+    # all three outer paths present: real tokens, empty list, NULL list
+    assert set(spark_pdf["doc_id"]) == {1, 2, 3}
+    assert_frames_match(spark_pdf, oracle_pdf, "flatmap_explode_outer/null")
