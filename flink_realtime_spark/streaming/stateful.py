@@ -275,6 +275,58 @@ def funnel_state_fn(key, pdf_iter, state):
         )
 
 
+def running_sum_state_fn(key, pdf_iter, state):
+    """TRUE per-row OVER aggregate on a stream (SURVEY.md §7.4): Flink's
+    ``SUM(value) OVER (PARTITION BY user ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` emits one enriched row per input row, which Spark
+    disallows as a streaming analytic window. This is the engine's second
+    documented mitigation (the first — windowed pre-agg into the keyed
+    store + OVER at serving time — is the CUMULATE serving test): keyed
+    GroupState carrying (n, sum) per user, each incoming row emitted with
+    its running count/total.
+
+    Ordering contract: rows are processed in ARRIVAL order (event_id
+    within a batch, batch order across batches) — Flink's
+    processing-time OVER window. The event-time form at scale is served
+    from the store by over_running_sum's plan; equivalence between this
+    stream and the batch arrival-order window is tested in
+    tests/test_streaming.py::test_stream_per_row_running_sum.
+
+    Exactness: values accumulate as integer 1e-4 units quantized HALF_UP
+    per row (the DECIMAL(18,4) per-row cast discipline of exprs.dsum), so
+    the running total is accumulation-order-exact and bit-stable across
+    retries; LONG holds ~9e14 value-units of headroom per key."""
+    import decimal
+
+    import pandas as pd
+
+    _Q = decimal.Decimal("0.0001")
+    n, sum_c4 = (tuple(state.get) if state.exists else (0, 0))
+    user_id = key[0]
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("event_id")
+        out_n, out_v = [], []
+        for r in pdf.itertuples(index=False):
+            n += 1
+            sum_c4 += int(
+                decimal.Decimal(repr(float(r.value))).quantize(
+                    _Q, rounding=decimal.ROUND_HALF_UP
+                ).scaleb(4)
+            )
+            out_n.append(n)
+            out_v.append(sum_c4 / 1e4)
+        if len(pdf):
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].astype("int64").values,
+                    "user_id": pd.Series([user_id] * len(pdf), dtype="int64"),
+                    "run_n": pd.Series(out_n, dtype="int64"),
+                    "run_value": pd.Series(out_v, dtype="float64"),
+                }
+            )
+    state.update((n, sum_c4))
+
+
 def scd2_state_fn(key, pdf_iter, state):
     """SCD2 version maintenance per key (the streaming form of
     cdc_scd2_history): each qualifying change CLOSES the previously open
@@ -324,6 +376,10 @@ _STATE_SCHEMAS = {
         "ts_us LONG, event_id LONG, event_type STRING, value DOUBLE",
         "user_id LONG, last_event_id LONG, last_type STRING, "
         "last_value DOUBLE, last_ts_us LONG",
+    ),
+    running_sum_state_fn: (
+        "n LONG, sum_c4 LONG",
+        "event_id LONG, user_id LONG, run_n LONG, run_value DOUBLE",
     ),
     funnel_state_fn: (
         "stage LONG, last_us LONG",

@@ -1793,3 +1793,53 @@ def test_mv_changelog_retract_stream(spark, chunked_events_dir, tmp_path):
     )
     want = _rows(served, ["d", "event_type", "n_events", "sum_value", "max_value"])
     assert got == want
+
+
+def test_stream_per_row_running_sum(spark, chunked_events_dir, tmp_path):
+    """TRUE per-row OVER aggregate on a stream (SURVEY §7.4 item 5): Flink
+    emits one enriched row per input row from a streaming OVER window;
+    Spark disallows analytic windows on streams, so the engine's
+    mitigation is running_sum_state_fn (applyInPandasWithState GroupState
+    running aggregate) feeding the keyed upsert store, served with a plain
+    read. After bounded replay over 3 arrival-ordered micro-batches, the
+    store must hold EXACTLY the batch arrival-order running window:
+    SUM(DECIMAL(18,4)) OVER (PARTITION BY user_id ORDER BY event_id)."""
+    from pyspark.sql import Window
+    from flink_realtime_spark.streaming.sinks import ParquetUpsertStore, upsert_sink
+    from flink_realtime_spark.streaming.stateful import running_sum_state_fn
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    sdf = file_stream_source(
+        spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
+    )
+    out = apply_with_state(
+        sdf.select("user_id", "event_id", "value"),
+        "user_id",
+        running_sum_state_fn,
+    )
+    store = ParquetUpsertStore(
+        spark,
+        str(tmp_path / "perrow"),
+        keys=["event_id"],
+        order_cols=[F.col("run_n").desc()],  # each row emitted once; any order
+    )
+    q = upsert_sink(out, store, str(tmp_path / "ckpt")).outputMode("append").start()
+    q.awaitTermination()
+
+    served = store.read()
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    batch = load_table(spark, SF_DIR, "events").select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("run_n"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("run_value"),
+    )
+    cols = ["event_id", "user_id", "run_n", "run_value"]
+    assert _rows(served, cols) == _rows(batch, cols)
