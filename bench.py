@@ -49,7 +49,19 @@ HEADLINE = [
     "llm_cooccurrence",
     "ads_stickiness_dau_wau",
     "graph_pagerank",
+    # stateful/serving family representatives (round-4 breadth)
+    "cep_error_burst",
+    "ads_gap_fill_ffill",
+    "win_late_refire",
+    # streaming-executing keys: these run a real availableNow streaming
+    # job (checkpoint + micro-batch scheduling + sink), reported both
+    # per-key and as a separate stream-exec subtotal since their wall is
+    # engine machinery, not plan-vs-plan comparable with batch keys.
+    "src_stream_smoke",
+    "sink_upsert_latest",
 ]
+
+STREAM_EXEC = {"src_stream_smoke", "sink_upsert_latest"}
 
 
 def main() -> None:
@@ -94,6 +106,9 @@ def main() -> None:
     # 16 keys through round 2; the widened set adds the per-family worst
     # keys, so expose the legacy subtotal alongside.
     legacy16 = round(sum(times[k] for k in HEADLINE[:16] if k in times), 4)
+    stream_exec = round(
+        sum(t for k, t in times.items() if k in STREAM_EXEC), 4
+    )
     print(
         json.dumps(
             {
@@ -102,6 +117,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "legacy16_total_sec": legacy16,
+                "stream_exec_total_sec": stream_exec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -44,11 +44,10 @@ def test_entry_smoke(spark):
 
 def test_driver_window_rotation():
     """The driver checks exactly the FIRST 50 keys of ordered_queries()
-    per round (CLAUDE.md "Driver sampling"). Lock the round-3 contract:
-    the current window must consist of keys with no prior green driver
-    record — the two r01-fail reworks first, the rest never sampled — so
-    cumulative driver evidence grows every round instead of re-proving
-    keys already proven."""
+    per round (CLAUDE.md "Driver sampling"). Lock the round-4 contract:
+    every window key must be never-driver-sampled (cumulative evidence
+    126 → 176), and the three iterative ex-tail keys VERDICT r3 called
+    out must sit INSIDE the window."""
     import json
     import os
 
@@ -56,8 +55,12 @@ def test_driver_window_rotation():
     sampled: set[str] = set()
     # Deliberately pinned to the records the CURRENT rotation was built
     # against — extend this tuple together with each _PRIORITY_HEAD
-    # rotation (next round: add r03 and re-rotate).
-    for rec in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    # rotation (next round: add r04 and re-rotate).
+    for rec in (
+        "CORRECTNESS_r01.json",
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+    ):
         path = os.path.join(root, rec)
         if os.path.isfile(path):
             with open(path) as f:
@@ -66,12 +69,12 @@ def test_driver_window_rotation():
         pytest.skip("no prior CORRECTNESS records in this checkout")
     window = list(registry.ordered_queries())[:50]
     resampled = [k for k in window if k in sampled]
-    # agg_approx_distinct / agg_uv_sketch_rollup: only driver record is
-    # the r01 FAIL (reworked + judge-verified since) — they lead the
-    # window on purpose. Nothing else may be a repeat.
-    assert resampled == ["agg_approx_distinct", "agg_uv_sketch_rollup"], (
-        resampled
+    assert resampled == [], resampled
+    assert {"llm_dedup_cluster", "llm_dedup_two_stage", "graph_pagerank"} <= (
+        set(window)
     )
+    # the two keys reworked this round lead the window
+    assert window[:2] == ["flatmap_explode_outer", "llm_vocab_coverage"]
 
 
 def test_explode_outer_null_text_oracle_agreement(spark, tmp_path):
