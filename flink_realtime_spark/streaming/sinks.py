@@ -61,7 +61,34 @@ class ParquetUpsertStore:
     merge() unions the incoming batch with the current store and keeps the
     latest row per key (total order via order_cols), then atomically swaps
     the store directory. Re-running a batch is a no-op → exactly-once per
-    the foreachBatch contract."""
+    the foreachBatch contract.
+
+    Production mapping (Delta/Iceberg — the artifact cannot be vendored in
+    this sandbox, acquisition attempt recorded in SCALE.md; the mapping is
+    mechanical because every store op is already expressed as a keyed
+    merge over a total order):
+
+    - ``merge(batch)`` →
+        ``MERGE INTO store t
+        USING (SELECT * FROM batch QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY <keys> ORDER BY <order_cols>) = 1) s
+        ON <t.k = s.k for k in keys>
+        WHEN MATCHED AND (s.<order_cols> newer than t.<order_cols>)
+            THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *``
+      The inner QUALIFY is latest_image over the batch (same plan as
+      here); the MATCHED predicate preserves the keep-latest total order
+      under out-of-order replays, which the swap form gets from
+      re-compacting the union.
+    - tombstones (``tombstone_col``) → add
+      ``WHEN MATCHED AND s.<tombstone> THEN DELETE`` before the UPDATE
+      clause (and skip inserting tombstone-only keys).
+    - atomicity → the table format's commit protocol replaces the
+      rename-swap; ``_recover_interrupted_swap`` becomes unnecessary.
+    - idempotent retries → MERGE re-run with the same source is a no-op
+      because the MATCHED predicate is strict (older-or-equal rows don't
+      overwrite), matching this store's crash-replay contract.
+    """
 
     def __init__(
         self,

@@ -228,6 +228,36 @@ def main() -> None:
         dedup_stress(spark, ks)
         spark.stop()
         return
+    if "--ordered" in sys.argv:
+        # ×k curve for the two-phase global-order machinery itself
+        # (plans/ordered.py — the engine's global-order workhorse): one
+        # prefix-MAX over the FULL events relation (win_late_drop) and
+        # one global ranked sort over a filtered orders relation
+        # (sort_multi_key). The claim under test: wall grows ~linearly
+        # because the only full-relation costs are the range exchange
+        # (which ANY global order pays) + one hash exchange, while the
+        # summary/broadcast side stays #partitions-sized at every k.
+        sys.argv.remove("--ordered")
+        ks = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
+        registry.load_all()
+        spark = get_spark("scale-probe-ordered")
+        registry.QUERIES["win_late_drop"](spark, SRC).count()  # warm
+        for k in ks:
+            sf_dir = SRC if k == 1 else build(spark, k)
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+            for key, base_rows in (
+                ("win_late_drop", 100_000),
+                ("sort_multi_key", 600_000),
+            ):
+                t0 = time.perf_counter()
+                n = registry.QUERIES[key](spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                print(
+                    f"x{k:<3} {key:<22} {dt:6.2f}s  "
+                    f"{base_rows * k / dt / 1e6:5.1f}M rows/s  ({n} out rows)"
+                )
+        spark.stop()
+        return
     ks = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
     registry.load_all()
     spark = get_spark("scale-probe")
