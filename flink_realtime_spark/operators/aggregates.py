@@ -305,6 +305,49 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_unpivot",
+    f"""
+    WITH wide AS (
+      SELECT
+        o_orderpriority,
+        CAST(COUNT(*) AS DOUBLE) AS n_orders,
+        {dsum_sql('o_totalprice')} AS total_price,
+        CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+      FROM orders
+      GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'total_price', total_price FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'max_price', max_price FROM wide
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column→row unpivot (melt) — the inverse of agg_pivot and the shape
+    a reporting layer needs to feed a generic (entity, metric, value)
+    store. Spark's native ``DataFrame.unpivot`` lowers to one Expand pass
+    over the already-aggregated wide relation (group-cardinality rows ×
+    #measures — metadata-sized at any corpus scale, zero extra
+    shuffles); the oracle's UNION ALL is the ANSI equivalent that would
+    instead re-scan the relation per measure. Measures are cast to one
+    common DOUBLE type first — unpivot requires it, and it keeps both
+    engines' value column identically typed."""
+    wh = Warehouse(spark, sf_dir)
+    wide = wh.orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "total_price", "max_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
     "agg_grouping_sets",
     f"""
     SELECT
