@@ -308,11 +308,17 @@ def running_sum_state_fn(key, pdf_iter, state):
         out_n, out_v = [], []
         for r in pdf.itertuples(index=False):
             n += 1
-            sum_c4 += int(
-                decimal.Decimal(repr(float(r.value))).quantize(
-                    _Q, rounding=decimal.ROUND_HALF_UP
-                ).scaleb(4)
-            )
+            # SQL SUM semantics: NULL values don't contribute to the sum
+            # but the row still counts (matches F.count(F.lit(1)) +
+            # F.sum(value) in the batch window). pandas surfaces NULL
+            # doubles as NaN, which Decimal would reject.
+            v = float(r.value)
+            if v == v:  # not NaN
+                sum_c4 += int(
+                    decimal.Decimal(repr(v)).quantize(
+                        _Q, rounding=decimal.ROUND_HALF_UP
+                    ).scaleb(4)
+                )
             out_n.append(n)
             out_v.append(sum_c4 / 1e4)
         if len(pdf):
