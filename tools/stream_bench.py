@@ -78,7 +78,54 @@ def stateful_main() -> None:
     spark.stop()
 
 
+def perrow_main() -> None:
+    """Throughput of the PER-ROW-emission state path: the streaming OVER
+    mitigation (running_sum_state_fn) emits one enriched row per input
+    row — output volume equals input volume, the heaviest Arrow-out shape
+    a stateful operator can have (latest-image above emits one row per
+    KEY per batch). The delta vs --stateful is the cost of row-level
+    emission itself."""
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("stream-bench-perrow")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    from flink_realtime_spark.streaming.stateful import (
+        apply_with_state,
+        running_sum_state_fn,
+    )
+    from tools.scale_probe import build
+
+    sf_dir = SRC if k == 1 else build(spark, k)
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    n_events = spark.read.parquet(ev_path).count()
+    if os.path.isdir(ev_path):
+        sdf = file_stream_source(spark, ev_path, EVENTS_DDL)
+    else:
+        sdf = file_stream_source(spark, sf_dir, EVENTS_DDL, glob="events.parquet")
+    out = apply_with_state(
+        sdf.select("user_id", "event_id", "value"),
+        "user_id",
+        running_sum_state_fn,
+    )
+    t0 = time.perf_counter()
+    n_out = run_available_now(out, "append").count()
+    dt = time.perf_counter() - t0
+    print(
+        f"streamed {n_events} events through running_sum per-row state in "
+        f"{dt:.2f}s = {n_events / dt / 1e3:.0f}k events/s "
+        f"({n_out} enriched rows out)"
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if "--perrow" in sys.argv:
+        sys.argv.remove("--perrow")
+        perrow_main()
+        return
     if "--stateful" in sys.argv:
         sys.argv.remove("--stateful")
         stateful_main()
