@@ -432,13 +432,20 @@ def tws_available() -> bool:
     server speaks protobuf to the JVM, so the API constructs fine but
     EXECUTION needs google.protobuf. Detected at runtime — never assumed
     either way; tests skip-or-run per stateful op on this flag, and
-    clusters with protobuf get the full timers/TTL path below."""
-    try:
-        import google.protobuf  # noqa: F401
+    clusters with protobuf get the full timers/TTL path below.
 
-        return True
-    except ImportError:
-        return False
+    Where no pip-installed protobuf exists, session.get_spark adopts a
+    vendored pure-Python runtime BEFORE the JVM starts (workers inherit
+    $PYTHONPATH at JVM launch) — with it, both TWS processor forms
+    execute and match their applyInPandasWithState twins in this very
+    sandbox (round 4; previously a permanent skip). CAVEAT: on a session
+    whose JVM started before the adoption (e.g. built directly by an
+    external driver), the driver import resolves but workers may lack
+    the path — set PYTHONPATH in the launching environment there, or use
+    apply_with_state, which needs no protobuf anywhere."""
+    from flink_realtime_spark.session import enable_vendored_protobuf
+
+    return enable_vendored_protobuf()
 
 
 def transform_with_state(
@@ -476,14 +483,14 @@ def transform_with_state(
 # equivalence-tested against the applyInPandasWithState forms in
 # tests/test_streaming.py::test_tws_* (skip-or-pass per op, never silent).
 #
-# CAVEAT (carried verification debt): in this sandbox google.protobuf is
-# absent, so BOTH equivalence tests skip and the processors' runtime API
-# details — registerTimer's millisecond units, TimerValues accessors, the
-# ValueState tuple codec — ship construction-checked but never executed.
-# Before relying on these in a protobuf-equipped deployment, run
-# tests/test_streaming.py::test_tws_latest_image_matches_apply_in_pandas
-# and ::test_tws_timeout_alert_matches_apply_in_pandas there once; they
-# flip from skip to pass with no code change.
+# Verification debt RESOLVED (round 4): google.protobuf has no pip wheel
+# here, but session.enable_vendored_protobuf adopts the google-cloud-sdk's
+# vendored pure-Python runtime (6.32) before the JVM starts, and both
+# equivalence tests now EXECUTE and pass in this sandbox — registerTimer's
+# millisecond units, the TimerValues accessors and the ValueState tuple
+# codec are exercised, not just constructed. The only remaining gap vs a
+# pip-installed cluster is protobuf minor-version skew (gencode 6.33 vs
+# runtime 6.32, run under protobuf's own official version-check override).
 
 from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
     StatefulProcessor,
