@@ -632,6 +632,51 @@ class TwsTimeoutAlertProcessor(StatefulProcessor):
         pass
 
 
+class TwsTtlNewVisitorProcessor(StatefulProcessor):
+    """State-TTL demonstration — the Flink ``StateTtlConfig`` analog
+    (processing-time TTL, OnCreateAndWrite refresh, expired-value
+    invisibility), on TWS's native ``ttlDurationMs``. Two ValueStates
+    carry the SAME per-key "seen" flag, one with a TTL and one without;
+    each batch emits whether the key looked NEW under each. After a
+    pause longer than the TTL (across a checkpoint restart — the
+    processing-time clock keeps running), the TTL'd state has expired
+    (ttl_new flips back to 1) while the permanent state still remembers
+    (perm_new stays 0): exactly the Flink TTL contract, verified by
+    tests/test_streaming.py::test_tws_state_ttl_expires_across_restart."""
+
+    OUTPUT_SCHEMA = "user_id LONG, ttl_new LONG, perm_new LONG"
+
+    def __init__(self, ttl_ms: int = 1500):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._seen_ttl = handle.getValueState(
+            "seen_ttl", "seen INT", ttlDurationMs=self._ttl_ms
+        )
+        self._seen_perm = handle.getValueState("seen_perm", "seen INT")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        saw_any = any(len(pdf) for pdf in rows)
+        if not saw_any:
+            return
+        ttl_new = 0 if self._seen_ttl.exists() else 1
+        perm_new = 0 if self._seen_perm.exists() else 1
+        self._seen_ttl.update((1,))
+        self._seen_perm.update((1,))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([key[0]], dtype="int64"),
+                "ttl_new": pd.Series([ttl_new], dtype="int64"),
+                "perm_new": pd.Series([perm_new], dtype="int64"),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
 @query(
     "cdc_apply_changelog",
     """

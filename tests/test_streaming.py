@@ -1843,3 +1843,93 @@ def test_stream_per_row_running_sum(spark, chunked_events_dir, tmp_path):
     )
     cols = ["event_id", "user_id", "run_n", "run_value"]
     assert _rows(served, cols) == _rows(batch, cols)
+
+
+def test_tws_state_ttl_expires_mid_stream(spark, tmp_path):
+    """Flink StateTtlConfig parity, now EXERCISED (round 4; previously
+    'approximated, not exercised'): a TWS ValueState declared with
+    ttlDurationMs must become invisible once the TTL elapses in
+    processing time, while an identical state without TTL survives. One
+    continuous query over a file stream; the same keys arrive twice with
+    a sleep longer than the TTL in between: the second arrival must see
+    ttl_new=1 (expired) and perm_new=0 (remembered) for every key.
+    (availableNow/processAllAvailable can't be used here: ProcessingTime
+    mode schedules perpetual state-cleanup batches, so the test polls
+    the sink and stops the query explicitly.)"""
+    import time as _time
+
+    from flink_realtime_spark.streaming.stateful import (
+        TwsTtlNewVisitorProcessor,
+        transform_with_state,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip(
+            "transformWithStateInPandas gated off: google.protobuf not "
+            "importable and no vendored runtime found"
+        )
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    users = [r.user_id for r in ev.select("user_id").distinct().limit(20).collect()]
+    batch = ev.filter(F.col("user_id").isin(users))
+
+    def drop_file(tag: str):
+        batch.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage_{tag}")
+        )
+        src = [
+            f
+            for f in os.listdir(tmp_path / f"stage_{tag}")
+            if f.endswith(".parquet")
+        ][0]
+        os.rename(
+            tmp_path / f"stage_{tag}" / src, stream_dir / f"{tag}.parquet"
+        )
+
+    def wait_rows(n_min, timeout_s=90):
+        t0 = _time.time()
+        while _time.time() - t0 < timeout_s:
+            try:
+                if spark.table("tws_ttl").count() >= n_min:
+                    return True
+            except Exception:  # noqa: BLE001 — table not registered yet
+                pass
+            _time.sleep(0.5)
+        return False
+
+    sdf = file_stream_source(spark, str(stream_dir), EVENTS_DDL)
+    out = transform_with_state(
+        sdf,
+        "user_id",
+        TwsTtlNewVisitorProcessor(ttl_ms=1500),
+        TwsTtlNewVisitorProcessor.OUTPUT_SCHEMA,
+        time_mode="ProcessingTime",  # TTL requires the proc-time clock
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_ttl")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        drop_file("a")
+        assert wait_rows(len(users)), "first arrivals never emitted"
+        _time.sleep(3.5)  # > ttl_ms: TTL'd state expires, permanent survives
+        drop_file("b")
+        assert wait_rows(2 * len(users)), "second arrivals never emitted"
+    finally:
+        q.stop()
+        q.awaitTermination()
+    emitted = {}
+    for r in spark.table("tws_ttl").collect():
+        emitted.setdefault(r.user_id, []).append((r.ttl_new, r.perm_new))
+    assert set(emitted) == set(users)
+    for uid, pair_list in emitted.items():
+        assert sorted(pair_list) == [(1, 0), (1, 1)], (uid, pair_list)
