@@ -632,6 +632,105 @@ class TwsTimeoutAlertProcessor(StatefulProcessor):
         pass
 
 
+class TwsRunningSumProcessor(StatefulProcessor):
+    """running_sum_state_fn on TWS: the per-row streaming OVER aggregate
+    on the Spark 4 API — ValueState carries (n, sum in 1e-4 units), each
+    input row emits enriched with its running count/total. Same exact
+    integer-unit accumulation discipline as the applyInPandasWithState
+    twin; equivalence-tested in tests/test_streaming.py."""
+
+    OUTPUT_SCHEMA = "event_id LONG, user_id LONG, run_n LONG, run_value DOUBLE"
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._acc = handle.getValueState("acc", "n LONG, sum_c4 LONG")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import decimal
+
+        import pandas as pd
+
+        _Q = decimal.Decimal("0.0001")
+        n, sum_c4 = (tuple(self._acc.get()) if self._acc.exists() else (0, 0))
+        user_id = key[0]
+        for pdf in rows:
+            pdf = pdf.sort_values("event_id")
+            out_n, out_v = [], []
+            for r in pdf.itertuples(index=False):
+                n += 1
+                v = float(r.value)
+                if v == v:  # SQL SUM: NULL (NaN here) doesn't contribute
+                    sum_c4 += int(
+                        decimal.Decimal(repr(v)).quantize(
+                            _Q, rounding=decimal.ROUND_HALF_UP
+                        ).scaleb(4)
+                    )
+                out_n.append(n)
+                out_v.append(sum_c4 / 1e4)
+            if len(pdf):
+                yield pd.DataFrame(
+                    {
+                        "event_id": pdf["event_id"].astype("int64").values,
+                        "user_id": pd.Series(
+                            [user_id] * len(pdf), dtype="int64"
+                        ),
+                        "run_n": pd.Series(out_n, dtype="int64"),
+                        "run_value": pd.Series(out_v, dtype="float64"),
+                    }
+                )
+        self._acc.update((n, sum_c4))
+
+    def close(self) -> None:
+        pass
+
+
+class TwsTypeCountsProcessor(StatefulProcessor):
+    """Per-user event-type counts on TWS MapState — exercises the
+    MapState codec (containsKey/getValue/updateValue/iterator), the one
+    state primitive the ValueState processors above don't touch. Emits
+    the full refreshed (user, type, n) map each micro-batch; consumers
+    take the last emission per (user, type) — the update-stream contract.
+    Equivalence vs the batch groupBy count is tested in
+    tests/test_streaming.py."""
+
+    OUTPUT_SCHEMA = "user_id LONG, event_type STRING, n LONG"
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState("counts", "t STRING", "n LONG")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        user_id = key[0]
+        touched = False
+        for pdf in rows:
+            for r in pdf.itertuples(index=False):
+                touched = True
+                t = (str(r.event_type),)
+                cur = (
+                    self._counts.getValue(t)[0]
+                    if self._counts.containsKey(t)
+                    else 0
+                )
+                self._counts.updateValue(t, (cur + 1,))
+        if touched:
+            items = [
+                (k[0], v[0]) for k, v in self._counts.iterator()
+            ]
+            items.sort()
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series(
+                        [user_id] * len(items), dtype="int64"
+                    ),
+                    "event_type": [t for t, _ in items],
+                    "n": pd.Series([n for _, n in items], dtype="int64"),
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
 class TwsTtlNewVisitorProcessor(StatefulProcessor):
     """State-TTL demonstration — the Flink ``StateTtlConfig`` analog
     (processing-time TTL, OnCreateAndWrite refresh, expired-value

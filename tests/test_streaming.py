@@ -1933,3 +1933,73 @@ def test_tws_state_ttl_expires_mid_stream(spark, tmp_path):
     assert set(emitted) == set(users)
     for uid, pair_list in emitted.items():
         assert sorted(pair_list) == [(1, 0), (1, 1)], (uid, pair_list)
+
+
+def test_tws_running_sum_matches_apply_in_pandas(spark, chunked_events_dir):
+    """The TWS (ValueState) form of the per-row streaming OVER aggregate
+    must emit exactly what the applyInPandasWithState form emits over the
+    same 3-micro-batch replay — same rows, same exact integer-unit
+    running totals."""
+    from flink_realtime_spark.streaming.stateful import (
+        TwsRunningSumProcessor,
+        apply_with_state,
+        running_sum_state_fn,
+        transform_with_state,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf not importable, no vendored runtime")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+
+    def src():
+        return file_stream_source(
+            spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
+        ).select("user_id", "event_id", "value")
+
+    tws = transform_with_state(
+        src(), "user_id", TwsRunningSumProcessor(),
+        TwsRunningSumProcessor.OUTPUT_SCHEMA,
+    )
+    aps = apply_with_state(src(), "user_id", running_sum_state_fn)
+    cols = ["event_id", "user_id", "run_n", "run_value"]
+    got_tws = _rows(run_available_now(tws, "append"), cols)
+    got_aps = _rows(run_available_now(aps, "append"), cols)
+    assert got_tws == got_aps and len(got_tws) > 0
+
+
+def test_tws_map_state_type_counts_match_batch(spark, chunked_events_dir):
+    """MapState codec end-to-end: per-user event-type counts maintained
+    in TWS MapState across 3 micro-batches; the LAST emission per
+    (user, type) must equal the batch groupBy count over the same
+    events."""
+    from flink_realtime_spark.streaming.stateful import (
+        TwsTypeCountsProcessor,
+        transform_with_state,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf not importable, no vendored runtime")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+
+    sdf = file_stream_source(
+        spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
+    ).select("user_id", "event_type")
+    out = transform_with_state(
+        sdf, "user_id", TwsTypeCountsProcessor(),
+        TwsTypeCountsProcessor.OUTPUT_SCHEMA,
+    )
+    emitted = run_available_now(out, "append").toPandas()
+    # update-stream: last emission per (user, type) wins
+    final = {}
+    for r in emitted.itertuples(index=False):
+        final[(r.user_id, r.event_type)] = r.n
+    batch = {
+        (r.user_id, r.event_type): r.n
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == batch
