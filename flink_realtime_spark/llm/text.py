@@ -661,10 +661,16 @@ def llm_bpe_pair_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pair")
         .agg(F.sum("wf").cast("long").alias("freq"))
     )
-    w = Window.orderBy(F.col("freq").desc(), F.col("pair").asc())
-    # Global top-K over the tiny aggregated pair table (alphabet² rows) —
-    # the partition-less window sits over an Aggregate, the allowed shape
-    # (tests/test_plans.py sweep).
+    # Global top-K over the tiny aggregated pair table (alphabet² rows).
+    # single_bucket keeps the partition spec populated (a bare
+    # Window.orderBy degrades to an empty spec → the single-task warning);
+    # InferWindowGroupLimit still prunes to per-task top-K below the
+    # window because the rank filter is visible to the optimizer.
+    from flink_realtime_spark.plans.ordered import single_bucket
+
+    w = Window.partitionBy(single_bucket(F.col("pair"))).orderBy(
+        F.col("freq").desc(), F.col("pair").asc()
+    )
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= _BPE_TOPK)
@@ -740,7 +746,9 @@ def llm_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(
         F.col("n").desc(), F.col("center").asc(), F.col("context").asc()
     ).limit(_COOC_TOPK)
-    wr = Window.orderBy(
+    from flink_realtime_spark.plans.ordered import single_bucket
+
+    wr = Window.partitionBy(single_bucket(F.col("center"))).orderBy(
         F.col("n").desc(), F.col("center").asc(), F.col("context").asc()
     )
     return (

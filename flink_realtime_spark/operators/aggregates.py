@@ -721,8 +721,13 @@ def ads_gmv_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     run on a relation bounded by the calendar (~2.4k rows for the fixture's
     7 years), never by raw order volume: the global ORDER BY day frame is
     safe at any scale because its input is days, not orders. row_number
-    tiebreaks on day for a deterministic rank under GMV ties."""
+    tiebreaks on day for a deterministic rank under GMV ties. The 7-day
+    frame partitions by plans/ordered.single_bucket (constant zero) so the
+    declared-single-bucket intent survives constant folding instead of
+    degrading to an empty partition spec."""
     from pyspark.sql import Window
+
+    from flink_realtime_spark.plans.ordered import single_bucket
 
     wh = Warehouse(spark, sf_dir)
     daily = wh.orders.groupBy(
@@ -731,7 +736,11 @@ def ads_gmv_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("o_totalprice")).alias("gmv"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    w7 = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    w7 = (
+        Window.partitionBy(single_bucket(F.col("day")))
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
     wm = Window.partitionBy(F.date_trunc("month", "day")).orderBy(
         F.col("gmv").desc(), F.col("day")
     )

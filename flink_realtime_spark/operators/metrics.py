@@ -641,7 +641,12 @@ def ads_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     year back (LAG 12 over the month series — correct because monthly
     buckets are dense in the fixture; production guards gaps by joining
     on month - INTERVAL 1 YEAR instead). Missing baselines coalesce to a
-    -1 sentinel for engine-stable types."""
+    -1 sentinel for engine-stable types. The LAG window runs over the
+    calendar-bounded monthly aggregate, partitioned by
+    plans/ordered.single_bucket (constant zero) so the single-bucket
+    intent stays declared in the plan."""
+    from flink_realtime_spark.plans.ordered import single_bucket
+
     wh = Warehouse(spark, sf_dir)
     monthly = (
         wh.orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
@@ -650,7 +655,7 @@ def ads_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
-    w = Window.orderBy("month")
+    w = Window.partitionBy(single_bucket(F.col("month"))).orderBy("month")
     ly = F.lag("gmv", 12).over(w)
     return monthly.select(
         "month",

