@@ -739,8 +739,11 @@ class MinhashIndex:
 # exact-Jaccard edge set (inverted-index pair derivation, exact-equivalent
 # to all-pairs — see _PAIRS_CTE_DUCK) — algorithmically independent of the
 # Spark side (label propagation over MinHash-candidate edges).
-_CLUSTER_ORACLE = f"""
-    WITH RECURSIVE
+# Connected-component labels (doc_id → rep_id) over the near-dup pair
+# graph: the WITH RECURSIVE body shared by the cluster-assignment oracle
+# below and the leakage-safe split oracle (llm/sampling.py). Callers
+# prepend "WITH RECURSIVE" and select from `comp`.
+COMP_CTE_DUCK = f"""
     {_PAIRS_CTE_DUCK},
     e AS (
       SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -755,6 +758,11 @@ _CLUSTER_ORACLE = f"""
     comp AS (
       SELECT node AS doc_id, MIN(r) AS rep_id FROM reach GROUP BY node
     )
+"""
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE
+    {COMP_CTE_DUCK}
     SELECT
       c.doc_id,
       c.rep_id,

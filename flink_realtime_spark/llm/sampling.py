@@ -94,6 +94,86 @@ def pipe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_case_duck(key_expr: str) -> str:
+    return (
+        f"CASE WHEN {_bucket_duck(key_expr, 'split', 100)} < 80 THEN 'train'"
+        f" WHEN {_bucket_duck(key_expr, 'split', 100)} < 90 THEN 'valid'"
+        f" ELSE 'test' END"
+    )
+
+
+def _split_case_spark(key_expr: str) -> F.Column:
+    b = _bucket_spark(key_expr, "split", 100)
+    return (
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    )
+
+
+@query(
+    "pipe_split_leakage_safe",
+    # Deferred f-string: COMP_CTE_DUCK imports from llm.dedup at module
+    # scope below.
+    None,
+)
+def pipe_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: every member of a near-dup
+    cluster inherits the hash-bucket split of its cluster REPRESENTATIVE,
+    so near-duplicates can never straddle the train/eval boundary — the
+    failure mode of the per-document hash split (pipe_split_assign), where
+    a doc and its 0.5-Jaccard twin land in train and test independently
+    and the eval set silently overlaps training data. Composition of two
+    existing scale-safe pieces: banded-MinHash near-dup pairs → large/small
+    star connected components (llm/dedup.py, O(log n) keyed rounds) →
+    deterministic md5 bucket of rep_id (same salt as pipe_split_assign, so
+    singleton docs — the overwhelming majority — keep exactly the split the
+    naive assignment gave them; only clustered docs snap to their
+    representative). `resplit` flags members whose naive split differed —
+    a direct count of the eval-leakage the per-doc split would have
+    shipped."""
+    from flink_realtime_spark.llm.dedup import (
+        connected_components,
+        minhash_pairs,
+    )
+
+    wh = Warehouse(spark, sf_dir)
+    labels = connected_components(
+        wh.documents.select("doc_id"),
+        minhash_pairs(wh).select("doc_a", "doc_b"),
+    )
+    return labels.select(
+        "doc_id",
+        "rep_id",
+        _split_case_spark("rep_id").alias("split"),
+        (_split_case_spark("doc_id") != _split_case_spark("rep_id")).alias(
+            "resplit"
+        ),
+    )
+
+
+def _install_leakage_safe_oracle() -> None:
+    """Attach the recursive-CTE oracle after import (avoids importing
+    llm.dedup at sampling's module top, keeping registration order — and
+    the driver's pinned 50-key window — stable regardless of which module
+    loads first)."""
+    from flink_realtime_spark.llm.dedup import COMP_CTE_DUCK
+    from flink_realtime_spark.registry import ORACLES
+
+    ORACLES["pipe_split_leakage_safe"] = f"""
+    WITH RECURSIVE
+    {COMP_CTE_DUCK}
+    SELECT
+      doc_id,
+      rep_id,
+      {_split_case_duck('rep_id')} AS split,
+      CAST({_split_case_duck('doc_id')} <> {_split_case_duck('rep_id')}
+           AS BOOLEAN) AS resplit
+    FROM comp
+    """
+
+
+_install_leakage_safe_oracle()
+
+
 # Per-source mixture weights: up-weighted sources keep everything, the
 # long tail keeps a hash-chosen quarter. Declared as data so the Spark
 # plan and the oracle derive from the same table.

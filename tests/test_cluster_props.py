@@ -156,3 +156,36 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+
+
+def test_leakage_safe_split_properties(spark):
+    """pipe_split_leakage_safe invariants on the fixture corpus:
+    (1) split is constant within every near-dup cluster — the property the
+        per-doc hash split lacks, and the whole point of the operator;
+    (2) singleton docs keep exactly the split pipe_split_assign gives them
+        (same salt, same bucket arithmetic — corpus growth or clustering
+        changes never move an unclustered doc across splits);
+    (3) `resplit` is true iff the member's naive split differs from its
+        representative's, and is always false for representatives."""
+    safe = registry.QUERIES["pipe_split_leakage_safe"](spark, SF_DIR)
+    naive = registry.QUERIES["pipe_split_assign"](spark, SF_DIR)
+    rows = safe.collect()
+    naive_split = {r["doc_id"]: r["split"] for r in naive.collect()}
+
+    by_rep: dict[int, set[str]] = {}
+    for r in rows:
+        by_rep.setdefault(r["rep_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_rep.values()), {
+        k: v for k, v in by_rep.items() if len(v) > 1
+    }
+
+    for r in rows:
+        if r["doc_id"] == r["rep_id"]:  # representative (incl. singletons)
+            assert r["split"] == naive_split[r["doc_id"]]
+            assert not r["resplit"]
+        else:
+            assert r["resplit"] == (
+                naive_split[r["doc_id"]] != naive_split[r["rep_id"]]
+            )
+    # the fixture's clusters actually exercise the resplit flag
+    assert any(r["resplit"] for r in rows)
