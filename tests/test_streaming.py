@@ -2003,3 +2003,79 @@ def test_tws_map_state_type_counts_match_batch(spark, chunked_events_dir):
         .collect()
     }
     assert final == batch
+
+
+def test_state_reader_matches_query_state(spark, chunked_events_dir, tmp_path):
+    """State Data Source (the Flink State Processor API / Queryable State
+    analog, SURVEY.md §2.9): a keyed streaming count runs against a
+    checkpoint in two availableNow rounds with new data landing in
+    between; the checkpoint is then read back as BATCH DataFrames.
+    Checks: (a) state-metadata catalogs the agg operator's store and its
+    committed-batch range; (b) the latest keyed state equals the batch
+    groupBy over everything ingested; (c) batchId time-travel returns the
+    state as of the FIRST micro-batch — only the first chunk's counts;
+    (d) the per-partition size audit sums to the distinct key count."""
+    from flink_realtime_spark.streaming.state_inspect import (
+        read_operator_state,
+        state_metadata,
+        state_size_by_key,
+    )
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    shutil.copy(f"{chunked_events_dir}/chunk0.parquet", staging)
+
+    def run_round() -> None:
+        sdf = file_stream_source(
+            spark, str(staging), EVENTS_DDL, max_files_per_trigger=1
+        )
+        agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_round()  # batch 0: chunk0 only
+    shutil.copy(f"{chunked_events_dir}/chunk1.parquet", staging)
+    shutil.copy(f"{chunked_events_dir}/chunk2.parquet", staging)
+    run_round()  # batches 1..2: one chunk each
+
+    # (a) metadata catalogs the keyed-agg store
+    md = state_metadata(spark, ckpt).collect()
+    agg_ops = [r for r in md if r["operatorName"] == "stateStoreSave"]
+    assert len(agg_ops) == 1
+    assert agg_ops[0]["minBatchId"] == 0
+    assert agg_ops[0]["maxBatchId"] >= 1
+
+    def counts_of(df) -> dict:
+        return {r["event_type"]: r["n"] for r in df.collect()}
+
+    # (b) latest state == batch analog over all ingested chunks
+    latest = read_operator_state(spark, ckpt)
+    assert set(latest.columns) == {"event_type", "count", "partition_id"}
+    got = {r["event_type"]: r["count"] for r in latest.collect()}
+    exp = counts_of(
+        spark.read.parquet(str(staging))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert got == exp
+
+    # (c) time-travel to the first committed batch: chunk0 counts only
+    first = read_operator_state(spark, ckpt, batch_id=0)
+    got0 = {r["event_type"]: r["count"] for r in first.collect()}
+    exp0 = counts_of(
+        spark.read.parquet(f"{chunked_events_dir}/chunk0.parquet")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert got0 == exp0
+
+    # (d) skew audit: total keys across partitions = distinct key count
+    sizes = state_size_by_key(spark, ckpt)
+    assert sum(r["n_keys"] for r in sizes.collect()) == len(exp)
