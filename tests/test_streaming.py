@@ -2079,3 +2079,81 @@ def test_state_reader_matches_query_state(spark, chunked_events_dir, tmp_path):
     # (d) skew audit: total keys across partitions = distinct key count
     sizes = state_size_by_key(spark, ckpt)
     assert sum(r["n_keys"] for r in sizes.collect()) == len(exp)
+
+
+def test_state_change_feed_replays_to_latest(spark, chunked_events_dir, tmp_path):
+    """State change feed (Flink state-changelog analog): the same keyed
+    count as the snapshot test, but on the RocksDB store with changelog
+    checkpointing — production's incremental-commit configuration. The
+    feed must contain one 'update' row per touched key per batch, and
+    replaying it (last change per key) must reconstruct exactly the
+    latest snapshot read. Provider confs are restored afterwards so the
+    shared session's other streaming tests keep the default store."""
+    from flink_realtime_spark.streaming.state_inspect import (
+        read_operator_state,
+        state_changes,
+    )
+
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    changelog_conf = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    )
+    old_provider = spark.conf.get(provider_conf, None)
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_round() -> None:
+        sdf = file_stream_source(
+            spark, str(staging), EVENTS_DDL, max_files_per_trigger=1
+        )
+        agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.conf.set(
+        provider_conf,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set(changelog_conf, "true")
+    try:
+        shutil.copy(f"{chunked_events_dir}/chunk0.parquet", staging)
+        run_round()  # batch 0
+        shutil.copy(f"{chunked_events_dir}/chunk1.parquet", staging)
+        run_round()  # batch 1
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, old_provider)
+        spark.conf.unset(changelog_conf)
+
+    changes = state_changes(spark, ckpt, start_batch=0).collect()
+    assert {r["change_type"] for r in changes} == {"update"}
+    assert {r["batch_id"] for r in changes} == {0, 1}
+    # batch 0's changes are exactly chunk0's per-key counts
+    b0 = {r["event_type"]: r["count"] for r in changes if r["batch_id"] == 0}
+    exp0 = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(f"{chunked_events_dir}/chunk0.parquet")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert b0 == exp0
+    # replay: last change per key == the latest snapshot
+    replayed: dict[str, int] = {}
+    for r in sorted(changes, key=lambda r: r["batch_id"]):
+        replayed[r["event_type"]] = r["count"]
+    snapshot = {
+        r["event_type"]: r["count"]
+        for r in read_operator_state(spark, ckpt).collect()
+    }
+    assert replayed == snapshot
