@@ -41,6 +41,7 @@ _MODULES = [
     "flink_realtime_spark.streaming.stateful",
     "flink_realtime_spark.streaming.sources",
     "flink_realtime_spark.streaming.sinks",
+    "flink_realtime_spark.streaming.state_inspect",
     "flink_realtime_spark.llm.dedup",
     "flink_realtime_spark.llm.similarity",
     "flink_realtime_spark.llm.text",

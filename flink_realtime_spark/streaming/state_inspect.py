@@ -26,14 +26,19 @@ full snapshots.
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from flink_realtime_spark.registry import query
 
 __all__ = [
     "state_metadata",
     "read_operator_state",
     "state_changes",
     "state_size_by_key",
+    "state_store_audit",
 ]
 
 
@@ -137,4 +142,49 @@ def state_size_by_key(
         raw.groupBy("partition_id")
         .agg(F.count(F.lit(1)).alias("n_keys"))
         .orderBy(F.col("n_keys").desc(), F.col("partition_id"))
+    )
+
+
+@query(
+    "state_store_audit",
+    """
+    SELECT
+      event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def state_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-keyed proof that checkpointed state IS the aggregate: replay
+    the events table through a keyed streaming count (availableNow, noop
+    sink — nothing is read from the query's own output), then recover the
+    answer purely from the checkpoint via the State Data Source. The
+    recovered keyed state must hash-match DuckDB's batch GROUP BY — the
+    Flink State Processor use-case ("read the savepoint, not the job")
+    made into a correctness gate. The count lives in the state value's
+    internal `count` field (state schemas use aggregate-function names,
+    not query aliases). Checkpoint goes to a fresh tempdir per call and is
+    left in place: the returned DataFrame reads it lazily."""
+    from flink_realtime_spark.streaming.sources import events_stream
+    from flink_realtime_spark.tables import Warehouse
+
+    Warehouse(spark, sf_dir)  # pins session confs on driver-built sessions
+    ckpt = tempfile.mkdtemp(prefix="state_audit_ckpt_")
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = read_operator_state(spark, ckpt)
+    return state.select(
+        "event_type", F.col("count").cast("long").alias("n_events")
     )
