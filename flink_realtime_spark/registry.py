@@ -52,55 +52,47 @@ _MODULES = [
 _loaded = False
 
 # The driver checks exactly the FIRST 50 keys of queries() iteration order
-# per round (r01–r03 each covered positions 0..49 of the then-current
+# per round (r01–r04 each covered positions 0..49 of the then-current
 # ordering). Cumulative driver evidence therefore grows only if each
 # round's first 50 rotates to keys no prior CORRECTNESS_r*.json sampled.
-# Round-4 window (VERDICT r3 directive): drawn entirely from the 71
-# never-driver-sampled keys — the two keys REWORKED this round first
-# (flatmap_explode_outer's NULL-safe oracle, llm_vocab_coverage's
-# TakeOrderedAndProject vocab build), then 45 keys with no external
-# record at all, and the window now INCLUDES the three iterative
-# ex-_PRIORITY_TAIL keys (graph_pagerank, llm_dedup_cluster,
-# llm_dedup_two_stage — 2.4–5.7 s each at sf0.01, affordable; the tail
-# exemption permanently shielding the slowest keys from driver scrutiny
-# was VERDICT r3 "What's wrong" #2). llm_cooccurrence (also reworked; its
-# only driver record is r03-green under the old plan) is parked at
-# position 51 so the next rotation re-verifies the new plan — this
-# round's slots all go to never-sampled keys; its new plan is covered by
-# the builder's fresh-process strict-hash sim at two partitionings.
+# Round-5 window (VERDICT r4 #1 + ADVICE r4 #3): (a) every key whose PLAN
+# was reworked in r04 after its last driver record goes first —
+# llm_cooccurrence (TakeOrderedAndProject rewrite; only external record
+# for the new plan is the r4 judge's), llm_bpe_pair_freq /
+# ads_gmv_dashboard / ads_monthly_yoy (single_bucket window changes),
+# mv_incremental_refresh (eqNullSafe changelog diff; last record r02);
+# (b) the two keys NEW this round (state_change_feed, cep_absence) so the
+# driver records them immediately; (c) the 19 remaining never-sampled
+# oracle keys (judge-r4-green but no driver record); (d) 24 refresh slots
+# for the keys whose latest record is the oldest (r01) — after this
+# window, every oracle key has a driver record ≤4 rounds old and
+# driver-recorded coverage reaches 196+/200 (the 4 no-oracle keys stay
+# in _PRIORITY_TAIL, rows-only by design).
 _PRIORITY_HEAD = [
-    # reworked this round — driver verifies the new oracle/plan first
-    "flatmap_explode_outer", "llm_vocab_coverage",
-    # never-sampled, no external record: cheap families first
-    "cdc_snapshot_at", "sink_upsert_latest",
-    "tpch_q2_min_cost", "tpch_q4_priority_check", "tpch_q5_local_supplier",
-    "tpch_q7_volume_shipping", "tpch_q9_profit", "tpch_q10_returns",
-    "tpch_q11_important_parts", "tpch_q12_late_lines", "tpch_q14_promo",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
-    "tpch_q18_large_volume", "tpch_q19_disjunct", "tpch_q22_dormant_rich",
-    "llm_quality_score", "llm_token_count", "llm_token_topk", "llm_lang_id",
-    "llm_doc_fingerprint", "llm_repetition", "llm_chunk_split",
-    "llm_pii_redact", "llm_word_rarity", "llm_doc_keywords",
-    "llm_length_histogram",
-    "llm_dedup_ngram_jaccard", "llm_dedup_simhash", "llm_dedup_simhash_pairs",
-    "llm_dedup_containment", "llm_decontaminate", "llm_source_overlap",
-    "llm_centroid_dist", "llm_embedding_quantize", "llm_random_projection",
-    "llm_media_meta", "llm_frame_sample",
-    "pipe_split_assign", "pipe_mixture_weighted", "pipe_pack_sequences",
-    "pipe_sample_stratified", "llm_curation_pipeline",
-    "llm_dedup_semantic", "llm_dedup_embcos",
-    # ex-tail iterative keys — inside the window per VERDICT r3
-    "llm_dedup_cluster", "llm_dedup_two_stage", "graph_pagerank",
-    # --- position 50: driver window boundary. Reworked-but-green key
-    # first in the r05 pool, then the remaining never-sampled keys.
-    "llm_cooccurrence",
+    # (a) plans reworked in r04 after their last driver record + (b) new
+    "llm_cooccurrence", "llm_bpe_pair_freq", "ads_gmv_dashboard",
+    "ads_monthly_yoy", "mv_incremental_refresh",
+    "state_change_feed", "cep_absence",
+    # (c) never-driver-sampled oracle keys (judge r4 verified all 19)
     "pipe_shuffle_shard", "pipe_dataset_card", "pipe_token_budget",
-    "pipe_curriculum_ntile",
+    "pipe_curriculum_ntile", "pipe_split_leakage_safe",
     "tpch_q8_market_share", "tpch_q17_small_qty", "tpch_q20_promo_suppliers",
     "tpch_q21_waiting",
     "win_late_refire", "scalar_calendar_dow", "scalar_div_mod",
     "sort_nulls_first", "join_interval_left", "ads_stickiness_sketch",
-    "llm_dedup_minhash", "llm_line_dedup", "llm_bpe_pair_freq",
+    "llm_dedup_minhash", "llm_line_dedup", "agg_unpivot",
+    "state_store_audit",
+    # (d) stale-evidence refresh: every key whose latest record is r01
+    "proj_compute", "join_outer_full", "join_asof_forward",
+    "join_salted_skew",
+    "setop_union_distinct", "setop_intersect", "setop_except",
+    "setop_intersect_all", "setop_except_all",
+    "agg_count_distinct", "agg_stats", "agg_collect", "agg_cube",
+    "agg_grouping_sets", "agg_retention",
+    "subq_scalar_corr", "subq_in_having", "subq_exists_delayed",
+    "subq_not_exists_dormant",
+    "tpch_q3_priority", "tpch_q13_custdist",
+    "ads_daily_uv_pv", "ads_retention_cohort", "ads_layered_pipeline",
 ]
 
 # Streaming-executing / estimator-fit keys with rows-only or property

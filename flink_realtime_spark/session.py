@@ -137,7 +137,40 @@ _PROTOBUF_VENDOR_DIRS = [
 ]
 
 
-def enable_vendored_protobuf() -> bool:
+# Prior values of the env vars enable_vendored_protobuf mutates, recorded
+# at first mutation so restore_protobuf_env can undo the process-global
+# change once its consumers captured it (ADVICE r4: the mutation must not
+# silently leak into unrelated child processes or relax protobuf's version
+# validation for other libraries in this interpreter).
+_PROTOBUF_ENV_PRIOR: dict[str, str | None] | None = None
+_PROTOBUF_CHECK_VAR = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
+
+
+def restore_protobuf_env() -> None:
+    """Undo enable_vendored_protobuf's env mutation after every consumer
+    that reads it at spawn/import time has captured it: the JVM snapshots
+    the env at launch (Python workers inherit the JVM's copy), and the
+    driver-side TWS gencode is imported eagerly here while the version-
+    check escape hatch is still set, so later driver imports hit the
+    module cache and never re-validate. sys.path keeps the vendor dir —
+    that is interpreter-local and exactly scoped to making
+    google.protobuf importable."""
+    global _PROTOBUF_ENV_PRIOR
+    if _PROTOBUF_ENV_PRIOR is None:
+        return
+    try:
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+    except Exception:
+        pass  # gencode validation will then surface at first TWS use
+    for k, v in _PROTOBUF_ENV_PRIOR.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
+    _PROTOBUF_ENV_PRIOR = None
+
+
+def enable_vendored_protobuf(keep_env: bool = False) -> bool:
     """Make transformWithStateInPandas executable where google.protobuf
     isn't pip-installed, by adopting a vendored pure-Python runtime:
 
@@ -151,15 +184,24 @@ def enable_vendored_protobuf() -> bool:
       both TWS equivalence tests pass under the override
       (tests/test_streaming.py::test_tws_form_equivalent_*).
 
+    The env mutation is SCOPED (ADVICE r4): by default it is rolled back
+    via restore_protobuf_env before returning (the driver-side gencode is
+    imported under the escape hatch first, so TWS keeps working).
+    ``keep_env=True`` defers the rollback — get_spark uses it so the env
+    stays mutated across the JVM launch, then restores right after.
+
     Test-scale shim ONLY: production clusters pip-install protobuf and
     never reach this path. Returns True when google.protobuf is
     importable (already or after adoption)."""
+    global _PROTOBUF_ENV_PRIOR
     import importlib
     import sys
 
     try:
         import google.protobuf  # noqa: F401
 
+        if not keep_env:
+            restore_protobuf_env()
         return True
     except ImportError:
         pass
@@ -168,16 +210,21 @@ def enable_vendored_protobuf() -> bool:
             continue
         if d not in sys.path:
             sys.path.append(d)
+        if _PROTOBUF_ENV_PRIOR is None:
+            _PROTOBUF_ENV_PRIOR = {
+                "PYTHONPATH": os.environ.get("PYTHONPATH"),
+                _PROTOBUF_CHECK_VAR: os.environ.get(_PROTOBUF_CHECK_VAR),
+            }
         pp = os.environ.get("PYTHONPATH", "")
         if d not in pp.split(os.pathsep):
             os.environ["PYTHONPATH"] = (pp + os.pathsep + d) if pp else d
-        os.environ.setdefault(
-            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
-        )
+        os.environ.setdefault(_PROTOBUF_CHECK_VAR, "true")
         importlib.invalidate_caches()
         try:
             import google.protobuf  # noqa: F401
 
+            if not keep_env:
+                restore_protobuf_env()
             return True
         except ImportError:
             continue
@@ -188,7 +235,9 @@ def get_spark(app_name: str = "flink-realtime-spark") -> SparkSession:
     """Local session for tests/bench. On a real cluster, submit with the
     same confs via spark-submit; the engine code itself is deploy-agnostic."""
     cpus = default_parallelism()
-    enable_vendored_protobuf()  # before the JVM: workers need $PYTHONPATH
+    # Before the JVM launch: workers inherit $PYTHONPATH from the JVM's
+    # env snapshot; the mutation is rolled back right after getOrCreate.
+    enable_vendored_protobuf(keep_env=True)
     kafka_jars = find_kafka_jars()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -207,4 +256,6 @@ def get_spark(app_name: str = "flink-realtime-spark") -> SparkSession:
         builder = builder.config("spark.jars", ",".join(kafka_jars))
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
-    return prepare(builder.getOrCreate())
+    spark = builder.getOrCreate()
+    restore_protobuf_env()  # JVM captured the env; undo the global mutation
+    return prepare(spark)

@@ -1153,3 +1153,170 @@ def cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).select("user_id", "version_id", "value", "valid_from")
+
+
+@query(
+    "cep_absence",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, ts, event_type
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    ctx AS (
+      SELECT user_id, event_id, ts, event_type,
+        MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS prev_view_ts,
+        MIN(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+        ) AS next_purchase_ts
+      FROM ev
+    )
+    SELECT user_id, event_id AS click_id, ts AS click_ts,
+      prev_view_ts AS view_ts
+    FROM ctx
+    WHERE event_type = 'click'
+      AND prev_view_ts IS NOT NULL
+      AND prev_view_ts >= ts - INTERVAL 30 MINUTE
+      AND (next_purchase_ts IS NULL
+           OR next_purchase_ts > ts + INTERVAL 30 MINUTE)
+    """,
+)
+def cep_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified-negation CEP (Flink CEP
+    ``begin("view").next("click").notFollowedBy("purchase").within(30m)``):
+    a click whose pattern prefix matched (a view from the same user within
+    the 30 minutes before it, earlier in (ts, event_id) event order) that
+    is NOT followed by any purchase within 30 minutes after it. Distinct
+    from state_timeout_alert's single-event timeout: the negation guards a
+    *pattern edge* — only prefix-matched clicks arm the absence timer.
+
+    Batch analog of the NFA: ONE window pass per user — a backward MAX
+    frame finds the most recent prior view, a forward MIN frame finds the
+    earliest following purchase; both share the (user_id, ts, event_id)
+    sort so they lower to a single WindowExec after one shuffle on
+    user_id. "Strictly before/after" is defined by the (ts, event_id)
+    total order on BOTH sides (oracle uses the identical frames), so ties
+    are deterministic. Streaming form = absence_state_fn below
+    (equivalence-tested in tests/test_streaming.py). At 100 TB the plan is
+    a single hash exchange on user_id + sort — no self-join, no
+    range-join blowup on hot users."""
+    wh = Warehouse(spark, sf_dir)
+    ev = wh.events.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_id", "ts", "event_type")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    back = order.rowsBetween(Window.unboundedPreceding, -1)
+    fwd = order.rowsBetween(1, Window.unboundedFollowing)
+    ctx = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts")))
+        .over(back)
+        .alias("prev_view_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .over(fwd)
+        .alias("next_purchase_ts"),
+    )
+    half_hour = F.expr("INTERVAL 30 MINUTES")
+    return ctx.filter(
+        (F.col("event_type") == "click")
+        & F.col("prev_view_ts").isNotNull()
+        & (F.col("prev_view_ts") >= F.col("ts") - half_hour)
+        & (
+            F.col("next_purchase_ts").isNull()
+            | (F.col("next_purchase_ts") > F.col("ts") + half_hour)
+        )
+    ).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("prev_view_ts").alias("view_ts"),
+    )
+
+
+def absence_state_fn(key, pdf_iter, state):
+    """Streaming form of cep_absence (Flink CEP notFollowedBy + within):
+    keyed state holds the user's most recent view ts plus the pending
+    prefix-matched clicks (click ts_us, click id, anchor view ts_us). A
+    click arms a pending entry only when the stored view is within the
+    30-minute prefix horizon; a purchase disarms every pending click whose
+    absence window it lands in; when the watermark passes a pending
+    deadline the group times out and the click emits as a confirmed
+    absence. State is bounded by a user's unmatched clicks inside the
+    horizon — the same bound Flink's NFA pending-match buffer has."""
+    import pandas as pd
+
+    if state.exists:
+        last_view, pend_ts, pend_id, pend_view = (
+            state.get[0],
+            list(state.get[1]),
+            list(state.get[2]),
+            list(state.get[3]),
+        )
+    else:
+        last_view, pend_ts, pend_id, pend_view = None, [], [], []
+    user_id = key[0]
+
+    if not state.hasTimedOut:
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples(index=False):
+                t_us = int(r.ts.value // 1000)
+                if r.event_type == "view":
+                    last_view = t_us
+                elif r.event_type == "click":
+                    if last_view is not None and last_view >= t_us - _TIMEOUT_US:
+                        pend_ts.append(t_us)
+                        pend_id.append(int(r.event_id))
+                        pend_view.append(last_view)
+                elif r.event_type == "purchase":
+                    keep = [
+                        (ct, ci, cv)
+                        for ct, ci, cv in zip(pend_ts, pend_id, pend_view)
+                        if not t_us <= ct + _TIMEOUT_US
+                    ]
+                    pend_ts, pend_id, pend_view = (
+                        [list(x) for x in zip(*keep)] if keep else ([], [], [])
+                    )
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    expired = [
+        (ct, ci, cv)
+        for ct, ci, cv in zip(pend_ts, pend_id, pend_view)
+        if ct + _TIMEOUT_US < wm_us
+    ]
+    live = [
+        (ct, ci, cv)
+        for ct, ci, cv in zip(pend_ts, pend_id, pend_view)
+        if ct + _TIMEOUT_US >= wm_us
+    ]
+    if expired:
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id] * len(expired), dtype="int64"),
+                "click_id": pd.Series([ci for _, ci, _ in expired], dtype="int64"),
+                "click_ts_us": pd.Series([ct for ct, _, _ in expired], dtype="int64"),
+                "view_ts_us": pd.Series([cv for _, _, cv in expired], dtype="int64"),
+            }
+        )
+    if live or last_view is not None:
+        ts_l = [ct for ct, _, _ in live]
+        id_l = [ci for _, ci, _ in live]
+        vw_l = [cv for _, _, cv in live]
+        state.update((last_view, ts_l, id_l, vw_l))
+        if ts_l:
+            state.setTimeoutTimestamp(min(ts_l) // 1000 + _TIMEOUT_US // 1000)
+    else:
+        state.remove()
+
+
+_STATE_SCHEMAS[absence_state_fn] = (
+    "last_view_us LONG, pend_ts ARRAY<LONG>, pend_id ARRAY<LONG>, "
+    "pend_view ARRAY<LONG>",
+    "user_id LONG, click_id LONG, click_ts_us LONG, view_ts_us LONG",
+)

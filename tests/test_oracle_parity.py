@@ -44,37 +44,50 @@ def test_entry_smoke(spark):
 
 def test_driver_window_rotation():
     """The driver checks exactly the FIRST 50 keys of ordered_queries()
-    per round (CLAUDE.md "Driver sampling"). Lock the round-4 contract:
-    every window key must be never-driver-sampled (cumulative evidence
-    126 → 176), and the three iterative ex-tail keys VERDICT r3 called
-    out must sit INSIDE the window."""
+    per round (CLAUDE.md "Driver sampling"). Lock the round-5 contract
+    (VERDICT r4 #1 + ADVICE r4 #3): reworked-plan keys + the two new keys
+    lead the window, every never-driver-sampled oracle key is inside it,
+    and the remaining slots refresh only keys whose latest record is the
+    oldest (r01) — no slot is wasted re-sampling fresh evidence."""
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sampled: set[str] = set()
+    latest: dict[str, int] = {}
     # Deliberately pinned to the records the CURRENT rotation was built
     # against — extend this tuple together with each _PRIORITY_HEAD
-    # rotation (next round: add r04 and re-rotate).
-    for rec in (
-        "CORRECTNESS_r01.json",
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
+    # rotation (next round: add r05 and re-rotate).
+    for rnd, rec in (
+        (1, "CORRECTNESS_r01.json"),
+        (2, "CORRECTNESS_r02.json"),
+        (3, "CORRECTNESS_r03.json"),
+        (4, "CORRECTNESS_r04.json"),
     ):
         path = os.path.join(root, rec)
         if os.path.isfile(path):
             with open(path) as f:
-                sampled |= set(json.load(f))
-    if not sampled:
+                for k in json.load(f):
+                    latest[k] = rnd
+    if not latest:
         pytest.skip("no prior CORRECTNESS records in this checkout")
-    window = list(registry.ordered_queries())[:50]
-    resampled = [k for k in window if k in sampled]
-    assert resampled == [], resampled
-    assert {"llm_dedup_cluster", "llm_dedup_two_stage", "graph_pagerank"} <= (
-        set(window)
-    )
-    # the two keys reworked this round lead the window
-    assert window[:2] == ["flatmap_explode_outer", "llm_vocab_coverage"]
+    ordered = list(registry.ordered_queries())
+    window = ordered[:50]
+    # front: plans reworked in r04 after their last driver record, then
+    # the two keys introduced in r05 (driver must record them this round)
+    assert window[:7] == [
+        "llm_cooccurrence", "llm_bpe_pair_freq", "ads_gmv_dashboard",
+        "ads_monthly_yoy", "mv_incremental_refresh",
+        "state_change_feed", "cep_absence",
+    ]
+    # every oracle key with no driver record yet is in the window
+    never = [
+        k for k in ordered if k not in latest and k in registry.ORACLES
+    ]
+    assert set(never) <= set(window), sorted(set(never) - set(window))
+    # beyond the reworked front, a previously-sampled key may occupy a
+    # slot only to refresh the stalest (r01) evidence
+    stale_ok = [k for k in window[7:] if latest.get(k) not in (None, 1)]
+    assert stale_ok == [], stale_ok
 
 
 def test_explode_outer_null_text_oracle_agreement(spark, tmp_path):

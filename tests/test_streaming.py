@@ -2157,3 +2157,106 @@ def test_state_change_feed_replays_to_latest(spark, chunked_events_dir, tmp_path
         for r in read_operator_state(spark, ckpt).collect()
     }
     assert replayed == snapshot
+
+
+def test_cep_absence_stream_matches_batch(spark, chunked_events_dir):
+    """Quantified-negation CEP (Flink notFollowedBy + within): a
+    prefix-matched click (view within 30 min before it) with no purchase
+    in the 30 minutes after alerts when the watermark passes the
+    deadline. Every streamed alert must be a batch-analog alert; every
+    batch alert whose deadline the watermark provably passed mid-replay
+    must have been emitted (the final chunk's tail may stay pending)."""
+    from flink_realtime_spark.streaming.stateful import (
+        absence_state_fn,
+        apply_with_state,
+    )
+
+    sdf = (
+        file_stream_source(
+            spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
+        )
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .withWatermark("ts", "1 minute")
+    )
+    alerts = apply_with_state(sdf, "user_id", absence_state_fn, timeout="event")
+    streamed = {
+        (r.user_id, r.click_id)
+        for r in run_available_now(alerts, "append").collect()
+    }
+
+    batch = registry.QUERIES["cep_absence"](spark, SF_DIR)
+    batch_alerts = {(r.user_id, r.click_id): r.click_ts for r in batch.collect()}
+    assert streamed <= set(batch_alerts)
+
+    import datetime as dt
+
+    chunk01_max = (
+        spark.read.parquet(
+            f"{chunked_events_dir}/chunk0.parquet",
+            f"{chunked_events_dir}/chunk1.parquet",
+        )
+        .selectExpr("max(ts) AS m")
+        .collect()[0]["m"]
+    )
+    wm = chunk01_max - dt.timedelta(minutes=1)
+    must_fire = {
+        k
+        for k, cts in batch_alerts.items()
+        if cts + dt.timedelta(minutes=30) < wm
+    }
+    assert must_fire <= streamed
+    assert len(streamed) >= len(must_fire) > 0
+
+
+def test_flatten_state_collision_prefixes(spark):
+    """ADVICE r4: a store whose key and value structs share a field name
+    must flatten to key_/value_ prefixed columns, not duplicates;
+    non-colliding fields keep their bare names."""
+    from flink_realtime_spark.streaming.state_inspect import _flatten_state
+
+    df = spark.createDataFrame(
+        [((1, "a"), (2, 3.0), 0)],
+        "key struct<n:int,k:string>, value struct<n:int,v:double>, "
+        "partition_id int",
+    )
+    out = _flatten_state(df)
+    assert out.columns == ["key_n", "k", "value_n", "v", "partition_id"]
+    row = out.collect()[0]
+    assert (row.key_n, row.k, row.value_n, row.v) == (1, "a", 2, 3.0)
+
+
+def test_state_change_feed_key_caches_checkpoint(spark):
+    """The state_change_feed oracle key builds its two-batch RocksDB
+    changelog checkpoint once per (session, sf_dir) and reuses it —
+    repeated invocations (bench median-of-3, dump_plans) must not launch
+    new streaming jobs or leak tempdirs — and the session's state-store
+    provider conf is restored after the build."""
+    from flink_realtime_spark.streaming import state_inspect
+
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(provider_conf, None)
+    first = registry.QUERIES["state_change_feed"](spark, SF_DIR)
+    n_cached = len(state_inspect._CKPT_CACHE)
+    second = registry.QUERIES["state_change_feed"](spark, SF_DIR)
+    assert len(state_inspect._CKPT_CACHE) == n_cached
+    assert spark.conf.get(provider_conf, None) == before
+    cols = ["event_type", "n_state_updates", "batch0_n_events", "final_n_events"]
+    assert _rows(first, cols) == _rows(second, cols)
+    # the feed's facts agree with the batch table it replayed
+    ev = load_table(spark, SF_DIR, "events")
+    exp = {
+        r.event_type: (r.total, r.even)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(
+                F.when(F.pmod("event_id", F.lit(2)) == 0, 1).otherwise(0)
+            ).alias("even"),
+        )
+        .collect()
+    }
+    for r in first.collect():
+        total, even = exp[r.event_type]
+        assert r.final_n_events == total
+        assert r.batch0_n_events == even
+        assert r.n_state_updates == 2
