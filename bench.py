@@ -90,16 +90,35 @@ def main() -> None:
         except Exception:
             pass
 
+    # Median-of-N per key (VERDICT r4 #4): single-shot cold-plan timings
+    # showed ±29% scheduler/codegen jitter on sub-second keys between
+    # rounds, which would eventually mask a real regression. Each key runs
+    # N times after the shared warmup; `queries` reports the MEDIAN (so
+    # the per-key series stays comparable with r01–r04 single-shot
+    # numbers), `spread` the [min, max] envelope, and the totals are
+    # sums of medians.
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for key in HEADLINE:
         fn = registry.QUERIES.get(key)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        times[key] = round(time.perf_counter() - t0, 4)
-        print(f"# {key}: {times[key]:.3f}s ({n} rows)", file=sys.stderr)
+        samples: list[float] = []
+        n = 0
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        times[key] = round(samples[len(samples) // 2], 4)
+        spread[key] = [round(samples[0], 4), round(samples[-1], 4)]
+        print(
+            f"# {key}: median {times[key]:.3f}s "
+            f"[{spread[key][0]:.3f}, {spread[key][1]:.3f}] ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(times.values()), 4)
     # r01/r02 comparability: the headline total covered exactly the first
@@ -116,6 +135,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
+                "iters_per_key": iters,
                 "legacy16_total_sec": legacy16,
                 "stream_exec_total_sec": stream_exec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

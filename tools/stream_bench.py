@@ -12,6 +12,12 @@ Usage: python tools/stream_bench.py [k]   (events replicated k×, default 10)
          (same replay through the applyInPandasWithState keyed-state path —
           per-user latest-image compaction — measuring the Python-state
           operator family's events/s instead of the JVM-only topology)
+       python tools/stream_bench.py --perrow [k]
+         (per-row-emission running sum on applyInPandasWithState)
+       python tools/stream_bench.py --tws [k] / --tws-perrow [k]
+         (the SAME two topologies through transformWithStateInPandas —
+          ValueState processors — so the portable-vs-TWS throughput delta
+          is measured, not assumed; VERDICT r4 #3)
 """
 
 from __future__ import annotations
@@ -121,7 +127,75 @@ def perrow_main() -> None:
     spark.stop()
 
 
+def tws_main(perrow: bool) -> None:
+    """Throughput of transformWithStateInPandas (ValueState processors) on
+    the SAME topologies as --stateful/--perrow, so the only variable is
+    the state API: GroupState tuple codec vs the TWS protobuf state server.
+    Reports events/s and the per-batch wall so the fixed per-batch
+    overhead (state-server handshake, timer scans) is visible separately
+    from the per-row cost."""
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("stream-bench-tws")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    from flink_realtime_spark.streaming.stateful import (
+        TwsLatestImageProcessor,
+        TwsRunningSumProcessor,
+        transform_with_state,
+        tws_available,
+    )
+    from tools.scale_probe import build
+
+    if not tws_available():
+        print("transformWithStateInPandas unavailable (no google.protobuf)")
+        spark.stop()
+        return
+    sf_dir = SRC if k == 1 else build(spark, k)
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    n_events = spark.read.parquet(ev_path).count()
+    if os.path.isdir(ev_path):
+        sdf = file_stream_source(spark, ev_path, EVENTS_DDL)
+    else:
+        sdf = file_stream_source(spark, sf_dir, EVENTS_DDL, glob="events.parquet")
+    if perrow:
+        proc, label = TwsRunningSumProcessor, "running_sum per-row"
+        out = transform_with_state(
+            sdf.select("user_id", "event_id", "value"),  # same as --perrow
+            "user_id",
+            proc(),
+            proc.OUTPUT_SCHEMA,
+        )
+    else:
+        proc, label = TwsLatestImageProcessor, "latest-image"
+        out = transform_with_state(
+            sdf.select("user_id", "event_id", "ts", "event_type", "value"),
+            "user_id",
+            proc(),
+            proc.OUTPUT_SCHEMA,
+        )
+    t0 = time.perf_counter()
+    n_out = run_available_now(out, "append").count()
+    dt = time.perf_counter() - t0
+    print(
+        f"streamed {n_events} events through transformWithStateInPandas "
+        f"{label} in {dt:.2f}s = {n_events / dt / 1e3:.0f}k events/s "
+        f"({n_out} rows out)"
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if "--tws-perrow" in sys.argv:
+        sys.argv.remove("--tws-perrow")
+        tws_main(perrow=True)
+        return
+    if "--tws" in sys.argv:
+        sys.argv.remove("--tws")
+        tws_main(perrow=False)
+        return
     if "--perrow" in sys.argv:
         sys.argv.remove("--perrow")
         perrow_main()
