@@ -18,6 +18,10 @@ Usage: python tools/stream_bench.py [k]   (events replicated k×, default 10)
          (the SAME two topologies through transformWithStateInPandas —
           ValueState processors — so the portable-vs-TWS throughput delta
           is measured, not assumed; VERDICT r4 #3)
+       python tools/stream_bench.py --batch-overhead [k]
+         (single-batch vs one-batch-per-file replay per API → the wall
+          cost of one extra micro-batch: commit + checkpoint + TWS
+          state-server handshake)
 """
 
 from __future__ import annotations
@@ -127,6 +131,93 @@ def perrow_main() -> None:
     spark.stop()
 
 
+def batch_overhead_main() -> None:
+    """Per-BATCH overhead of each keyed-state API: replay the same ×k
+    events through the latest-image topology twice per API — once as a
+    single availableNow batch, once split into one micro-batch per input
+    file (maxFilesPerTrigger=1) — and report (multi-batch wall − single-
+    batch wall) / extra batches. That difference is what one extra
+    micro-batch costs: state-store commit + checkpoint + (for TWS) the
+    state-server handshake, independent of row volume."""
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("stream-bench-overhead")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    from flink_realtime_spark.streaming.stateful import (
+        TwsLatestImageProcessor,
+        apply_with_state,
+        latest_image_state_fn,
+        transform_with_state,
+        tws_available,
+    )
+    from tools.scale_probe import build
+
+    sf_dir = SRC if k == 1 else build(spark, k)
+    # Stage the events into n_files explicit chunk files (the replica
+    # build coalesces to one file, which would make the multi-batch leg a
+    # no-op): maxFilesPerTrigger=1 then yields exactly n_files batches.
+    n_files = 8
+    from tools.scale_probe import WORK
+
+    staging = f"{WORK}/overhead_x{k}_{n_files}"
+    if not os.path.exists(os.path.join(staging, "_OK")):
+        import shutil
+
+        os.makedirs(staging, exist_ok=True)
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        n_ev = ev.selectExpr("max(event_id)").collect()[0][0] + 1
+        for i in range(n_files):
+            tmp = os.path.join(staging, f"_part{i}")
+            ev.filter(
+                (F.col("event_id") >= i * n_ev / n_files)
+                & (F.col("event_id") < (i + 1) * n_ev / n_files)
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            os.rename(
+                os.path.join(tmp, part),
+                os.path.join(staging, f"chunk{i}.parquet"),
+            )
+            shutil.rmtree(tmp)
+        open(os.path.join(staging, "_OK"), "w").close()
+
+    def source(mft: int | None):
+        return file_stream_source(
+            spark, staging, EVENTS_DDL, max_files_per_trigger=mft
+        )
+
+    def run(api: str, mft: int | None) -> float:
+        sdf = source(mft).select(
+            "user_id", "event_id", "ts", "event_type", "value"
+        )
+        if api == "portable":
+            out = apply_with_state(sdf, "user_id", latest_image_state_fn)
+        else:
+            out = transform_with_state(
+                sdf, "user_id", TwsLatestImageProcessor(),
+                TwsLatestImageProcessor.OUTPUT_SCHEMA,
+            )
+        t0 = time.perf_counter()
+        run_available_now(out, "append").count()
+        return time.perf_counter() - t0
+
+    apis = ["portable"] + (["tws"] if tws_available() else [])
+    for api in apis:
+        run(api, None)  # warm codegen/state machinery off the clock
+        one = run(api, None)
+        many = run(api, 1)
+        extra = max(n_files - 1, 1)
+        print(
+            f"{api:<8} 1 batch {one:5.2f}s | {n_files} batches {many:5.2f}s "
+            f"| per-extra-batch overhead {(many - one) / extra * 1e3:6.0f} ms"
+        )
+    spark.stop()
+
+
 def tws_main(perrow: bool) -> None:
     """Throughput of transformWithStateInPandas (ValueState processors) on
     the SAME topologies as --stateful/--perrow, so the only variable is
@@ -188,6 +279,10 @@ def tws_main(perrow: bool) -> None:
 
 
 def main() -> None:
+    if "--batch-overhead" in sys.argv:
+        sys.argv.remove("--batch-overhead")
+        batch_overhead_main()
+        return
     if "--tws-perrow" in sys.argv:
         sys.argv.remove("--tws-perrow")
         tws_main(perrow=True)
