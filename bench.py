@@ -51,6 +51,7 @@ HEADLINE = [
     "graph_pagerank",
     # stateful/serving family representatives (round-4 breadth)
     "cep_error_burst",
+    "cep_absence",
     "ads_gap_fill_ffill",
     "win_late_refire",
     # streaming-executing keys: these run a real availableNow streaming
@@ -59,9 +60,14 @@ HEADLINE = [
     # engine machinery, not plan-vs-plan comparable with batch keys.
     "src_stream_smoke",
     "sink_upsert_latest",
+    # state_change_feed builds its two-batch RocksDB+changelog checkpoint on
+    # the FIRST iteration and reuses it after (checkpoints are immutable), so
+    # its median reports the change-feed READ path and spread[max] the full
+    # streaming build — both are the numbers a state-audit user cares about.
+    "state_change_feed",
 ]
 
-STREAM_EXEC = {"src_stream_smoke", "sink_upsert_latest"}
+STREAM_EXEC = {"src_stream_smoke", "sink_upsert_latest", "state_change_feed"}
 
 
 def main() -> None:
