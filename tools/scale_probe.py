@@ -228,6 +228,37 @@ def main() -> None:
         dedup_stress(spark, ks)
         spark.stop()
         return
+    if "--graph" in sys.argv:
+        # ×k decade curve for the ITERATIVE family (round-5 extension of
+        # the ×100 probes): large-star/small-star connected components
+        # (llm_dedup_cluster / llm_dedup_two_stage) and 10-round PageRank
+        # (graph_pagerank) over the grown DISTINCT corpus — node count
+        # scales k×, per-replica edge structure is preserved (replicas
+        # share no shingles), so this measures how O(log n)-round
+        # iteration and the per-round checkpoint cadence absorb a bigger
+        # graph, not a denser one (the dup-heavy density shape is
+        # --dedup's job).
+        sys.argv.remove("--graph")
+        ks = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+        registry.load_all()
+        spark = get_spark("scale-probe-graph")
+        registry.QUERIES["llm_dedup_exact"](spark, SRC).count()  # warm
+        for k in ks:
+            sf_dir = SRC if k == 1 else build_distinct_docs(spark, k)
+            for key in (
+                "llm_dedup_cluster",
+                "llm_dedup_two_stage",
+                "graph_pagerank",
+            ):
+                t0 = time.perf_counter()
+                n = registry.QUERIES[key](spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                print(
+                    f"grow×{k:<3} {key:<22} {dt:6.2f}s  ({n} out rows)",
+                    flush=True,
+                )
+        spark.stop()
+        return
     if "--ordered" in sys.argv:
         # ×k curve for the two-phase global-order machinery itself
         # (plans/ordered.py — the engine's global-order workhorse): one
