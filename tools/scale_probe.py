@@ -228,6 +228,72 @@ def main() -> None:
         dedup_stress(spark, ks)
         spark.stop()
         return
+    if "--spill" in sys.argv:
+        # Memory-pressure probe: the ×100 curves above run on the default
+        # 8g driver heap where little spills; this mode re-runs the
+        # shuffle-heaviest keys at ×100 under a DELIBERATELY small heap
+        # (default 3g, SPARK_GRAFT_SPILL_MEM overrides) with the UI
+        # enabled, then REST-reads per-stage memory/disk spill counters —
+        # evidence the plans DEGRADE GRACEFULLY (complete correctly,
+        # spill to disk, no OOM) when executor memory is under-provisioned,
+        # which is the failure mode a 100 TB cluster actually meets.
+        # Builds its own session: get_spark pins ui.enabled=false and the
+        # heap must be set before JVM launch.
+        import json as _json
+        import urllib.request
+
+        sys.argv.remove("--spill")
+        ks = [int(a) for a in sys.argv[1:]] or [100]
+        mem = os.environ.get("SPARK_GRAFT_SPILL_MEM", "3g")
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("scale-probe-spill")
+            .config("spark.driver.memory", mem)
+            .config("spark.ui.enabled", "true")
+            .config("spark.sql.shuffle.partitions", "32")
+            .getOrCreate()
+        )
+        registry.load_all()
+
+        def spilled() -> tuple[int, int]:
+            base = spark.sparkContext.uiWebUrl
+            apps = _json.load(
+                urllib.request.urlopen(f"{base}/api/v1/applications")
+            )
+            mem_b = disk_b = 0
+            for st in _json.load(
+                urllib.request.urlopen(
+                    f"{base}/api/v1/applications/{apps[0]['id']}/stages"
+                )
+            ):
+                mem_b += st.get("memoryBytesSpilled", 0)
+                disk_b += st.get("diskBytesSpilled", 0)
+            return mem_b, disk_b
+
+        for k in ks:
+            fact_dir = SRC if k == 1 else build(spark, k)
+            doc_dir = SRC if k == 1 else build_distinct_docs(spark, k)
+            for key, sf_dir in (
+                ("agg_star_flagship", fact_dir),
+                ("sort_multi_key", fact_dir),
+                ("win_late_drop", fact_dir),
+                ("llm_dedup_minhash", doc_dir),
+            ):
+                m0, d0 = spilled()
+                t0 = time.perf_counter()
+                n = registry.QUERIES[key](spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                m1, d1 = spilled()
+                print(
+                    f"spill×{k:<3} heap={mem} {key:<20} {dt:6.2f}s  "
+                    f"({n} rows; spilled mem {(m1 - m0) / 1e9:.2f} GB, "
+                    f"disk {(d1 - d0) / 1e9:.2f} GB)",
+                    flush=True,
+                )
+        spark.stop()
+        return
     if "--graph" in sys.argv:
         # ×k decade curve for the ITERATIVE family (round-5 extension of
         # the ×100 probes): large-star/small-star connected components
