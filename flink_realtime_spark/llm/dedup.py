@@ -455,9 +455,13 @@ def _band_signatures(sh: DataFrame) -> DataFrame:
 
 
 def _bands_from_postings(posting: DataFrame) -> DataFrame:
-    """Banded signatures from an exploded (doc_id, s) posting relation —
-    s may be the shingle string or an already-hashed long; the seeded
-    xxhash64 family only needs to be consistent within one index."""
+    """Banded signatures from an exploded (doc_id, s) posting relation.
+    Every caller MUST feed the same s representation (the raw shingle
+    string): the seeded family defines which borderline pairs banding
+    catches, so a caller that pre-hashes s to a long gets an equally good
+    but DIFFERENT LSH family and its pair set silently diverges from the
+    batch path's on any corpus with J≈0.5 pairs (the MinhashIndex bug
+    fixed in round 5 — see MinhashIndex.update)."""
     minh = posting.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
@@ -674,19 +678,32 @@ class MinhashIndex:
     def update(self, batch_docs: DataFrame) -> DataFrame:
         # Per-element hashing stays in whole-stage codegen: explode →
         # xxhash64 → re-collect (the CLAUDE.md lesson; transform-lambdas
-        # are interpreted per element).
-        posting = (
+        # are interpreted per element). Band signatures are seeded over
+        # the shingle STRINGS — the SAME hash family as the batch path's
+        # _band_signatures — not over pre-hashed longs: LSH banding has
+        # per-pair catch probability < 1 on borderline (J barely >= 0.5)
+        # pairs, so two different-but-equally-good families catch
+        # DIFFERENT borderline subsets and the streaming==batch pair-set
+        # equality silently breaks. Measured on a 50k-doc grown corpus
+        # before this fix: 3 extra + 4 missing of 2557 pairs
+        # (tools/scale_probe.py --ingest vs one-shot; the sf0.1 fixture
+        # is margin-gapped enough to mask it). Only the shingle-SET store
+        # keeps the compact xxhash64-long form (exact-Jaccard is
+        # family-agnostic, set semantics only). Indexes whose bands were
+        # written by the pre-fix long-seeded family must be rebuilt —
+        # mixing families in one bands store yields no cross collisions.
+        posting_str = (
             _with_shingles(batch_docs.select("doc_id", "text"))
             .select("doc_id", F.explode("sh").alias("s"))
-            .select("doc_id", F.xxhash64("s").alias("s"))
             .localCheckpoint(eager=True)  # feeds bands AND the set store
         )
         sh = (
-            posting.groupBy("doc_id")
+            posting_str.select("doc_id", F.xxhash64("s").alias("s"))
+            .groupBy("doc_id")
             .agg(F.collect_list("s").alias("hs"))
             .localCheckpoint(eager=True)
         )
-        bands = _bands_from_postings(posting).localCheckpoint(eager=True)
+        bands = _bands_from_postings(posting_str).localCheckpoint(eager=True)
         idx_bands = self._read(self.bands_dir, "doc_id LONG, sig LONG")
         idx_sh = self._read(self.sh_dir, "doc_id LONG, hs ARRAY<LONG>")
         # candidates: batch self-pairs + batch-vs-index. The doc_id

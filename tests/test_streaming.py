@@ -1506,6 +1506,50 @@ def test_minhash_index_streaming_ingest_equals_batch(spark, tmp_path):
     assert set(emitted) == batch
 
 
+def test_minhash_index_same_banding_family_on_borderline_pairs(spark):
+    """Regression for the round-5 family-divergence bug: the ingest path
+    seeded its minhashes over PRE-HASHED longs while the batch path seeds
+    over shingle strings — two equally-good but different LSH families.
+    On margin-gapped fixtures the pair sets coincide (banding catches
+    every high-J pair under either family), which is why the
+    streaming==batch test above never caught it; on borderline pairs
+    (J barely >= 0.5, per-pair catch probability 1-(1-J^4)^4 ~ 0.23) the
+    families catch DIFFERENT subsets — measured 3 extra + 4 missing of
+    2557 pairs on a 50k-doc grown corpus pre-fix. This test builds 60
+    engineered J=0.5 pairs (17-word docs sharing a 12-word prefix = 10 of
+    15+15 trigrams shared, disjoint vocabulary per pair): with two
+    independent families the expected disagreement is ~21 pairs
+    (P(all agree) ~ 1e-11), with ONE family the equality is structural —
+    the candidate relations are identical, so whatever banding drops, it
+    drops from both paths."""
+    from flink_realtime_spark.llm.dedup import MinhashIndex, minhash_pairs_over
+
+    rows = []
+    for i in range(60):
+        shared = [f"p{i}w{j}" for j in range(12)]
+        rows.append((2 * i, " ".join(shared + [f"p{i}a{j}" for j in range(5)])))
+        rows.append((2 * i + 1, " ".join(shared + [f"p{i}b{j}" for j in range(5)])))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    batch = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_pairs_over(docs).collect()
+    }
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="mh_family_") as work:
+        idx = MinhashIndex(spark, os.path.join(work, "idx"))
+        emitted: set[tuple[int, int]] = set()
+        for b in range(3):
+            part = docs.filter(F.col("doc_id") % 3 == b)
+            for r in idx.update(part).collect():
+                emitted.add((r["doc_a"], r["doc_b"]))
+    # Not every planted pair survives banding (J=0.5 catch ~ 0.23, that's
+    # LSH's documented recall tradeoff) — but both paths must drop the
+    # SAME ones.
+    assert emitted == batch
+
+
 def test_minhash_index_retry_emits_no_self_pairs(spark, tmp_path):
     """At-least-once hardening: re-delivering a batch whose signatures
     already landed must not emit (x, x) self-pairs — every doc in the
