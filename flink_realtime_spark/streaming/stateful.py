@@ -1249,7 +1249,15 @@ def absence_state_fn(key, pdf_iter, state):
     absence window it lands in; when the watermark passes a pending
     deadline the group times out and the click emits as a confirmed
     absence. State is bounded by a user's unmatched clicks inside the
-    horizon — the same bound Flink's NFA pending-match buffer has."""
+    horizon — the same bound Flink's NFA pending-match buffer has — and,
+    like Flink CEP pruning partial matches after within(), the view
+    anchor itself is dropped once it falls a full horizon behind the
+    watermark: any click it could still arm would be late beyond the
+    watermark and dropped before reaching this function, so retaining it
+    would grow state with the total user population forever (a long per
+    user is small, but 'forever' is what kills month-long streaming
+    jobs). View-only state sets its own expiry timer so pruning does not
+    depend on the user ever sending another event."""
     import pandas as pd
 
     if state.exists:
@@ -1304,6 +1312,8 @@ def absence_state_fn(key, pdf_iter, state):
                 "view_ts_us": pd.Series([cv for _, _, cv in expired], dtype="int64"),
             }
         )
+    if last_view is not None and last_view + _TIMEOUT_US < wm_us:
+        last_view = None  # stale anchor: clicks it could arm are behind the watermark
     if live or last_view is not None:
         ts_l = [ct for ct, _, _ in live]
         id_l = [ci for _, ci, _ in live]
@@ -1311,6 +1321,13 @@ def absence_state_fn(key, pdf_iter, state):
         state.update((last_view, ts_l, id_l, vw_l))
         if ts_l:
             state.setTimeoutTimestamp(min(ts_l) // 1000 + _TIMEOUT_US // 1000)
+        else:
+            # view-only state: wake at the anchor's own deadline to
+            # self-clean (>= watermark here, so the timer is valid —
+            # pyspark rejects only timestamps strictly below it).
+            state.setTimeoutTimestamp(
+                last_view // 1000 + _TIMEOUT_US // 1000
+            )
     else:
         state.remove()
 

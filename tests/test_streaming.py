@@ -2252,6 +2252,76 @@ def test_cep_absence_stream_matches_batch(spark, chunked_events_dir):
     assert len(streamed) >= len(must_fire) > 0
 
 
+def test_cep_absence_view_only_state_self_cleans(spark, tmp_path):
+    """Round-5 state-boundedness hardening, verified through the state
+    reader: a view-only user's anchor must be PRUNED once it falls a full
+    horizon behind the watermark (Flink CEP prunes partial matches after
+    within() the same way) — before the fix it lived forever with no
+    timer, growing keyed state with the total user population over a
+    long-running job. Three chunks: chunk0 plants a view-only user (1)
+    and a view+unanswered-click user (2); chunk1 advances the watermark
+    past both deadlines; chunk2 adds a fresh view-only user (3). After
+    the replay the store must hold ONLY the fresh anchors."""
+    import datetime as dt
+
+    from flink_realtime_spark.streaming.state_inspect import read_operator_state
+    from flink_realtime_spark.streaming.stateful import (
+        absence_state_fn,
+        apply_with_state,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, typ, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, typ, 0.0, "{}")
+
+    chunks = [
+        [ev(1, 1, "view", 0), ev(2, 2, "view", 0), ev(3, 2, "click", 1)],
+        [ev(4, 50, "view", 40)],
+        [ev(5, 3, "view", 41)],
+    ]
+    staging = tmp_path / "chunks"
+    staging.mkdir()
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, EVENTS_DDL).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"c{i}"))
+        f = [
+            x
+            for x in os.listdir(tmp_path / f"c{i}")
+            if x.endswith(".parquet")
+        ][0]
+        shutil.copy(tmp_path / f"c{i}" / f, staging / f"chunk{i}.parquet")
+
+    sdf = file_stream_source(
+        spark, str(staging), EVENTS_DDL, max_files_per_trigger=1
+    ).withWatermark("ts", "1 minute")
+    alerts = apply_with_state(sdf, "user_id", absence_state_fn, timeout="event")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        alerts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("absence_prune")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = {
+        (r.user_id, r.click_id)
+        for r in spark.sql("SELECT * FROM absence_prune").collect()
+    }
+    assert (2, 3) in emitted  # user 2's unanswered click fired before cleanup
+
+    users = {
+        r["user_id"] for r in read_operator_state(spark, ckpt).collect()
+    }
+    assert 1 not in users  # stale view-only anchor pruned at its own timer
+    assert 2 not in users  # alert emitted, then state removed
+    assert users >= {3, 50}  # fresh anchors (within horizon of wm) retained
+
+
 def test_flatten_state_collision_prefixes(spark):
     """ADVICE r4: a store whose key and value structs share a field name
     must flatten to key_/value_ prefixed columns, not duplicates;
