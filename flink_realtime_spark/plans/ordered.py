@@ -30,12 +30,27 @@ hash exchange of the full relation for the local window, plus a
 metadata-sized summary — versus the single-task formulation which simply
 does not finish. Associative ops only (sum, max, count/row_number).
 
-Branch consistency: the annotated and summary branches both hang off the
-same range-exchange subplan; at runtime AQE's exchange reuse materializes
-it ONCE (verified: the AQE final plan for sort_multi_key shows
-ReusedExchange), so both phases read identical partition ids — the
-`spark_partition_id()` values cannot diverge between branches — and the
-full relation shuffles exactly twice, not three times.
+Branch consistency (the round-5 bug): the annotated and summary branches
+both consume the range-partitioned relation, and ``spark_partition_id()``
+is only meaningful if BOTH branches read the *same physical
+materialization*. AQE's exchange reuse usually guarantees that (the AQE
+final plan for sort_multi_key shows ReusedExchange) — but reuse is an
+optimization, not a contract: under a driver-built session at sf0.1 the
+two branches were observed to materialize the range exchange
+INDEPENDENTLY, re-sampling different split points and coalescing to
+different partition counts, which silently dropped every row whose
+annotated-side pid had no offsets-side row (~half the relation, varying
+run to run) and mis-assigned prefix offsets besides. The fix is to pin
+the materialization, not hope for reuse: ``base`` is
+``localCheckpoint(eager=False)``-ed, so the first action materializes the
+range-partitioned rows (pid frozen as DATA) exactly once and both
+branches read that snapshot — the same multi-consumer checkpoint pattern
+as the minhash postings relation. Caught by ``tools/drive_driver.py
+--sf /root/testdata/sf0.1`` (strict hash at 10× the driver's usual
+check scale); sf0.01's smaller shuffle never tripped the divergence. At
+100 TB swap localCheckpoint for a reliable checkpoint (SCALE.md
+deployment delta #1) — the invariant is the single materialization, not
+the storage tier.
 """
 
 from __future__ import annotations
@@ -76,8 +91,14 @@ def ordered_prefix(
     """
     prefixes = prefixes or []
 
-    base = df.repartitionByRange(*order_cols).withColumn(
-        _PID, F.spark_partition_id()
+    # localCheckpoint pins ONE materialization of the range exchange so the
+    # pid column is identical in every consumer — see module docstring
+    # (without it the two branches can re-sample different range
+    # boundaries and the __pid join silently drops rows).
+    base = (
+        df.repartitionByRange(*order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
 
     # Phase 2: per-partition running values (partition-spec'd window).

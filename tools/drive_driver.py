@@ -55,6 +55,7 @@ def frame_hash(cols, rows):
 
 
 def main() -> int:
+    global SF
     args = sys.argv[1:]
     master, shuffle = "local[32]", None
     only = []
@@ -64,6 +65,13 @@ def main() -> int:
             master = next(it)
         elif a == "--shuffle":
             shuffle = next(it)
+        elif a == "--sf":
+            # Value-check at a different scale than the driver's sf0.01 —
+            # e.g. sf0.1, or a tools/scale_probe.py replicated ×k facts
+            # dir: the strict hash then gates correctness AT SCALE, not
+            # just timing (this is how the round-5 LSH family bug class
+            # gets caught — probe outputs are data, count and hash them).
+            SF = next(it)
         else:
             only.append(a)
 
