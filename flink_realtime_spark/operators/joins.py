@@ -308,21 +308,34 @@ def join_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_asof_temporal",
     """
-    SELECT
-      p.event_id AS purchase_id,
-      p.user_id,
-      c.event_id AS click_id,
-      CAST(c.value AS DOUBLE) AS click_value
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      ON p.user_id = c.user_id AND p.ts >= c.ts
+    SELECT purchase_id, user_id, click_id, click_value FROM (
+      SELECT
+        p.event_id AS purchase_id,
+        p.user_id,
+        c.event_id AS click_id,
+        CAST(c.value AS DOUBLE) AS click_value,
+        ROW_NUMBER() OVER (
+          PARTITION BY p.event_id
+          ORDER BY c.ts DESC, c.event_id ASC
+        ) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    ) WHERE rn = 1
     """,
 )
 def join_asof_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal/as-of join (Flink FOR SYSTEM_TIME AS OF): each purchase
     joins the user's latest click at-or-before purchase time. Composed plan
-    from plans/asof.py (union + keyed window fill — one shuffle); oracle is
-    DuckDB's native ASOF JOIN, a deliberately independent implementation."""
+    from plans/asof.py (union + keyed window fill — one shuffle). The
+    oracle was DuckDB's native ASOF JOIN through round 5; the ×10
+    replicated-facts hash sweep showed native ASOF is UNDERSPECIFIED when
+    several versions share the boundary (user_id, ts) — which row wins is
+    engine-internal — so the oracle now writes the total order out
+    explicitly (rank by c.ts DESC, c.event_id ASC = latest click, smallest
+    id among ts ties), the same rule plans/asof.py documents and the
+    join_asof_nearest oracle always used. On tie-free data the two oracle
+    forms are identical; under ties only the rank form is a contract."""
     wh = Warehouse(spark, sf_dir)
     ev = wh.events
     facts = ev.filter(F.col("event_type") == "purchase").select(
@@ -497,14 +510,20 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_asof_forward",
     """
-    SELECT
-      c.event_id AS click_id,
-      c.user_id,
-      p.event_id AS purchase_id,
-      CAST(p.value AS DOUBLE) AS purchase_value
-    FROM (SELECT * FROM events WHERE event_type = 'click') c
-    ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      ON c.user_id = p.user_id AND c.ts <= p.ts
+    SELECT click_id, user_id, purchase_id, purchase_value FROM (
+      SELECT
+        c.event_id AS click_id,
+        c.user_id,
+        p.event_id AS purchase_id,
+        CAST(p.value AS DOUBLE) AS purchase_value,
+        ROW_NUMBER() OVER (
+          PARTITION BY c.event_id
+          ORDER BY p.ts ASC, p.event_id ASC
+        ) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+    ) WHERE rn = 1
     """,
 )
 def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,7 +531,11 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-or-after click time — the attribution/next-event lookup that
     mirrors join_asof_temporal's latest-version semantics. Same
     one-shuffle merge composition (plans/asof.py) with the window scanned
-    in reverse time order; oracle is DuckDB's native forward ASOF."""
+    in reverse time order. Oracle: explicit rank (p.ts ASC, p.event_id
+    ASC = earliest purchase, smallest id among ts ties) instead of
+    DuckDB's native forward ASOF, which the ×10 replicated-facts sweep
+    showed picks an ENGINE-INTERNAL row when several purchases share the
+    boundary (user_id, ts) — see join_asof_temporal."""
     wh = Warehouse(spark, sf_dir)
     ev = wh.events
     facts = ev.filter(F.col("event_type") == "click").select(

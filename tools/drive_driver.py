@@ -57,7 +57,7 @@ def frame_hash(cols, rows):
 def main() -> int:
     global SF
     args = sys.argv[1:]
-    master, shuffle = "local[32]", None
+    master, shuffle, mem = "local[32]", None, None
     only = []
     it = iter(args)
     for a in it:
@@ -72,12 +72,21 @@ def main() -> int:
             # just timing (this is how the round-5 LSH family bug class
             # gets caught — probe outputs are data, count and hash them).
             SF = next(it)
+        elif a == "--mem":
+            # Driver heap for the at-scale tiers: this instrument
+            # COLLECTS every key's full result, and several keys return
+            # millions of rows at ×10 facts — the 1g default JVM OOMs on
+            # the collect, which is an instrument limit, not an engine
+            # one. (The real driver never collects at that scale.)
+            mem = next(it)
         else:
             only.append(a)
 
     b = SparkSession.builder.master(master).appName("driver-sim")
     if shuffle:
         b = b.config("spark.sql.shuffle.partitions", shuffle)
+    if mem:
+        b = b.config("spark.driver.memory", mem)
     spark = b.getOrCreate()
 
     import __spark_entry__ as e
@@ -89,9 +98,16 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        # scale_probe.py replicated dirs are Spark-written parquet
+        # DIRECTORIES; the testdata fixtures are single files.
+        if os.path.isdir(p) and not os.path.islink(p):
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
         )
 
     keys = only or list(qs)  # driver iterates queries() in insertion order
