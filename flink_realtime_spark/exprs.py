@@ -38,12 +38,19 @@ def davg(col: Column, scale: int = 4) -> Column:
 
 
 def dsum_sql(expr: str, scale: int = 4) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    # decimal→double goes VIA STRING: DuckDB's direct CAST(DECIMAL AS
+    # DOUBLE) computes (double)int128 / (double)10^scale — TWO roundings,
+    # observed 1 ulp off the correctly-rounded value once the sum reaches
+    # ~16 significant digits (×10-facts hash sweep, round 5). String→double
+    # parsing is correctly rounded in both engines, and Spark's
+    # BigDecimal→double is already correct, so the string route makes the
+    # conversion agree at every magnitude.
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS STRING) AS DOUBLE)"
 
 
 def davg_sql(expr: str, scale: int = 4) -> str:
     return (
-        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f"CAST(CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS STRING) AS DOUBLE)"
         f" / COUNT({expr}) AS DOUBLE)"
     )
 

@@ -44,7 +44,9 @@ SELECT
   {dsum_sql('l_quantity')} AS sum_qty,
   {dsum_sql('l_extendedprice')} AS sum_base_price,
   {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-  {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', scale=6)} AS sum_charge,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(3,2)))
+           * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS STRING) AS DOUBLE) AS sum_charge,
   {davg_sql('l_quantity')} AS avg_qty,
   {davg_sql('l_extendedprice')} AS avg_price,
   {davg_sql('l_discount')} AS avg_disc,
@@ -60,19 +62,34 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q1 shape (pricing summary): full-fact scan, eight aggregates
     over two low-cardinality flags. The shuffle after partial aggregation
     carries ~6 groups per partition regardless of fact size — the archetype
-    of a map-side-combined DWS rollup."""
+    of a map-side-combined DWS rollup.
+
+    sum_charge is FACTOR-cast: the 3-factor double product's true decimal
+    scale is 6, where the tie distance (5e-7) is SMALLER than the double's
+    representation error at 1e5 magnitudes (~1e-6), so a post-product
+    decimal cast hits genuine midpoints where Spark's shortest-string
+    HALF_UP and DuckDB's binary rounding disagree — one row in ~1e5,
+    invisible at sf0.1 (the delta hid inside the final double's ulp by
+    luck) and caught by the ×10-facts hash sweep. Each FACTOR (2-decimal
+    true scale, tie distance 5e-3) casts deterministically, and the
+    decimal multiplication is then exact in both engines at any scale."""
     wh = Warehouse(spark, sf_dir)
     li = wh.lineitem.filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge_exact = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+        * (F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(3,2)"))
+    )
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity")).alias("sum_qty"),
             dsum(F.col("l_extendedprice")).alias("sum_base_price"),
             dsum(disc_price).alias("sum_disc_price"),
-            dsum(disc_price * (1 + F.col("l_tax")), scale=6).alias("sum_charge"),
+            F.sum(charge_exact).cast("double").alias("sum_charge"),
             davg(F.col("l_quantity")).alias("avg_qty"),
             davg(F.col("l_extendedprice")).alias("avg_price"),
             davg(F.col("l_discount")).alias("avg_disc"),

@@ -101,8 +101,20 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP(NANOS); declaring ``ts TIMESTAMP`` makes the scan itself
     truncate to µs (exact for this fixture — no sub-µs components), so the
     stream carries the same TimestampType as tables.load_table's batch
-    read without any per-row conversion."""
+    read without any per-row conversion.
+
+    The fixture stores events.parquet as a single FILE, selected via
+    pathGlobFilter; a Spark-written table (the scale-probe ×k replicas) is
+    a DIRECTORY of part files whose NAMES don't match that glob — the
+    stream then sees zero files and an availableNow replay commits no
+    batch at all (found by the ×10 at-scale sweep: STDS errors / empty
+    smoke output). Directories stream directly, without the name filter."""
+    import os
+
     prepare(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        return file_stream_source(spark, path, EVENTS_DDL)
     return file_stream_source(spark, sf_dir, EVENTS_DDL, glob="events.parquet")
 
 
