@@ -68,6 +68,26 @@ def _rows(df, cols):
     return sorted(tuple(r) for r in df.select(*cols).collect())
 
 
+def test_events_stream_reads_directory_tables(spark, tmp_path):
+    """Round-5 regression: the fixture stores events.parquet as a single
+    FILE (selected via pathGlobFilter), but any Spark-written table is a
+    DIRECTORY of part files whose NAMES never match that glob — the
+    stream then sees zero files and an availableNow replay commits no
+    batch at all (STDS errors on later state reads, empty smoke output;
+    found by the ×10 at-scale sweep). events_stream must replay a
+    directory-shaped events table identically to the batch read."""
+    src = load_table(spark, SF_DIR, "events")
+    dir_sf = tmp_path / "sf_dirshape"
+    dir_sf.mkdir()
+    src.repartition(4).write.parquet(str(dir_sf / "events.parquet"))
+
+    sdf = events_stream(spark, str(dir_sf))
+    n_stream = run_available_now(
+        sdf.groupBy().agg(F.count(F.lit(1)).alias("n")), "complete"
+    ).collect()[0]["n"]
+    assert n_stream == src.count()
+
+
 def test_stream_tumble_complete_equals_batch(spark):
     sdf = events_stream(spark, SF_DIR)
     agg = sdf.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
