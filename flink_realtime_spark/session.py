@@ -198,9 +198,31 @@ def enable_vendored_protobuf(keep_env: bool = False) -> bool:
     import sys
 
     try:
-        import google.protobuf  # noqa: F401
+        import google.protobuf
 
-        if not keep_env:
+        if keep_env:
+            # A prior scoped call can leave the module importable (vendor
+            # dir still on sys.path) while its env rollback removed the
+            # dir from $PYTHONPATH — a FRESH JVM launched now would spawn
+            # workers without the vendored runtime. Re-apply the mutation
+            # when the module resolves from a vendor dir, re-recording
+            # priors so the post-launch restore stays symmetric.
+            mod_root = os.path.dirname(
+                os.path.dirname(os.path.dirname(google.protobuf.__file__))
+            )
+            if mod_root in _PROTOBUF_VENDOR_DIRS:
+                if _PROTOBUF_ENV_PRIOR is None:
+                    _PROTOBUF_ENV_PRIOR = {
+                        "PYTHONPATH": os.environ.get("PYTHONPATH"),
+                        _PROTOBUF_CHECK_VAR: os.environ.get(_PROTOBUF_CHECK_VAR),
+                    }
+                pp = os.environ.get("PYTHONPATH", "")
+                if mod_root not in pp.split(os.pathsep):
+                    os.environ["PYTHONPATH"] = (
+                        (pp + os.pathsep + mod_root) if pp else mod_root
+                    )
+                os.environ.setdefault(_PROTOBUF_CHECK_VAR, "true")
+        else:
             restore_protobuf_env()
         return True
     except ImportError:

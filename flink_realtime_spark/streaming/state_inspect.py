@@ -325,6 +325,7 @@ def state_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "changelogCheckpointing.enabled"
         )
         old_provider = spark.conf.get(provider_conf, None)
+        old_changelog = spark.conf.get(changelog_conf, None)
         spark.conf.set(
             provider_conf,
             "org.apache.spark.sql.execution.streaming.state."
@@ -337,11 +338,16 @@ def state_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             stage_half(1)
             run_round()  # batch 1: the odd half arrives
         finally:
-            if old_provider is None:
-                spark.conf.unset(provider_conf)
-            else:
-                spark.conf.set(provider_conf, old_provider)
-            spark.conf.unset(changelog_conf)
+            # Restore BOTH confs symmetrically (set or unset) — a
+            # driver-built session may have pinned either one.
+            for conf_key, prior in (
+                (provider_conf, old_provider),
+                (changelog_conf, old_changelog),
+            ):
+                if prior is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, prior)
 
     root = _cached_build(spark, sf_dir, "state_changes_ckpt", build)
     feed = state_changes(spark, os.path.join(root, "ckpt"))

@@ -1277,17 +1277,28 @@ def absence_state_fn(key, pdf_iter, state):
             for r in pdf.itertuples(index=False):
                 t_us = int(r.ts.value // 1000)
                 if r.event_type == "view":
-                    last_view = t_us
+                    # Max, not last-write: a late-but-within-watermark view in a
+                    # later micro-batch may carry an OLDER ts; the batch analog's
+                    # backward MAX frame keeps the maximum preceding view ts.
+                    last_view = t_us if last_view is None else max(last_view, t_us)
                 elif r.event_type == "click":
                     if last_view is not None and last_view >= t_us - _TIMEOUT_US:
                         pend_ts.append(t_us)
                         pend_id.append(int(r.event_id))
                         pend_view.append(last_view)
                 elif r.event_type == "purchase":
+                    p_eid = int(r.event_id)
                     keep = [
                         (ct, ci, cv)
                         for ct, ci, cv in zip(pend_ts, pend_id, pend_view)
-                        if not t_us <= ct + _TIMEOUT_US
+                        # Two-sided disarm, lexicographic on (ts, event_id)
+                        # to mirror the batch analog's forward frame exactly
+                        # (ADVICE r5): a purchase at/before the click in
+                        # event order — including a late out-of-order arrival
+                        # admitted by the watermark — must NOT disarm; a
+                        # same-ts purchase with a LATER event_id must (batch
+                        # counts it as strictly following).
+                        if not ((t_us, p_eid) > (ct, ci) and t_us <= ct + _TIMEOUT_US)
                     ]
                     pend_ts, pend_id, pend_view = (
                         [list(x) for x in zip(*keep)] if keep else ([], [], [])

@@ -410,6 +410,56 @@ def test_stream_slide_complete_equals_batch(spark):
     assert _rows(streamed, ["ws", "n"]) == _rows(batch, ["ws", "n"])
 
 
+def test_vendored_protobuf_keep_env_reapplies_after_scoped_call():
+    """ADVICE r5 regression (session.py): after a SCOPED
+    enable_vendored_protobuf call (env mutated, then rolled back; vendor
+    dir retained on sys.path), a later keep_env=True call must RE-apply
+    the $PYTHONPATH/version-check mutation even though google.protobuf is
+    already importable — a fresh JVM launched at that point snapshots the
+    env, and without the re-apply its Python workers lack the vendored
+    runtime. Runs in a subprocess: the scenario needs an interpreter
+    where protobuf is NOT pip-installed and not yet vendored-in."""
+    import subprocess
+    import sys
+
+    script = r"""
+import os, sys
+from flink_realtime_spark import session as S
+try:
+    import google.protobuf
+    print("SKIP: protobuf pip-installed")
+    sys.exit(0)
+except ImportError:
+    pass
+pp_orig = os.environ.get("PYTHONPATH")
+if not S.enable_vendored_protobuf(keep_env=False):
+    print("SKIP: no vendor dir")
+    sys.exit(0)
+assert os.environ.get("PYTHONPATH") == pp_orig, "scoped call must roll back"
+import google.protobuf
+root = os.path.dirname(os.path.dirname(os.path.dirname(google.protobuf.__file__)))
+assert root in S._PROTOBUF_VENDOR_DIRS
+assert S.enable_vendored_protobuf(keep_env=True)
+assert root in (os.environ.get("PYTHONPATH") or "").split(os.pathsep), (
+    "keep_env=True must re-apply PYTHONPATH on the already-importable path")
+assert os.environ.get(S._PROTOBUF_CHECK_VAR) == "true"
+S.restore_protobuf_env()
+assert os.environ.get("PYTHONPATH") == pp_orig, "restore must be symmetric"
+print("OK")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    if proc.stdout.startswith("SKIP"):
+        pytest.skip(proc.stdout.strip())
+    assert "OK" in proc.stdout
+
+
 @pytest.mark.parametrize("op", ["cdc_latest_image", "state_timeout_alert"])
 def test_tws_form_equivalent_when_protobuf_present(
     spark, chunked_events_dir, op
@@ -2270,6 +2320,68 @@ def test_cep_absence_stream_matches_batch(spark, chunked_events_dir):
     }
     assert must_fire <= streamed
     assert len(streamed) >= len(must_fire) > 0
+
+
+def test_cep_absence_out_of_order_within_watermark(spark, tmp_path):
+    """ADVICE r5 regression: late-but-within-watermark out-of-order events
+    must follow the batch analog's (ts, event_id) total order, not arrival
+    order. Two directions, one staged replay:
+
+    - user 7: a purchase arriving in a LATER micro-batch with an EARLIER
+      ts than the armed click precedes the click in event order, so it
+      must NOT disarm (the pre-fix one-sided bound disarmed on any
+      purchase with ts <= deadline, suppressing an alert batch emits);
+    - user 8: a late view with an OLDER ts must not overwrite a newer
+      anchor (batch keeps the backward-MAX view ts; last-write-wins made
+      a later click fail the 30-minute prefix check and never arm)."""
+    import datetime as dt
+
+    from flink_realtime_spark.streaming.sources import EVENTS_DDL, file_stream_source
+    from flink_realtime_spark.streaming.stateful import (
+        absence_state_fn,
+        apply_with_state,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, typ, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, typ, 0.0, "{}")
+
+    # One file per micro-batch (maxFilesPerTrigger=1); batch N runs with
+    # the watermark from batch N-1's max event time minus 1 minute.
+    chunks = [
+        # batch 0 (wm -inf): arm user 7's click (view@0 -> click@10)
+        [ev(1, 7, "view", 0), ev(2, 7, "click", 10)],
+        # batch 1 (wm 9): user 7 purchase@9.5 — admitted, but PRECEDES the
+        # click in (ts, event_id); user 8's anchor view@20
+        [ev(0, 7, "purchase", 9.5), ev(10, 8, "view", 20)],
+        # batch 2 (wm 19): user 8 late view@19.5 (older than the anchor),
+        # then click@50 whose prefix window is [20, 50]
+        [ev(11, 8, "view", 19.5), ev(12, 8, "click", 50)],
+        # batches 3-4: advance the watermark past both deadlines (40, 80)
+        [ev(90, 99, "view", 85)],
+        [ev(91, 99, "view", 86)],
+    ]
+    staging = tmp_path / "chunks"
+    staging.mkdir()
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, EVENTS_DDL).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"c{i}"))
+        f = [
+            x for x in os.listdir(tmp_path / f"c{i}") if x.endswith(".parquet")
+        ][0]
+        shutil.copy(tmp_path / f"c{i}" / f, staging / f"chunk{i}.parquet")
+
+    sdf = file_stream_source(
+        spark, str(staging), EVENTS_DDL, max_files_per_trigger=1
+    ).withWatermark("ts", "1 minute")
+    alerts = apply_with_state(sdf, "user_id", absence_state_fn, timeout="event")
+    emitted = {
+        (r.user_id, r.click_id)
+        for r in run_available_now(alerts, "append").collect()
+    }
+    assert emitted == {(7, 2), (8, 12)}
 
 
 def test_cep_absence_view_only_state_self_cleans(spark, tmp_path):
