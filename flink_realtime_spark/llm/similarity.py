@@ -193,6 +193,156 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_hash_index(
+    embeddings: DataFrame, n_cells: int = 16
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF index: centroids are ``n_cells`` data-sampled
+    corpus vectors chosen by a Knuth multiplicative hash over vec_id
+    (reproducible across engines — no estimator randomness), cells
+    numbered by seed vec_id order. Returns (assigned corpus with cell
+    ids, centroid table). Assignment is a broadcast of ``n_cells``
+    centroids against the corpus folded by a map-side partial max_by —
+    no sort, no window, one shuffle on vec_id."""
+    base = rebalance(embeddings, "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    # the cell-numbering window sits over a LIMIT n_cells (bounded
+    # domain); partition by the constant-valued but non-foldable
+    # vec_id % 1 so the spec stays non-empty in the plan (the
+    # plans/ordered.py pattern — a foldable lit(0) would constant-fold
+    # to an EMPTY spec and log WindowExec: No Partition Defined)
+    seeds = (
+        base.orderBy(
+            (F.col("vec_id").cast("long") * F.lit(2654435761))
+            % F.lit(4294967296),
+            "vec_id",
+        )
+        .limit(n_cells)
+        .withColumn(
+            "cell",
+            (
+                F.row_number().over(
+                    Window.partitionBy(F.col("vec_id") % 1).orderBy("vec_id")
+                )
+                - 1
+            ).cast("int"),
+        )
+        .select("cell", F.col("emb").alias("centroid"))
+    )
+    scored = base.crossJoin(F.broadcast(seeds)).withColumn(
+        "csim", F.round(cosine_expr("emb", "centroid"), 9)
+    )
+    # argmax cell per vector: hash agg with struct max_by (csim desc,
+    # cell asc tiebreak via negation) — partial-aggregates map-side
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("cell"), F.struct(F.col("csim"), (-F.col("cell")).alias("t"))
+        ).alias("cell"),
+        F.first("emb").alias("emb"),
+    )
+    return assigned, seeds
+
+
+@query(
+    "llm_knn_ivf_hash",
+    f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id, emb,
+        ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+      FROM (
+        SELECT vec_id, emb FROM base
+        ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 4294967296, vec_id
+        LIMIT 16
+      )
+    ),
+    assigned AS (
+      SELECT b.vec_id, b.emb, s.cell
+      FROM base b, seeds s
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY ROUND(list_cosine_similarity(b.emb, s.emb), 9) DESC,
+                 s.cell ASC
+      ) = 1
+    ),
+    probes AS (
+      SELECT a.vec_id AS query_id, a.emb AS qe, s.cell
+      FROM assigned a, seeds s
+      WHERE a.vec_id < {N_QUERIES}
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY a.vec_id
+        ORDER BY ROUND(list_cosine_similarity(a.emb, s.emb), 9) DESC,
+                 s.cell ASC
+      ) <= 6
+    )
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+      CAST(ROW_NUMBER() OVER (
+        PARTITION BY p.query_id
+        ORDER BY list_cosine_similarity(p.qe, c.emb) DESC, c.vec_id ASC
+      ) AS BIGINT) AS "rank",
+      ROUND(list_cosine_similarity(p.qe, c.emb), 6) AS cos_sim
+    FROM probes p
+    JOIN assigned c ON p.cell = c.cell AND p.query_id != c.vec_id
+    QUALIFY "rank" <= {K}
+    """,
+)
+def llm_knn_ivf_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with a DETERMINISTIC coarse quantizer (VERDICT r5 #4):
+    the 16 cell centroids are data-sampled corpus vectors chosen by a
+    Knuth multiplicative hash over vec_id (a pseudo-random but exactly
+    reproducible spread — the 'train on a sample' step of a real IVF
+    build with the estimator randomness removed), so unlike llm_knn_ivf's
+    KMeans quantizer the ENTIRE path is DuckDB-expressible and this key
+    is driver-hash-checked, shrinking the rows-only set. Same query shape
+    as llm_knn_ivf: probe the nprobe=6 nearest cells, exact cosine only
+    within them.
+
+    Scale shape (100 TB): centroids are 16 rows — broadcast; assignment
+    is a broadcast nested-loop over 16 centroids folded by a map-side
+    partial max_by (no sort, no window, ONE shuffle on vec_id); the
+    candidate join is a plain equi-join on cell. Cell-affinity scores are
+    rounded to 9 dp on BOTH sides before ranking so double accumulation
+    order can't flip borderline cell assignments between engines (the
+    ×10-tier decimal lesson applied to argmax)."""
+    wh = Warehouse(spark, sf_dir)
+    assigned, seeds = ivf_hash_index(wh.embeddings)
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(seeds))
+        .withColumn("csim", F.round(cosine_expr("qe", "centroid"), 9))
+        .withColumn("crank", F.row_number().over(wq))
+        # nprobe=6 (vs KMeans' 4): sampled seeds partition lumpier than
+        # fitted centroids, so the deterministic index buys its recall
+        # floor with two extra probes (measured 0.40 -> 0.59 recall@5,
+        # top-6 scan fraction 0.43 at sf0.01)
+        .filter(F.col("crank") <= 6)
+        .select("query_id", "qe", "cell")
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"), "cell"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        probes.join(cand, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_expr("qe", "ne"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= K)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cos_sim")
+        )
+    )
+
+
 @query("llm_knn_ivf_gemm")
 def llm_knn_ivf_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GEMM-kernel form of llm_knn_ivf as a first-class query: same

@@ -52,55 +52,57 @@ _MODULES = [
 _loaded = False
 
 # The driver checks exactly the FIRST 50 keys of queries() iteration order
-# per round (r01–r04 each covered positions 0..49 of the then-current
+# per round (r01–r05 each covered positions 0..49 of the then-current
 # ordering). Cumulative driver evidence therefore grows only if each
-# round's first 50 rotates to keys no prior CORRECTNESS_r*.json sampled.
-# Round-5 window (VERDICT r4 #1 + ADVICE r4 #3): (a) every key whose PLAN
-# was reworked in r04 after its last driver record goes first —
-# llm_cooccurrence (TakeOrderedAndProject rewrite; only external record
-# for the new plan is the r4 judge's), llm_bpe_pair_freq /
-# ads_gmv_dashboard / ads_monthly_yoy (single_bucket window changes),
-# mv_incremental_refresh (eqNullSafe changelog diff; last record r02);
-# (b) the two keys NEW this round (state_change_feed, cep_absence) so the
-# driver records them immediately; (c) the 19 remaining never-sampled
-# oracle keys (judge-r4-green but no driver record); (d) 24 refresh slots
-# for the keys whose latest record is the oldest (r01) — after this
-# window, every oracle key has a driver record ≤4 rounds old and
-# driver-recorded coverage reaches 196+/200 (the 4 no-oracle keys stay
-# in _PRIORITY_TAIL, rows-only by design).
+# round's first 50 rotates to keys no prior CORRECTNESS_r*.json sampled
+# (after r05, EVERY oracle key has a green record — the game is now
+# freshness, stalest first).
+# Round-6 window (VERDICT r5 #1): (a) every key whose plan OR oracle was
+# reworked in r06 after its last driver record goes first — the three
+# CEP keys re-expressed through the streaming/cep.py pattern compiler,
+# and the three as-of keys whose rank oracles were rewritten for the
+# ×100 tier; (b) the two keys NEW this round (cep_retry_then_success —
+# compiler-lowered quantified pattern; llm_knn_ivf_hash — deterministic
+# quantizer, shrinks the rows-only set to 3); (c) cogroup_apply, the
+# single r01-stale key, moved out of the tail for its refresh (it has an
+# oracle and VERDICT r3 exempts nothing for slowness); (d) 41 refresh
+# slots for the r02-stale cohort in its CORRECTNESS_r02 record order —
+# the 7 that don't fit (win_topn, win_dedup, over_lag_lead,
+# over_moving_avg, over_time_range, scalar_math, scalar_array) are the
+# whole r07 stale pool.
 _PRIORITY_HEAD = [
-    # (a) plans reworked in r04 after their last driver record + (b) new
-    "llm_cooccurrence", "llm_bpe_pair_freq", "ads_gmv_dashboard",
-    "ads_monthly_yoy", "mv_incremental_refresh",
-    "state_change_feed", "cep_absence",
-    # (c) never-driver-sampled oracle keys (judge r4 verified all 19)
-    "pipe_shuffle_shard", "pipe_dataset_card", "pipe_token_budget",
-    "pipe_curriculum_ntile", "pipe_split_leakage_safe",
-    "tpch_q8_market_share", "tpch_q17_small_qty", "tpch_q20_promo_suppliers",
-    "tpch_q21_waiting",
-    "win_late_refire", "scalar_calendar_dow", "scalar_div_mod",
-    "sort_nulls_first", "join_interval_left", "ads_stickiness_sketch",
-    "llm_dedup_minhash", "llm_line_dedup", "agg_unpivot",
-    "state_store_audit",
-    # (d) stale-evidence refresh: every key whose latest record is r01
-    "proj_compute", "join_outer_full", "join_asof_forward",
-    "join_salted_skew",
-    "setop_union_distinct", "setop_intersect", "setop_except",
-    "setop_intersect_all", "setop_except_all",
-    "agg_count_distinct", "agg_stats", "agg_collect", "agg_cube",
-    "agg_grouping_sets", "agg_retention",
-    "subq_scalar_corr", "subq_in_having", "subq_exists_delayed",
-    "subq_not_exists_dormant",
-    "tpch_q3_priority", "tpch_q13_custdist",
-    "ads_daily_uv_pv", "ads_retention_cohort", "ads_layered_pipeline",
+    # (a) reworked in r06: CEP compiler re-expressions + as-of oracle
+    # rewrites (hash-identical plans, but the driver re-verifies them)
+    "cep_funnel_batch", "cep_error_burst", "cep_absence",
+    "join_asof_temporal", "join_asof_nearest", "join_asof_forward",
+    # (b) new in r06
+    "cep_retry_then_success", "llm_knn_ivf_hash",
+    # (c) the one r01-stale key
+    "cogroup_apply",
+    # (d) r02-stale refresh, in CORRECTNESS_r02 order (join_asof_temporal
+    # already fronted above)
+    "filter_predicates", "flatmap_explode", "dedup_exact",
+    "setop_union_all", "sort_multi_key", "sort_topk",
+    "join_inner_equi", "join_outer_left", "join_semi", "join_anti",
+    "join_dim_broadcast", "join_interval_time", "join_theta_range",
+    "join_range_binned", "subq_lateral_topn",
+    "agg_star_flagship", "agg_groupby_basic", "agg_rollup", "agg_pivot",
+    "tpch_q6_forecast", "agg_max_by", "win_tumble", "over_ranking",
+    "scalar_datetime", "cdc_latest_image",
+    "llm_dedup_exact", "llm_knn_cosine", "llm_text_stats",
+    "pipe_sample_hash", "llm_multimodal_join", "udf_scalar_pandas",
+    "state_rule_engine", "dq_anomaly_zscore", "llm_dup_gram_share",
+    "agg_histogram", "ads_session_stats", "ads_pareto_share",
+    "tpch_q1_pricing", "win_slide", "win_session", "win_late_drop",
 ]
 
 # Streaming-executing / estimator-fit keys with rows-only or property
-# evidence by design: register last. (The three iterative dedup/graph
-# keys moved INTO the r04 window above — the driver now hash-checks
-# them like any other key.)
+# evidence by design: register last. (cogroup_apply moved INTO the r06
+# window above for its r01-staleness refresh; llm_knn_ivf keeps its
+# KMeans quantizer — the deterministic twin llm_knn_ivf_hash is the
+# hash-checked form.)
 _PRIORITY_TAIL = [
-    "cogroup_apply", "src_stream_smoke",
+    "src_stream_smoke",
     "llm_dedup_minhash_ml", "llm_knn_ivf", "llm_knn_ivf_gemm",
 ]
 

@@ -1,0 +1,330 @@
+"""Declarative CEP pattern compiler — SURVEY.md §2.9 (CEP / pattern
+detection).
+
+Reference capability: Flink CEP's ``Pattern.begin(...).followedBy(...)
+.notFollowedBy(...).within(...)`` DSL (provenance FLINK; snapshot is
+README-only, /root/reference/README.md:1-2). Spark has no MATCH_RECOGNIZE
+and no NFA runtime, so each CEP query used to be a hand-lowered plan
+(VERDICT r5 gap #2: "a new pattern costs a new hand-written plan"). This
+module closes that gap for the pattern shapes the engine actually
+supports: a small declarative AST that COMPILES to the existing
+window-frame / gaps-and-islands / min-ts-chain machinery.
+
+Three lowerings, chosen by pattern shape (`Pattern._shape()`):
+
+``first_match``  — a sequence of relaxed-contiguity steps
+                   (``begin(a).followed_by(b)...``): earliest-occurrence
+                   NFA chaining, lowered to a fold of min-ts keyed
+                   aggregates, each consuming the previous step's
+                   timestamp (cep_funnel_batch's shape). One shuffle per
+                   step, all keyed on the pattern key — a cluster
+                   co-partitions the whole chain.
+
+``per_anchor``   — ``begin(a).next(b).not_followed_by(c).within(w)``:
+                   the negation anchored on every b event, lowered to ONE
+                   window pass per key — a backward MAX frame finds the
+                   most recent preceding a, a forward MIN frame the
+                   earliest following c; both share the (key, ts, id)
+                   sort so Catalyst plans a single WindowExec after one
+                   shuffle (cep_absence's shape). No self-join, no
+                   range-join blowup on hot keys.
+
+``strict_runs``  — ``begin(a).times_or_more(n)`` with strict contiguity,
+                   optionally ``followed_by(b).within(w)``: the NFA
+                   quantifier's gaps-and-islands rewrite — one window
+                   pass for islands, one keyed agg for runs, one
+                   time-bounded left join for the follow-up
+                   (cep_error_burst's shape).
+
+Unsupported shapes raise ``CepUnsupportedPattern`` at compile time with
+the shapes that ARE supported — honest coverage, not silent wrong
+answers. The streaming forms remain the keyed state functions in
+``stateful.py`` (absence_state_fn, funnel_state_fn, retry_state_fn),
+equivalence-tested against these batch lowerings in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+class CepUnsupportedPattern(ValueError):
+    """The pattern does not match any supported lowering shape."""
+
+
+@dataclass(frozen=True)
+class _Step:
+    event_type: str
+    min_count: int = 1
+    strict: bool = False  # strict contiguity (Flink next / consecutive times)
+    optional: bool = False
+
+
+@dataclass(frozen=True)
+class _Negation:
+    event_type: str
+
+
+@dataclass
+class Pattern:
+    """Flink-CEP-style builder. Immutable-ish: every combinator returns
+    ``self`` after appending, mirroring Flink's fluent API."""
+
+    steps: list[_Step] = field(default_factory=list)
+    negation: _Negation | None = None
+    within_interval: str | None = None
+
+    # -- construction ------------------------------------------------------
+    @staticmethod
+    def begin(event_type: str) -> "Pattern":
+        p = Pattern()
+        p.steps.append(_Step(event_type))
+        return p
+
+    def followed_by(self, event_type: str, optional: bool = False) -> "Pattern":
+        """Relaxed contiguity: other events may occur in between."""
+        self._check_open()
+        self.steps.append(_Step(event_type, optional=optional))
+        return self
+
+    def next(self, event_type: str) -> "Pattern":
+        """Strict-order step. In the per-anchor lowering the distinction
+        from followed_by is immaterial (the anchor sees the nearest
+        preceding step either way); kept for Flink API parity."""
+        self._check_open()
+        self.steps.append(_Step(event_type))
+        return self
+
+    def times_or_more(self, n: int, consecutive: bool = True) -> "Pattern":
+        """Quantify the LAST step: at least ``n`` occurrences; with
+        ``consecutive=True`` they must be contiguous in event order
+        (Flink ``.times(n).orMore().consecutive()``)."""
+        self._check_open()
+        if not self.steps:
+            raise CepUnsupportedPattern("times_or_more needs a step to quantify")
+        last = self.steps[-1]
+        self.steps[-1] = _Step(
+            last.event_type, min_count=n, strict=consecutive, optional=last.optional
+        )
+        return self
+
+    def not_followed_by(self, event_type: str) -> "Pattern":
+        """Negation edge; must be terminal (as in Flink, where
+        notFollowedBy cannot end a pattern without a within())."""
+        self._check_open()
+        self.negation = _Negation(event_type)
+        return self
+
+    def within(self, interval: str) -> "Pattern":
+        """Time bound, e.g. ``'30 minutes'`` (Spark INTERVAL syntax)."""
+        self.within_interval = interval
+        return self
+
+    def _check_open(self) -> None:
+        if self.negation is not None:
+            raise CepUnsupportedPattern(
+                "not_followed_by is terminal — only within() may follow"
+            )
+
+    # -- shape dispatch ----------------------------------------------------
+    def _shape(self) -> str:
+        quantified = [s for s in self.steps if s.min_count > 1]
+        if quantified:
+            if len(quantified) != 1 or self.steps[0].min_count <= 1:
+                raise CepUnsupportedPattern(
+                    "only the FIRST step may carry times_or_more "
+                    "(strict_runs lowering)"
+                )
+            if not self.steps[0].strict:
+                raise CepUnsupportedPattern(
+                    "times_or_more requires consecutive=True — relaxed "
+                    "quantifiers have no islands rewrite"
+                )
+            if len(self.steps) > 2 or self.negation is not None:
+                raise CepUnsupportedPattern(
+                    "strict_runs supports one quantified step plus at most "
+                    "one follow-up step"
+                )
+            if len(self.steps) == 2 and self.within_interval is None:
+                raise CepUnsupportedPattern(
+                    "a follow-up after a quantified run needs within()"
+                )
+            return "strict_runs"
+        if self.negation is not None:
+            if len(self.steps) != 2 or self.within_interval is None:
+                raise CepUnsupportedPattern(
+                    "per_anchor lowering is begin(a).next(b)"
+                    ".not_followed_by(c).within(w)"
+                )
+            return "per_anchor"
+        if len(self.steps) < 2:
+            raise CepUnsupportedPattern("a pattern needs at least two steps")
+        if self.within_interval is not None:
+            raise CepUnsupportedPattern(
+                "first_match lowering has no within() form yet — the "
+                "min-ts chain would need per-step deadlines"
+            )
+        return "first_match"
+
+
+def compile_pattern(
+    ev: DataFrame,
+    pattern: Pattern,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Lower ``pattern`` over an event relation to a match DataFrame.
+
+    Output schema by shape:
+
+    - ``first_match``: one row per key that matched step 1, with nullable
+      ``t_step1..t_stepN`` timestamps (earliest-chaining semantics — each
+      step's ts is the MIN ts strictly after the previous step's).
+    - ``per_anchor``: one row per step-2 event whose pattern matched:
+      (key, anchor_id, anchor_ts, prev_ts).
+    - ``strict_runs``: one row per maximal run of >= n consecutive
+      quantified events: (key, island, run_len, last_ts[, hit]) — ``hit``
+      present when a follow-up step exists (1 when any follow-up event
+      lands in (last_ts, last_ts + within]).
+    """
+    shape = pattern._shape()
+    if shape == "first_match":
+        return _lower_first_match(ev, pattern, key, ts, type_col)
+    if shape == "per_anchor":
+        return _lower_per_anchor(ev, pattern, key, ts, id_col, type_col)
+    return _lower_strict_runs(ev, pattern, key, ts, id_col, type_col)
+
+
+def _lower_first_match(
+    ev: DataFrame, pattern: Pattern, key: str, ts: str, type_col: str
+) -> DataFrame:
+    """Earliest-occurrence chain: step i's frame is
+    filter(type_i) ⋈ step_{i-1} on key, ts > t_{i-1}, min(ts) per key.
+    Exactly the min-ts join chain cep_funnel_batch hand-wrote."""
+    acc: DataFrame | None = None
+    frames: list[DataFrame] = []
+    for i, step in enumerate(pattern.steps, start=1):
+        col = f"t_step{i}"
+        cur = ev.filter(F.col(type_col) == step.event_type)
+        if acc is not None:
+            cur = cur.join(acc, key).filter(F.col(ts) > F.col(f"t_step{i - 1}"))
+        frame = cur.groupBy(key).agg(F.min(ts).alias(col))
+        frames.append(frame)
+        acc = frame
+    out = frames[0]
+    for frame in frames[1:]:
+        out = out.join(frame, key, "left")
+    return out
+
+
+def _lower_per_anchor(
+    ev: DataFrame,
+    pattern: Pattern,
+    key: str,
+    ts: str,
+    id_col: str,
+    type_col: str,
+) -> DataFrame:
+    """One WindowExec: backward MAX for the prefix step, forward MIN for
+    the negation, both over the (key, ts, id) total order — ties are
+    deterministic on BOTH sides (the streaming twin disarms
+    lexicographically on (ts, event_id) to match)."""
+    prefix, anchor = pattern.steps
+    neg = pattern.negation
+    assert neg is not None
+    order = Window.partitionBy(key).orderBy(ts, id_col)
+    back = order.rowsBetween(Window.unboundedPreceding, -1)
+    fwd = order.rowsBetween(1, Window.unboundedFollowing)
+    bound = F.expr(f"INTERVAL {pattern.within_interval}")
+    ctx = ev.select(
+        key,
+        id_col,
+        ts,
+        type_col,
+        F.max(F.when(F.col(type_col) == prefix.event_type, F.col(ts)))
+        .over(back)
+        .alias("prev_ts"),
+        F.min(F.when(F.col(type_col) == neg.event_type, F.col(ts)))
+        .over(fwd)
+        .alias("next_neg_ts"),
+    )
+    return ctx.filter(
+        (F.col(type_col) == anchor.event_type)
+        & F.col("prev_ts").isNotNull()
+        & (F.col("prev_ts") >= F.col(ts) - bound)
+        & (
+            F.col("next_neg_ts").isNull()
+            | (F.col("next_neg_ts") > F.col(ts) + bound)
+        )
+    ).select(
+        key,
+        F.col(id_col).alias("anchor_id"),
+        F.col(ts).alias("anchor_ts"),
+        "prev_ts",
+    )
+
+
+def _lower_strict_runs(
+    ev: DataFrame,
+    pattern: Pattern,
+    key: str,
+    ts: str,
+    id_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Gaps-and-islands rewrite of the consecutive quantifier: the island
+    id is the running count of NON-matching events, constant across a
+    maximal run; runs aggregate per (key, island); the follow-up is a
+    time-bounded left join keyed on the pattern key."""
+    run = pattern.steps[0]
+    w = Window.partitionBy(key).orderBy(ts, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = ev.withColumn(
+        "island",
+        F.sum(
+            F.when(F.col(type_col) != run.event_type, 1).otherwise(0)
+        ).over(w),
+    )
+    runs = (
+        seq.filter(F.col(type_col) == run.event_type)
+        .groupBy(key, "island")
+        .agg(F.count(F.lit(1)).alias("run_len"), F.max(ts).alias("last_ts"))
+        .filter(F.col("run_len") >= run.min_count)
+    )
+    if len(pattern.steps) == 1:
+        return runs
+    follow = pattern.steps[1]
+    bound = F.expr(f"INTERVAL {pattern.within_interval}")
+    # optional follow-up (Flink followedBy().optional()): every run is a
+    # match, hit flags whether the follow-up occurred; required follow-up:
+    # only runs the follow-up completed are matches.
+    fu = ev.filter(F.col(type_col) == follow.event_type).select(
+        F.col(key).alias("__f_key"),
+        F.col(id_col).alias("__f_id"),
+        F.col(ts).alias("__f_ts"),
+    )
+    alerted = (
+        runs.join(
+            fu,
+            (F.col("__f_key") == runs[key])
+            & (F.col("__f_ts") > F.col("last_ts"))
+            & (F.col("__f_ts") <= F.col("last_ts") + bound),
+            "left",
+        )
+        .groupBy(runs[key], "island", "run_len", "last_ts")
+        .agg(
+            F.max(
+                F.when(F.col("__f_id").isNotNull(), 1).otherwise(0)
+            ).alias("hit")
+        )
+    )
+    if follow.optional:
+        return alerted
+    return alerted.filter(F.col("hit") == 1).drop("hit")

@@ -69,9 +69,13 @@ def test_simhash_separates_planted_pairs(spark, planted_pairs):
     )
 
 
-def test_ivf_recall_and_scan_fraction(spark):
+@pytest.mark.parametrize("key", ["llm_knn_ivf", "llm_knn_ivf_hash"])
+def test_ivf_recall_and_scan_fraction(spark, key):
+    """Both quantizers (KMeans and the deterministic hash-seeded one)
+    must hit the recall floor vs exact kNN while actually restricting
+    the scan."""
     exact = registry.QUERIES["llm_knn_cosine"](spark, SF_DIR).collect()
-    approx = registry.QUERIES["llm_knn_ivf"](spark, SF_DIR).collect()
+    approx = registry.QUERIES[key](spark, SF_DIR).collect()
     exact_sets: dict[int, set] = {}
     for r in exact:
         exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
@@ -83,19 +87,25 @@ def test_ivf_recall_and_scan_fraction(spark):
     )
     total = sum(len(s) for s in exact_sets.values())
     recall = hits / total
-    # 4 of 16 cells probed on weakly clustered data — a floor, not a target
-    # (measured 0.69 at sf0.01).
-    assert recall >= 0.5, f"IVF recall@5 {recall:.2f}"
-    # the index must actually restrict the scan: even the 4 largest cells
-    # hold well under the full corpus (measured 0.47 at sf0.01)
-    from flink_realtime_spark.llm.similarity import ivf_index
+    # nprobe of 16 cells on weakly clustered data — a floor, not a target
+    # (measured 0.69 kmeans@nprobe4 / 0.59 hash-seeded@nprobe6 at sf0.01;
+    # the deterministic index probes 6 because sampled seeds partition
+    # lumpier than fitted centroids — the price of DuckDB-hashability).
+    assert recall >= 0.5, f"{key} recall@5 {recall:.2f}"
+    # the index must actually restrict the scan: even the nprobe largest
+    # cells hold well under the full corpus (measured 0.47 kmeans top-4 /
+    # 0.43 hash-seeded top-6 at sf0.01)
+    from flink_realtime_spark.llm.similarity import ivf_hash_index, ivf_index
     from flink_realtime_spark.tables import Warehouse
 
-    assigned, _ = ivf_index(Warehouse(spark, SF_DIR).embeddings)
+    build, nprobe = (
+        (ivf_index, 4) if key == "llm_knn_ivf" else (ivf_hash_index, 6)
+    )
+    assigned, _ = build(Warehouse(spark, SF_DIR).embeddings)
     n = assigned.count()
     cell_sizes = {r.cell: r.n for r in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
-    worst_probe_fraction = sum(sorted(cell_sizes.values(), reverse=True)[:4]) / n
-    assert worst_probe_fraction < 0.6, f"IVF scans {worst_probe_fraction:.0%}"
+    worst_probe_fraction = sum(sorted(cell_sizes.values(), reverse=True)[:nprobe]) / n
+    assert worst_probe_fraction < 0.6, f"{key} scans {worst_probe_fraction:.0%}"
 
 
 def test_ivf_gemm_kernel_matches_join_kernel(spark):

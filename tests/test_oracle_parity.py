@@ -44,11 +44,12 @@ def test_entry_smoke(spark):
 
 def test_driver_window_rotation():
     """The driver checks exactly the FIRST 50 keys of ordered_queries()
-    per round (CLAUDE.md "Driver sampling"). Lock the round-5 contract
-    (VERDICT r4 #1 + ADVICE r4 #3): reworked-plan keys + the two new keys
-    lead the window, every never-driver-sampled oracle key is inside it,
-    and the remaining slots refresh only keys whose latest record is the
-    oldest (r01) — no slot is wasted re-sampling fresh evidence."""
+    per round (CLAUDE.md "Driver sampling"). Lock the round-6 contract
+    (VERDICT r5 #1): keys whose plan or oracle was reworked in r06 lead
+    the window, the two new keys follow, every never-driver-sampled
+    oracle key is inside it, and the remaining slots refresh only the
+    stalest evidence (the one r01 key, then the r02 cohort) — no slot is
+    wasted re-sampling fresh records."""
     import json
     import os
 
@@ -56,12 +57,14 @@ def test_driver_window_rotation():
     latest: dict[str, int] = {}
     # Deliberately pinned to the records the CURRENT rotation was built
     # against — extend this tuple together with each _PRIORITY_HEAD
-    # rotation (next round: add r05 and re-rotate).
+    # rotation (next round: add r06 and re-rotate onto the 7 spilled
+    # r02-stale keys + the r03 cohort).
     for rnd, rec in (
         (1, "CORRECTNESS_r01.json"),
         (2, "CORRECTNESS_r02.json"),
         (3, "CORRECTNESS_r03.json"),
         (4, "CORRECTNESS_r04.json"),
+        (5, "CORRECTNESS_r05.json"),
     ):
         path = os.path.join(root, rec)
         if os.path.isfile(path):
@@ -72,21 +75,22 @@ def test_driver_window_rotation():
         pytest.skip("no prior CORRECTNESS records in this checkout")
     ordered = list(registry.ordered_queries())
     window = ordered[:50]
-    # front: plans reworked in r04 after their last driver record, then
-    # the two keys introduced in r05 (driver must record them this round)
-    assert window[:7] == [
-        "llm_cooccurrence", "llm_bpe_pair_freq", "ads_gmv_dashboard",
-        "ads_monthly_yoy", "mv_incremental_refresh",
-        "state_change_feed", "cep_absence",
+    # front: plans/oracles reworked in r06 after their last driver
+    # record, then the two keys introduced in r06, then the r01 straggler
+    assert window[:9] == [
+        "cep_funnel_batch", "cep_error_burst", "cep_absence",
+        "join_asof_temporal", "join_asof_nearest", "join_asof_forward",
+        "cep_retry_then_success", "llm_knn_ivf_hash",
+        "cogroup_apply",
     ]
     # every oracle key with no driver record yet is in the window
     never = [
         k for k in ordered if k not in latest and k in registry.ORACLES
     ]
     assert set(never) <= set(window), sorted(set(never) - set(window))
-    # beyond the reworked front, a previously-sampled key may occupy a
-    # slot only to refresh the stalest (r01) evidence
-    stale_ok = [k for k in window[7:] if latest.get(k) not in (None, 1)]
+    # beyond the reworked/new front, a previously-sampled key may occupy
+    # a slot only to refresh the stalest (r01/r02) evidence
+    stale_ok = [k for k in window[9:] if latest.get(k) not in (None, 1, 2)]
     assert stale_ok == [], stale_ok
 
 

@@ -2322,6 +2322,174 @@ def test_cep_absence_stream_matches_batch(spark, chunked_events_dir):
     assert len(streamed) >= len(must_fire) > 0
 
 
+def test_cep_pattern_compiler_shapes_and_validation(spark):
+    """The pattern compiler supports exactly three lowering shapes and
+    rejects everything else at compile time (no silent wrong answers);
+    a required follow-up filters to completed matches, an optional one
+    keeps every run with a hit flag."""
+    import datetime as dt
+
+    from flink_realtime_spark.streaming.cep import (
+        CepUnsupportedPattern,
+        Pattern,
+        compile_pattern,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: click,click then purchase 10 min later (success);
+        # user 2: click,click,click then view; no purchase (miss);
+        # user 3: single click (no run)
+        (1, t0, 1, "click"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click"),
+        (3, t0 + dt.timedelta(minutes=11), 1, "purchase"),
+        (4, t0, 2, "click"),
+        (5, t0 + dt.timedelta(minutes=1), 2, "click"),
+        (6, t0 + dt.timedelta(minutes=2), 2, "click"),
+        (7, t0 + dt.timedelta(minutes=3), 2, "view"),
+        (8, t0, 3, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+    opt = (
+        Pattern.begin("click")
+        .times_or_more(2)
+        .followed_by("purchase", optional=True)
+        .within("30 MINUTES")
+    )
+    got = {
+        (r.user_id, r.run_len): r.hit for r in compile_pattern(ev, opt).collect()
+    }
+    assert got == {(1, 2): 1, (2, 3): 0}
+
+    req = (
+        Pattern.begin("click")
+        .times_or_more(2)
+        .followed_by("purchase")
+        .within("30 MINUTES")
+    )
+    req_df = compile_pattern(ev, req)
+    assert "hit" not in req_df.columns
+    assert [(r.user_id, r.run_len) for r in req_df.collect()] == [(1, 2)]
+
+    anchored = (
+        Pattern.begin("view")
+        .next("click")
+        .not_followed_by("purchase")
+        .within("30 MINUTES")
+    )
+    assert compile_pattern(ev, anchored).count() == 0  # no view->click here
+
+    seq = Pattern.begin("click").followed_by("purchase")
+    first = {
+        r.user_id: r.t_step2 is not None
+        for r in compile_pattern(ev, seq).collect()
+    }
+    assert first == {1: True, 2: False, 3: False}
+
+    for bad in (
+        lambda: Pattern.begin("a")._shape(),  # single step
+        lambda: (
+            Pattern.begin("a").times_or_more(2, consecutive=False)._shape()
+        ),  # relaxed quantifier
+        lambda: (
+            Pattern.begin("a").times_or_more(2).followed_by("b")._shape()
+        ),  # quantified follow-up without within()
+        lambda: Pattern.begin("a").next("b").not_followed_by("c")._shape(),
+        lambda: (
+            Pattern.begin("a").followed_by("b").within("5 MINUTES")._shape()
+        ),  # first_match has no within form
+        lambda: (
+            Pattern.begin("a").not_followed_by("b").followed_by("c")
+        ),  # negation is terminal
+    ):
+        with pytest.raises(CepUnsupportedPattern):
+            bad()
+
+
+def test_cep_retry_stream_matches_batch(spark, chunked_events_dir):
+    """Compiler-lowered quantified pattern (click{2,} purchase?) under
+    streaming: every streamed burst must appear in the batch strict_runs
+    relation with the SAME hit verdict; every batch burst whose verdict
+    was provably final mid-replay (hit=1 once its purchase was processed,
+    hit=0 once the watermark passed its deadline and a later event closed
+    the run) must have been emitted. Trailing open runs stay pending by
+    construction."""
+    import datetime as dt
+
+    from flink_realtime_spark.streaming.cep import Pattern, compile_pattern
+    from flink_realtime_spark.streaming.stateful import (
+        apply_with_state,
+        retry_state_fn,
+    )
+
+    sdf = file_stream_source(
+        spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
+    ).withWatermark("ts", "1 minute")
+    bursts = apply_with_state(sdf, "user_id", retry_state_fn, timeout="event")
+    streamed = {
+        (r.user_id, r.last_click_us, r.run_len): r.hit
+        for r in run_available_now(bursts, "append").collect()
+    }
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    pat = (
+        Pattern.begin("click")
+        .times_or_more(2)
+        .followed_by("purchase", optional=True)
+        .within("30 MINUTES")
+    )
+
+    def us(t):
+        return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    batch = {
+        (r.user_id, us(r.last_ts), r.run_len): r.hit
+        for r in compile_pattern(ev, pat).collect()
+    }
+    assert streamed.items() <= batch.items()
+
+    # verdict-final set: a hit=1 burst emits when its purchase is
+    # processed (the purchase itself closes the run); a hit=0 burst needs
+    # the final-batch watermark past its deadline AND a later event to
+    # have closed the run (strict ts > last_click — tie-closed runs are
+    # conservatively excluded).
+    wm_final_us = (
+        us(
+            spark.read.parquet(
+                f"{chunked_events_dir}/chunk0.parquet",
+                f"{chunked_events_dir}/chunk1.parquet",
+            )
+            .selectExpr("max(ts) AS m")
+            .collect()[0]["m"]
+        )
+        - 60_000_000
+    )
+    last_per_user = {
+        r.user_id: us(r.m)
+        for r in ev.groupBy("user_id").agg(F.max("ts").alias("m")).collect()
+    }
+    deadline_us = 30 * 60 * 1_000_000
+    must_fire = {
+        k
+        for k, hit in batch.items()
+        if (hit == 1 and last_per_user[k[0]] > k[1])
+        or (
+            hit == 0
+            and k[1] + deadline_us < wm_final_us
+            and last_per_user[k[0]] > k[1]
+        )
+    }
+    assert must_fire <= set(streamed)
+    assert all(streamed[k] == batch[k] for k in must_fire)
+    n_hit = sum(1 for k in must_fire if batch[k] == 1)
+    assert n_hit > 0 and len(must_fire) > n_hit  # both verdicts exercised
+
+
 def test_cep_absence_out_of_order_within_watermark(spark, tmp_path):
     """ADVICE r5 regression: late-but-within-watermark out-of-order events
     must follow the batch analog's (ts, event_id) total order, not arrival
