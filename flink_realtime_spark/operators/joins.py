@@ -308,20 +308,30 @@ def join_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_asof_temporal",
     """
-    SELECT purchase_id, user_id, click_id, click_value FROM (
-      SELECT
-        p.event_id AS purchase_id,
-        p.user_id,
-        c.event_id AS click_id,
-        CAST(c.value AS DOUBLE) AS click_value,
-        ROW_NUMBER() OVER (
-          PARTITION BY p.event_id
-          ORDER BY c.ts DESC, c.event_id ASC
-        ) AS rn
-      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        ON p.user_id = c.user_id AND p.ts >= c.ts
-    ) WHERE rn = 1
+    WITH c0 AS (
+      SELECT user_id, ts,
+        arg_min(event_id, event_id) AS click_id,
+        arg_min(CAST(value AS DOUBLE), event_id) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    u AS (
+      SELECT user_id, ts, 0 AS is_fact, CAST(NULL AS BIGINT) AS purchase_id,
+             click_id, click_value
+      FROM c0
+      UNION ALL
+      SELECT user_id, ts, 1, event_id, NULL, NULL
+      FROM events WHERE event_type = 'purchase'
+    ),
+    filled AS (
+      SELECT user_id, is_fact, purchase_id,
+        LAST_VALUE(click_id IGNORE NULLS) OVER w AS click_id,
+        LAST_VALUE(click_value IGNORE NULLS) OVER w AS click_value
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_fact
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT purchase_id, user_id, click_id, click_value
+    FROM filled WHERE is_fact = 1 AND click_id IS NOT NULL
     """,
 )
 def join_asof_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,11 +341,16 @@ def join_asof_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle was DuckDB's native ASOF JOIN through round 5; the ×10
     replicated-facts hash sweep showed native ASOF is UNDERSPECIFIED when
     several versions share the boundary (user_id, ts) — which row wins is
-    engine-internal — so the oracle now writes the total order out
-    explicitly (rank by c.ts DESC, c.event_id ASC = latest click, smallest
-    id among ts ties), the same rule plans/asof.py documents and the
-    join_asof_nearest oracle always used. On tie-free data the two oracle
-    forms are identical; under ties only the rank form is a contract."""
+    engine-internal — so since r05 the oracle writes the total order out
+    explicitly (latest click, smallest id among ts ties), the same rule
+    plans/asof.py documents. The r05 rank form paired every fact with
+    every eligible version (O(per-user density²) — intractable at the
+    ×100 tier, VERDICT r5 #2), so the oracle is now the LINEAR merge-fill
+    equivalent: collapse version ts-ties to their min-id representative,
+    union versions before facts at equal ts, one running
+    LAST_VALUE(IGNORE NULLS) fill per user. The rank form remains the
+    SPEC; tests/test_oracle_parity.py::test_asof_linear_oracle_matches_
+    rank_spec asserts both DuckDB forms agree on the fixture."""
     wh = Warehouse(spark, sf_dir)
     ev = wh.events
     facts = ev.filter(F.col("event_type") == "purchase").select(
@@ -510,20 +525,30 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_asof_forward",
     """
-    SELECT click_id, user_id, purchase_id, purchase_value FROM (
-      SELECT
-        c.event_id AS click_id,
-        c.user_id,
-        p.event_id AS purchase_id,
-        CAST(p.value AS DOUBLE) AS purchase_value,
-        ROW_NUMBER() OVER (
-          PARTITION BY c.event_id
-          ORDER BY p.ts ASC, p.event_id ASC
-        ) AS rn
-      FROM (SELECT * FROM events WHERE event_type = 'click') c
-      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        ON c.user_id = p.user_id AND c.ts <= p.ts
-    ) WHERE rn = 1
+    WITH p0 AS (
+      SELECT user_id, ts,
+        arg_min(event_id, event_id) AS purchase_id,
+        arg_min(CAST(value AS DOUBLE), event_id) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    u AS (
+      SELECT user_id, ts, 0 AS is_fact, CAST(NULL AS BIGINT) AS click_id,
+             purchase_id, purchase_value
+      FROM p0
+      UNION ALL
+      SELECT user_id, ts, 1, event_id, NULL, NULL
+      FROM events WHERE event_type = 'click'
+    ),
+    filled AS (
+      SELECT user_id, is_fact, click_id,
+        LAST_VALUE(purchase_id IGNORE NULLS) OVER w AS purchase_id,
+        LAST_VALUE(purchase_value IGNORE NULLS) OVER w AS purchase_value
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, is_fact
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT click_id, user_id, purchase_id, purchase_value
+    FROM filled WHERE is_fact = 1 AND purchase_id IS NOT NULL
     """,
 )
 def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,11 +556,11 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-or-after click time — the attribution/next-event lookup that
     mirrors join_asof_temporal's latest-version semantics. Same
     one-shuffle merge composition (plans/asof.py) with the window scanned
-    in reverse time order. Oracle: explicit rank (p.ts ASC, p.event_id
-    ASC = earliest purchase, smallest id among ts ties) instead of
-    DuckDB's native forward ASOF, which the ×10 replicated-facts sweep
-    showed picks an ENGINE-INTERNAL row when several purchases share the
-    boundary (user_id, ts) — see join_asof_temporal."""
+    in reverse time order. Oracle: the linear merge-fill form of the
+    explicit tie-total rank spec (earliest purchase, smallest id among ts
+    ties — reverse-scan fill over min-id ts-tie representatives); see
+    join_asof_temporal for the rank-vs-fill history and the spec
+    equivalence test."""
     wh = Warehouse(spark, sf_dir)
     ev = wh.events
     facts = ev.filter(F.col("event_type") == "click").select(
@@ -562,21 +587,45 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_asof_nearest",
     """
-    SELECT click_id, user_id, purchase_id, purchase_value FROM (
-      SELECT
-        c.event_id AS click_id,
-        c.user_id,
-        p.event_id AS purchase_id,
-        CAST(p.value AS DOUBLE) AS purchase_value,
-        ROW_NUMBER() OVER (
-          PARTITION BY c.event_id
-          ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
-                   p.ts ASC, p.event_id ASC
-        ) AS rn
-      FROM (SELECT * FROM events WHERE event_type = 'click') c
-      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        USING (user_id)
-    ) WHERE rn = 1
+    WITH p0 AS (
+      SELECT user_id, ts,
+        arg_min(event_id, event_id) AS purchase_id,
+        arg_min(CAST(value AS DOUBLE), event_id) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    u AS (
+      SELECT user_id, ts, 0 AS is_fact, CAST(NULL AS BIGINT) AS click_id,
+             purchase_id, purchase_value, ts AS pts
+      FROM p0
+      UNION ALL
+      SELECT user_id, ts, 1, event_id, NULL, NULL, NULL
+      FROM events WHERE event_type = 'click'
+    ),
+    filled AS (
+      SELECT user_id, ts, is_fact, click_id,
+        LAST_VALUE(purchase_id IGNORE NULLS) OVER wb AS b_id,
+        LAST_VALUE(purchase_value IGNORE NULLS) OVER wb AS b_val,
+        LAST_VALUE(pts IGNORE NULLS) OVER wb AS b_ts,
+        LAST_VALUE(purchase_id IGNORE NULLS) OVER wf AS f_id,
+        LAST_VALUE(purchase_value IGNORE NULLS) OVER wf AS f_val,
+        LAST_VALUE(pts IGNORE NULLS) OVER wf AS f_ts
+      FROM u
+      WINDOW wb AS (PARTITION BY user_id ORDER BY ts, is_fact
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY ts DESC, is_fact
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT click_id, user_id,
+      CASE WHEN f_id IS NULL THEN b_id
+           WHEN b_id IS NULL THEN f_id
+           WHEN epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts)
+             THEN b_id ELSE f_id END AS purchase_id,
+      CASE WHEN f_id IS NULL THEN b_val
+           WHEN b_id IS NULL THEN f_val
+           WHEN epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts)
+             THEN b_val ELSE f_val END AS purchase_value
+    FROM filled
+    WHERE is_fact = 1 AND (b_id IS NOT NULL OR f_id IS NOT NULL)
     """,
 )
 def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,9 +634,11 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-µs tie preferring the earlier one. Composed from the same
     one-shuffle merge as backward/forward — both direction windows share
     the key exchange, only the second sort is added — then a per-fact
-    pick of the smaller delta. The oracle ranks the per-user pair space
-    by absolute delta (fine at oracle scale); the engine side never
-    builds pairs."""
+    pick of the smaller delta. The oracle mirrors that composition
+    linearly (two direction fills + a delta CASE) instead of ranking the
+    O(density²) per-user pair space — the rank spec equivalence is
+    asserted in tests/test_oracle_parity.py; delta ties prefer the
+    backward (earlier-ts) purchase, matching the rank's p.ts ASC."""
     wh = Warehouse(spark, sf_dir)
     ev = wh.events
     facts = ev.filter(F.col("event_type") == "click").select(

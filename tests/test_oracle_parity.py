@@ -94,6 +94,80 @@ def test_driver_window_rotation():
     assert stale_ok == [], stale_ok
 
 
+_ASOF_RANK_SPECS = {
+    # The tie-total rank forms — the as-of SPEC (r05). O(per-user
+    # density²), so the registered oracles are the linear merge-fill
+    # equivalents; this test keeps the spec independently asserted.
+    "join_asof_temporal": """
+      SELECT purchase_id, user_id, click_id, click_value FROM (
+        SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+          CAST(c.value AS DOUBLE) AS click_value,
+          ROW_NUMBER() OVER (
+            PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id ASC
+          ) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+      ) WHERE rn = 1""",
+    "join_asof_forward": """
+      SELECT click_id, user_id, purchase_id, purchase_value FROM (
+        SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
+          CAST(p.value AS DOUBLE) AS purchase_value,
+          ROW_NUMBER() OVER (
+            PARTITION BY c.event_id ORDER BY p.ts ASC, p.event_id ASC
+          ) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+      ) WHERE rn = 1""",
+    "join_asof_nearest": """
+      SELECT click_id, user_id, purchase_id, purchase_value FROM (
+        SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
+          CAST(p.value AS DOUBLE) AS purchase_value,
+          ROW_NUMBER() OVER (
+            PARTITION BY c.event_id
+            ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+                     p.ts ASC, p.event_id ASC
+          ) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          USING (user_id)
+      ) WHERE rn = 1""",
+}
+
+
+@pytest.mark.parametrize("key", sorted(_ASOF_RANK_SPECS))
+def test_asof_linear_oracle_matches_rank_spec(key):
+    """VERDICT r5 #2: the as-of oracles were rewritten from O(density²)
+    rank forms to linear merge-fill forms so the family can join the ×100
+    strict-hash tier. The rank form REMAINS the spec — assert both DuckDB
+    forms return identical row sets on the fixture AND on a ×3
+    replicated-facts view (duplicate (user_id, ts) pairs with distinct
+    event_ids — exactly the tie shape where r05 caught native ASOF
+    underspecification)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW base AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    for variant in ("plain", "replicated"):
+        if variant == "plain":
+            con.execute("CREATE OR REPLACE VIEW events AS SELECT * FROM base")
+        else:
+            con.execute(
+                """CREATE OR REPLACE VIEW events AS
+                   SELECT event_id * 3 + r.i AS event_id, ts, user_id,
+                          event_type, value, props
+                   FROM base, (SELECT UNNEST([0, 1, 2]) AS i) r"""
+            )
+        spec = sorted(map(tuple, con.execute(_ASOF_RANK_SPECS[key]).fetchall()))
+        lin = sorted(map(tuple, con.execute(registry.ORACLES[key]).fetchall()))
+        assert spec == lin, f"{key}/{variant}: {len(spec)} vs {len(lin)} rows"
+        assert len(spec) > 0
+
+
 def test_explode_outer_null_text_oracle_agreement(spark, tmp_path):
     """ADVICE r3: DuckDB UNNEST over a NULL list emits zero rows while
     Spark explode_outer(NULL) emits one coalesced row — the fixture has

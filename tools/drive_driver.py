@@ -26,6 +26,61 @@ from pyspark.sql import SparkSession
 SF = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# The ×100-facts strict-hash tier (VERDICT r5 #2): every oracle key whose
+# DuckDB oracle is LINEAR in the replicated fact tables (60M lineitem /
+# 10M events, tools/scale_probe.py 100) and whose full result fits the
+# instrument's collect. Excluded, with reasons:
+# - streaming-exec keys (state_*, src_*, sink_*, mv_incremental_refresh's
+#   changelog store build) — checkpoint machinery over 10M events is a
+#   separate stream_bench-measured axis;
+# - join_interval_time / join_window_tvf / ads_time_to_convert /
+#   agg_funnel_window etc. whose OUTPUT fans out quadratically under
+#   fact replication (every (click, view-in-interval) pair multiplies
+#   100 x 100);
+# - llm_* / pipe_* / documents-based keys — the corpus axes are grown by
+#   scale_probe --corpus / --dup (distinct docs), not fact replication;
+# - row-wise scalar/projection keys over lineitem (60M-row collects
+#   exceed the instrument even at --mem 24g; scalar keys over the 10M-row
+#   events side are in).
+# Run: python /tmp/drive_driver.py --tier x100 --sf /tmp/spark_graft_scale/x100 --mem 24g
+X100_TIER = [
+    # agg
+    "agg_star_flagship", "agg_groupby_basic", "agg_count_distinct",
+    "agg_rollup", "agg_cube", "agg_pivot", "agg_unpivot", "agg_stats",
+    "agg_max_by", "agg_bool_family", "agg_histogram", "agg_retention",
+    "agg_collect", "agg_grouping_sets",
+    # window
+    "win_tumble", "win_slide", "win_session", "win_cumulate",
+    "win_tumble_offset", "win_late_drop", "win_topn", "win_dedup",
+    "win_late_refire", "win_late_side_output", "win_session_dynamic",
+    # over / ordered
+    "over_ranking", "over_topn_pergroup", "over_lag_lead",
+    "over_value_fns", "over_running_sum", "over_moving_avg",
+    "over_time_range", "over_pct_of_total", "ads_pareto_share",
+    # sort / setop
+    "sort_multi_key", "sort_nulls_first", "sort_topk",
+    "setop_union_all", "setop_union_distinct", "setop_intersect",
+    "setop_except", "setop_intersect_all", "setop_except_all",
+    # joins (as-of joined the tier in r06 once the oracles went linear)
+    "join_inner_equi", "join_outer_left", "join_outer_full",
+    "join_semi", "join_anti", "join_dim_broadcast", "join_theta_range",
+    "join_salted_skew",
+    "join_asof_temporal", "join_asof_forward", "join_asof_nearest",
+    # cdc / cep / dq
+    "cdc_latest_image", "cdc_scd2_history", "cdc_snapshot_at",
+    "cep_funnel_batch", "cep_error_burst", "cep_absence",
+    "cep_retry_then_success", "dq_illegal_transitions",
+    "dq_anomaly_zscore",
+    # tpch
+    "tpch_q1_pricing", "tpch_q3_priority", "tpch_q6_forecast",
+    "tpch_q13_custdist", "tpch_q8_market_share", "tpch_q17_small_qty",
+    "tpch_q20_promo_suppliers", "tpch_q21_waiting",
+    # event-side boards / scalar
+    "ads_daily_uv_pv", "ads_gmv_dashboard", "ads_monthly_yoy",
+    "ads_stickiness_dau_wau", "ads_heatmap_hour_dow", "ads_session_stats",
+    "scalar_calendar_dow", "scalar_json_props",
+]
+
 
 def canon(v):
     # Mirror a representation-hash: no tolerant numeric coercion. Floats are
@@ -79,6 +134,11 @@ def main() -> int:
             # the collect, which is an instrument limit, not an engine
             # one. (The real driver never collects at that scale.)
             mem = next(it)
+        elif a == "--tier":
+            name = next(it)
+            if name != "x100":
+                raise SystemExit(f"unknown tier {name!r} (have: x100)")
+            only.extend(X100_TIER)
         else:
             only.append(a)
 
