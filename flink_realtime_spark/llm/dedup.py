@@ -25,7 +25,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_realtime_spark.exprs import bigint
@@ -156,16 +156,45 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-trigram-shingle Jaccard near-dup pairs (threshold 0.5), via the
-    inverted-index join: explode shingles → posting-list self-join → shared
-    counts → Jaccard. Finds the fixture's 25 planted near-dup pairs. The
-    oracle runs the posting join on shingle STRINGS while this side joins
-    on xxhash64 longs — independent key spaces, same exact pair set; at
-    100 TB this scales because only docs sharing a shingle ever meet."""
+    """Word-trigram-shingle Jaccard near-dup pairs (threshold 0.5). The
+    engine picks between two EXACT plans by the corpus's shingle-df skew
+    (ngram_jaccard_pairs below): the flat-df posting join, or the
+    prefix-filtered SSJoin once stopword-gram postings would explode the
+    candidate volume (the Zipf-corpus finding, SCALE.md r06). The oracle
+    runs the posting join on shingle STRINGS while this side joins on
+    xxhash64 longs — independent key spaces, same exact pair set."""
     wh = Warehouse(spark, sf_dir)
-    sh = _with_shingles(wh.documents.select("doc_id", "text")).select(
-        "doc_id", "sh"
-    )
+    return ngram_jaccard_pairs(wh.documents)
+
+
+# Candidates-per-doc level at which the prefix-filtered SSJoin overtakes
+# the plain posting join, measured on the Zipf-df synthetic corpora
+# (tools/scale_probe.py --zipf; SCALE.md r06 "ngram-jaccard on a Zipf
+# corpus"). Below it the posting join's single shuffle wins (flat-df
+# fixture: ~226 cand/doc, posting 4× faster); above it Σ df² work
+# dominates everything and the df-rank prefix pass pays for itself.
+_SSJOIN_CROSSOVER_CAND_PER_DOC = 1500.0
+
+
+def ngram_jaccard_pairs(docs: DataFrame, mode: str = "auto") -> DataFrame:
+    """Exact threshold-0.5 Jaccard pairs over word-trigram shingles, with
+    a df-skew-chosen physical plan:
+
+    - ``posting``: explode shingles → posting-list self-join → shared
+      counts → Jaccard. One pair-shuffle; optimal when document frequency
+      is flat (Σ df² small — the fixture shape).
+    - ``prefix``: prefix-filtered SSJoin (Chaudhuri/Xiao): under a global
+      (df ASC, gram) total order, any J ≥ 0.5 pair must collide within
+      each doc's first floor(n/2)+1 rarest shingles — index ONLY those,
+      join, then verify candidates exactly against the full shingle sets.
+      The df-head grams (stopword shingles) never enter the join, so the
+      candidate volume stops tracking Σ df².
+    - ``auto``: one cheap df-stats aggregate over the postings picks the
+      plan (crossover measured on Zipf corpora; the stats scalar is O(1)
+      driver data). Both plans return the identical exact pair set —
+      asserted by tests and the --zipf probe."""
+    spark = docs.sparkSession
+    sh = _with_shingles(docs.select("doc_id", "text")).select("doc_id", "sh")
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     # Join on the 64-bit hash of the shingle, not the string: the shuffle
     # carries 8-byte keys instead of ~30-byte strings and the hash join
@@ -176,21 +205,116 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.xxhash64("shingle").alias("shingle"))
         .localCheckpoint(eager=False)  # build shingles once, not per join side
     )
-    pairs = (
-        postings.alias("a")
+    if mode == "auto":
+        stats = (
+            postings.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg((F.sum(F.col("df") * (F.col("df") - 1)) / 2).alias("cand"))
+            .collect()[0]
+        )
+        n_docs = sizes.count()
+        cand_per_doc = (
+            2.0 * float(stats["cand"] or 0) / max(n_docs, 1)
+        )
+        mode = (
+            "posting"
+            if cand_per_doc <= _SSJOIN_CROSSOVER_CAND_PER_DOC
+            else "prefix"
+        )
+    if mode == "posting":
+        pairs = (
+            postings.alias("a")
+            .join(
+                postings.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        return (
+            pairs.join(
+                sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}),
+                "doc_a",
+            )
+            .join(
+                sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}),
+                "doc_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+            )
+            .filter(
+                F.col("shared")
+                >= 0.5 * (F.col("na") + F.col("nb") - F.col("shared"))
+            )
+            .select("doc_a", "doc_b", "jaccard")
+        )
+    if mode != "prefix":
+        raise ValueError(f"unknown ngram_jaccard mode {mode!r}")
+    # prefix-filtered SSJoin — exact at J >= 0.5 under a single GLOBAL
+    # shingle order shared by every doc (df ASC, then hash: both docs of
+    # any qualifying pair rank their shared shingles identically)
+    # shuffle_hash hints: df_counts (distinct grams ≈ postings) and hsets
+    # (full per-doc arrays) are corpus-sized, but both sit above an
+    # aggregate whose output size Catalyst underestimates — at 500k docs
+    # the planner picked a broadcast for each and OOM'd the 8g driver
+    # (measured, --zipf 100). The hint pins the sane plan at every scale.
+    df_counts = postings.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    ranked = postings.join(df_counts.hint("shuffle_hash"), "shingle").withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "shingle")
+        ),
+    )
+    pre = (
+        ranked.join(sizes, "doc_id")
+        # prefix length for t=0.5: n - ceil(n/2) + 1 = floor(n/2) + 1
+        .filter(F.col("r") <= F.floor(F.col("n_sh") / 2) + 1)
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        pre.alias("a")
         .join(
-            postings.alias("b"),
+            pre.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .distinct()
+    )
+    # exact verification against the FULL hashed shingle sets (the
+    # prefix only gates candidate generation, never the answer). Sets are
+    # regrouped from the already-hashed postings — codegen aggregate, not
+    # a per-element xxhash64 lambda (interpreted HOFs rule, CLAUDE.md).
+    hsets = postings.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("hs")
     )
     return (
-        pairs.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
+        cand.join(
+            hsets.withColumnsRenamed({"doc_id": "doc_a", "hs": "ha"}).hint(
+                "shuffle_hash"
+            ),
+            "doc_a",
+        )
+        .join(
+            hsets.withColumnsRenamed({"doc_id": "doc_b", "hs": "hb"}).hint(
+                "shuffle_hash"
+            ),
+            "doc_b",
+        )
+        .withColumn("shared", F.size(F.array_intersect("ha", "hb")))
+        .withColumn("na", F.size("ha"))
+        .withColumn("nb", F.size("hb"))
         .withColumn(
             "jaccard",
             F.col("shared").cast("double")

@@ -201,6 +201,80 @@ def compile_pattern(
     return _lower_strict_runs(ev, pattern, key, ts, id_col, type_col)
 
 
+_US_PER_UNIT = {
+    "SECOND": 1_000_000,
+    "SECONDS": 1_000_000,
+    "MINUTE": 60_000_000,
+    "MINUTES": 60_000_000,
+    "HOUR": 3_600_000_000,
+    "HOURS": 3_600_000_000,
+    "DAY": 86_400_000_000,
+    "DAYS": 86_400_000_000,
+}
+
+
+def _interval_us(interval: str) -> int:
+    parts = interval.strip().split()
+    if len(parts) != 2 or not parts[0].isdigit():
+        raise CepUnsupportedPattern(
+            f"within({interval!r}): streaming lowering needs '<n> <unit>'"
+        )
+    unit = parts[1].upper()
+    if unit not in _US_PER_UNIT:
+        raise CepUnsupportedPattern(f"within unit {parts[1]!r} not supported")
+    return int(parts[0]) * _US_PER_UNIT[unit]
+
+
+def compile_pattern_stream(pattern: Pattern):
+    """Streaming lowering: returns a keyed state function (for
+    ``stateful.apply_with_state(sdf, key, fn, timeout="event")``) whose
+    emissions are the pattern's matches as the watermark finalizes them.
+    Shape map (same dispatch as the batch compiler):
+
+    - ``per_anchor``  → make_absence_state_fn (pending anchors + negation
+      disarm + event-time timeout),
+    - ``strict_runs`` with a follow-up → make_retry_state_fn (open-run
+      tracking + pending success windows),
+    - ``first_match`` → make_sequence_state_fn (per-key NFA stage).
+
+    Each factory-built function is equivalence-tested against its batch
+    lowering in tests/test_streaming.py; a strict_runs pattern WITHOUT a
+    follow-up has no finalization signal (a run can stay open forever)
+    and is rejected."""
+    from flink_realtime_spark.streaming.stateful import (
+        make_absence_state_fn,
+        make_retry_state_fn,
+        make_sequence_state_fn,
+    )
+
+    shape = pattern._shape()
+    if shape == "per_anchor":
+        prefix, anchor = pattern.steps
+        assert pattern.negation is not None
+        return make_absence_state_fn(
+            prefix.event_type,
+            anchor.event_type,
+            pattern.negation.event_type,
+            _interval_us(pattern.within_interval),
+        )
+    if shape == "strict_runs":
+        if len(pattern.steps) == 1:
+            raise CepUnsupportedPattern(
+                "a quantified run without a follow-up step has no streaming "
+                "finalization signal — use the batch lowering"
+            )
+        run, follow = pattern.steps
+        return make_retry_state_fn(
+            run.event_type,
+            follow.event_type,
+            run.min_count,
+            _interval_us(pattern.within_interval),
+        )
+    return make_sequence_state_fn(
+        tuple(s.event_type for s in pattern.steps)
+    )
+
+
 def _lower_first_match(
     ev: DataFrame, pattern: Pattern, key: str, ts: str, type_col: str
 ) -> DataFrame:

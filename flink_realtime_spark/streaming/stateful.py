@@ -24,6 +24,11 @@ from pyspark.sql import functions as F
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse
 
+# state/output schemas per stateful function: static fns are added in one
+# update() block below; factory-built fns register their instances at
+# construction time (see make_sequence/absence/retry_state_fn)
+_STATE_SCHEMAS: dict = {}
+
 
 def latest_image(df: DataFrame, keys: list[str], order_cols: list) -> DataFrame:
     """Changelog → latest row per key (Flink retract/upsert compaction).
@@ -228,34 +233,54 @@ def latest_image_state_fn(key, pdf_iter, state):
         )
 
 
-def funnel_state_fn(key, pdf_iter, state):
-    """CEP-lite NFA per user (Flink CEP analog): advance through
-    view → click → purchase on strictly increasing event time, emit the
+def make_sequence_state_fn(step_types: tuple):
+    """Factory for the first_match streaming lowering (cep.py
+    compile_pattern_stream): CEP-lite NFA per key advancing through the
+    given step types on strictly increasing event time, emitting the
     current stage after each micro-batch. State = (stage, last_transition
-    ts_us); feed ts-ordered batches for event-time semantics (out-of-order
-    events within a batch are sorted here; cross-batch stragglers follow
-    arrival order — the documented Spark-vs-Flink ordering gap)."""
-    import pandas as pd
+    ts_us); feed ts-ordered batches for event-time semantics
+    (out-of-order events within a batch are sorted here; cross-batch
+    stragglers follow arrival order — the documented Spark-vs-Flink
+    ordering gap)."""
+    steps = tuple(step_types)
+    n_steps = len(steps)
 
-    _NEXT = {0: "view", 1: "click", 2: "purchase"}
-    stage, last_us = (tuple(state.get) if state.exists else (0, -1))
-    user_id = key[0]
-    saw_any = False
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for r in pdf.itertuples(index=False):
-            saw_any = True
-            t_us = int(r.ts.value // 1000)
-            if stage < 3 and r.event_type == _NEXT[stage] and t_us > last_us:
-                stage, last_us = stage + 1, t_us
-    if saw_any:
-        state.update((stage, last_us))
-        yield pd.DataFrame(
-            {
-                "user_id": pd.Series([user_id], dtype="int64"),
-                "funnel_stage": pd.Series([stage], dtype="int64"),
-            }
-        )
+    def sequence_state_fn(key, pdf_iter, state):
+        import pandas as pd
+
+        stage, last_us = (tuple(state.get) if state.exists else (0, -1))
+        user_id = key[0]
+        saw_any = False
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples(index=False):
+                saw_any = True
+                t_us = int(r.ts.value // 1000)
+                if (
+                    stage < n_steps
+                    and r.event_type == steps[stage]
+                    and t_us > last_us
+                ):
+                    stage, last_us = stage + 1, t_us
+        if saw_any:
+            state.update((stage, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([user_id], dtype="int64"),
+                    "funnel_stage": pd.Series([stage], dtype="int64"),
+                }
+            )
+
+    _STATE_SCHEMAS[sequence_state_fn] = (
+        "stage LONG, last_us LONG",
+        "user_id LONG, funnel_stage LONG",
+    )
+    return sequence_state_fn
+
+
+# The engine's canonical funnel twin (view → click → purchase), kept as a
+# module-level instance of the factory for direct import by tests.
+funnel_state_fn = make_sequence_state_fn(("view", "click", "purchase"))
 
 
 def running_sum_state_fn(key, pdf_iter, state):
@@ -358,9 +383,11 @@ def scd2_state_fn(key, pdf_iter, state):
         )
 
 
-_STATE_SCHEMAS = {
+_STATE_SCHEMAS.update({
     new_visitor_state_fn: ("seen INT", "event_id LONG, user_id LONG, is_new LONG"),
-    # timeout_alert_state_fn registered after its definition below
+    # timeout_alert_state_fn registered after its definition below;
+    # factory-built fns (make_sequence/absence/retry_state_fn) register
+    # their own instances at construction time
     latest_image_state_fn: (
         "ts_us LONG, event_id LONG, event_type STRING, value DOUBLE",
         "user_id LONG, last_event_id LONG, last_type STRING, "
@@ -370,16 +397,12 @@ _STATE_SCHEMAS = {
         "n LONG, sum_c4 LONG",
         "event_id LONG, user_id LONG, run_n LONG, run_value DOUBLE",
     ),
-    funnel_state_fn: (
-        "stage LONG, last_us LONG",
-        "user_id LONG, funnel_stage LONG",
-    ),
     scd2_state_fn: (
         "ts_us LONG, version_id LONG, value DOUBLE",
         "user_id LONG, version_id LONG, value DOUBLE, "
         "valid_from_us LONG, valid_to_us LONG, is_current BOOLEAN",
     ),
-}
+})
 
 
 def apply_with_state(
@@ -1252,205 +1275,233 @@ def cep_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def absence_state_fn(key, pdf_iter, state):
-    """Streaming form of cep_absence (Flink CEP notFollowedBy + within):
-    keyed state holds the user's most recent view ts plus the pending
-    prefix-matched clicks (click ts_us, click id, anchor view ts_us). A
-    click arms a pending entry only when the stored view is within the
-    30-minute prefix horizon; a purchase disarms every pending click whose
-    absence window it lands in; when the watermark passes a pending
-    deadline the group times out and the click emits as a confirmed
-    absence. State is bounded by a user's unmatched clicks inside the
-    horizon — the same bound Flink's NFA pending-match buffer has — and,
-    like Flink CEP pruning partial matches after within(), the view
-    anchor itself is dropped once it falls a full horizon behind the
-    watermark: any click it could still arm would be late beyond the
-    watermark and dropped before reaching this function, so retaining it
-    would grow state with the total user population forever (a long per
-    user is small, but 'forever' is what kills month-long streaming
-    jobs). View-only state sets its own expiry timer so pruning does not
-    depend on the user ever sending another event."""
-    import pandas as pd
+def make_absence_state_fn(
+    prefix_type: str, anchor_type: str, neg_type: str, timeout_us: int
+):
+    """Factory for the per_anchor streaming lowering (cep.py
+    compile_pattern_stream) — the notFollowedBy + within shape: keyed
+    state holds the key's most recent prefix-step ts plus the pending
+    prefix-matched anchors (anchor ts_us, anchor id, prefix ts_us). An
+    anchor arms a pending entry only when the stored prefix event is
+    within the horizon before it; a negation event disarms every pending
+    anchor whose absence window it lands in; when the watermark passes a
+    pending deadline the group times out and the anchor emits as a
+    confirmed absence. State is bounded by a key's unmatched anchors
+    inside the horizon — the same bound Flink's NFA pending-match buffer
+    has — and, like Flink CEP pruning partial matches after within(),
+    the prefix anchor itself is dropped once it falls a full horizon
+    behind the watermark: any anchor it could still arm would be late
+    beyond the watermark and dropped before reaching this function, so
+    retaining it would grow state with the total key population forever
+    (a long per key is small, but 'forever' is what kills month-long
+    streaming jobs). Prefix-only state sets its own expiry timer so
+    pruning does not depend on the key ever sending another event."""
+    _TIMEOUT_US = timeout_us
 
-    if state.exists:
-        last_view, pend_ts, pend_id, pend_view = (
-            state.get[0],
-            list(state.get[1]),
-            list(state.get[2]),
-            list(state.get[3]),
-        )
-    else:
-        last_view, pend_ts, pend_id, pend_view = None, [], [], []
-    user_id = key[0]
+    def absence_state_fn(key, pdf_iter, state):
+        import pandas as pd
 
-    if not state.hasTimedOut:
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for r in pdf.itertuples(index=False):
-                t_us = int(r.ts.value // 1000)
-                if r.event_type == "view":
-                    # Max, not last-write: a late-but-within-watermark view in a
-                    # later micro-batch may carry an OLDER ts; the batch analog's
-                    # backward MAX frame keeps the maximum preceding view ts.
-                    last_view = t_us if last_view is None else max(last_view, t_us)
-                elif r.event_type == "click":
-                    if last_view is not None and last_view >= t_us - _TIMEOUT_US:
-                        pend_ts.append(t_us)
-                        pend_id.append(int(r.event_id))
-                        pend_view.append(last_view)
-                elif r.event_type == "purchase":
-                    p_eid = int(r.event_id)
-                    keep = [
-                        (ct, ci, cv)
-                        for ct, ci, cv in zip(pend_ts, pend_id, pend_view)
-                        # Two-sided disarm, lexicographic on (ts, event_id)
-                        # to mirror the batch analog's forward frame exactly
-                        # (ADVICE r5): a purchase at/before the click in
-                        # event order — including a late out-of-order arrival
-                        # admitted by the watermark — must NOT disarm; a
-                        # same-ts purchase with a LATER event_id must (batch
-                        # counts it as strictly following).
-                        if not ((t_us, p_eid) > (ct, ci) and t_us <= ct + _TIMEOUT_US)
-                    ]
-                    pend_ts, pend_id, pend_view = (
-                        [list(x) for x in zip(*keep)] if keep else ([], [], [])
-                    )
-    wm_us = state.getCurrentWatermarkMs() * 1000
-    expired = [
-        (ct, ci, cv)
-        for ct, ci, cv in zip(pend_ts, pend_id, pend_view)
-        if ct + _TIMEOUT_US < wm_us
-    ]
-    live = [
-        (ct, ci, cv)
-        for ct, ci, cv in zip(pend_ts, pend_id, pend_view)
-        if ct + _TIMEOUT_US >= wm_us
-    ]
-    if expired:
-        yield pd.DataFrame(
-            {
-                "user_id": pd.Series([user_id] * len(expired), dtype="int64"),
-                "click_id": pd.Series([ci for _, ci, _ in expired], dtype="int64"),
-                "click_ts_us": pd.Series([ct for ct, _, _ in expired], dtype="int64"),
-                "view_ts_us": pd.Series([cv for _, _, cv in expired], dtype="int64"),
-            }
-        )
-    if last_view is not None and last_view + _TIMEOUT_US < wm_us:
-        last_view = None  # stale anchor: clicks it could arm are behind the watermark
-    if live or last_view is not None:
-        ts_l = [ct for ct, _, _ in live]
-        id_l = [ci for _, ci, _ in live]
-        vw_l = [cv for _, _, cv in live]
-        state.update((last_view, ts_l, id_l, vw_l))
-        if ts_l:
-            state.setTimeoutTimestamp(min(ts_l) // 1000 + _TIMEOUT_US // 1000)
-        else:
-            # view-only state: wake at the anchor's own deadline to
-            # self-clean (>= watermark here, so the timer is valid —
-            # pyspark rejects only timestamps strictly below it).
-            state.setTimeoutTimestamp(
-                last_view // 1000 + _TIMEOUT_US // 1000
+        if state.exists:
+            last_view, pend_ts, pend_id, pend_view = (
+                state.get[0],
+                list(state.get[1]),
+                list(state.get[2]),
+                list(state.get[3]),
             )
-    else:
-        state.remove()
-
-
-_STATE_SCHEMAS[absence_state_fn] = (
-    "last_view_us LONG, pend_ts ARRAY<LONG>, pend_id ARRAY<LONG>, "
-    "pend_view ARRAY<LONG>",
-    "user_id LONG, click_id LONG, click_ts_us LONG, view_ts_us LONG",
-)
-
-
-def retry_state_fn(key, pdf_iter, state):
-    """Streaming form of cep_retry_then_success (strict_runs pattern
-    ``click{2,} purchase?``): keyed state tracks the user's OPEN run of
-    consecutive clicks plus the closed runs still awaiting their
-    30-minute success window. Any non-click event closes the open run
-    (>= 2 clicks → it becomes a pending burst, else discarded); a
-    purchase then marks every pending burst whose window it lands in as
-    success (hit=1, emitted immediately — the window bound is strict
-    ``last < t``, matching the batch join's ``e.ts > last_click_ts``);
-    when the watermark passes a pending deadline the burst emits hit=0
-    (any in-window purchase would now be behind the watermark, so the
-    verdict is final). State is bounded by pending bursts inside the
-    horizon plus one open-run pair; the open run itself only emits once
-    an event closes it — a trailing open run stays pending by
-    construction (the equivalence test's must-fire set accounts for it).
-    Contiguity is event-order within the replay: like the sibling twins,
-    a late cross-batch event cannot retroactively split an already-closed
-    run (documented stream/batch divergence under extreme disorder)."""
-    import pandas as pd
-
-    if state.exists:
-        run_len, last_click, pend_last, pend_len = (
-            int(state.get[0]),
-            int(state.get[1]),
-            list(state.get[2]),
-            list(state.get[3]),
-        )
-    else:
-        run_len, last_click, pend_last, pend_len = 0, 0, [], []
-    user_id = key[0]
-    emit_last: list[int] = []
-    emit_len: list[int] = []
-    emit_hit: list[int] = []
-
-    if not state.hasTimedOut:
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for r in pdf.itertuples(index=False):
-                t_us = int(r.ts.value // 1000)
-                if r.event_type == "click":
-                    run_len += 1
-                    last_click = t_us
-                else:
-                    if run_len >= 2:
-                        pend_last.append(last_click)
-                        pend_len.append(run_len)
-                    run_len, last_click = 0, 0
-                    if r.event_type == "purchase":
-                        keep_last, keep_len = [], []
-                        for pl, pn in zip(pend_last, pend_len):
-                            if pl < t_us <= pl + _TIMEOUT_US:
-                                emit_last.append(pl)
-                                emit_len.append(pn)
-                                emit_hit.append(1)
-                            else:
-                                keep_last, keep_len = (
-                                    keep_last + [pl],
-                                    keep_len + [pn],
-                                )
-                        pend_last, pend_len = keep_last, keep_len
-    wm_us = state.getCurrentWatermarkMs() * 1000
-    live_last, live_len = [], []
-    for pl, pn in zip(pend_last, pend_len):
-        if pl + _TIMEOUT_US < wm_us:
-            emit_last.append(pl)
-            emit_len.append(pn)
-            emit_hit.append(0)
         else:
-            live_last.append(pl)
-            live_len.append(pn)
-    if emit_last:
-        yield pd.DataFrame(
-            {
-                "user_id": pd.Series([user_id] * len(emit_last), dtype="int64"),
-                "last_click_us": pd.Series(emit_last, dtype="int64"),
-                "run_len": pd.Series(emit_len, dtype="int64"),
-                "hit": pd.Series(emit_hit, dtype="int64"),
-            }
-        )
-    if live_last or run_len > 0:
-        state.update((run_len, last_click, live_last, live_len))
-        if live_last:
-            state.setTimeoutTimestamp(min(live_last) // 1000 + _TIMEOUT_US // 1000)
-    else:
-        state.remove()
+            last_view, pend_ts, pend_id, pend_view = None, [], [], []
+        user_id = key[0]
+
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for r in pdf.itertuples(index=False):
+                    t_us = int(r.ts.value // 1000)
+                    if r.event_type == prefix_type:
+                        # Max, not last-write: a late-but-within-watermark view in a
+                        # later micro-batch may carry an OLDER ts; the batch analog's
+                        # backward MAX frame keeps the maximum preceding view ts.
+                        last_view = t_us if last_view is None else max(last_view, t_us)
+                    elif r.event_type == anchor_type:
+                        if last_view is not None and last_view >= t_us - _TIMEOUT_US:
+                            pend_ts.append(t_us)
+                            pend_id.append(int(r.event_id))
+                            pend_view.append(last_view)
+                    elif r.event_type == neg_type:
+                        p_eid = int(r.event_id)
+                        keep = [
+                            (ct, ci, cv)
+                            for ct, ci, cv in zip(pend_ts, pend_id, pend_view)
+                            # Two-sided disarm, lexicographic on (ts, event_id)
+                            # to mirror the batch analog's forward frame exactly
+                            # (ADVICE r5): a purchase at/before the click in
+                            # event order — including a late out-of-order arrival
+                            # admitted by the watermark — must NOT disarm; a
+                            # same-ts purchase with a LATER event_id must (batch
+                            # counts it as strictly following).
+                            if not ((t_us, p_eid) > (ct, ci) and t_us <= ct + _TIMEOUT_US)
+                        ]
+                        pend_ts, pend_id, pend_view = (
+                            [list(x) for x in zip(*keep)] if keep else ([], [], [])
+                        )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        expired = [
+            (ct, ci, cv)
+            for ct, ci, cv in zip(pend_ts, pend_id, pend_view)
+            if ct + _TIMEOUT_US < wm_us
+        ]
+        live = [
+            (ct, ci, cv)
+            for ct, ci, cv in zip(pend_ts, pend_id, pend_view)
+            if ct + _TIMEOUT_US >= wm_us
+        ]
+        if expired:
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([user_id] * len(expired), dtype="int64"),
+                    "click_id": pd.Series([ci for _, ci, _ in expired], dtype="int64"),
+                    "click_ts_us": pd.Series([ct for ct, _, _ in expired], dtype="int64"),
+                    "view_ts_us": pd.Series([cv for _, _, cv in expired], dtype="int64"),
+                }
+            )
+        if last_view is not None and last_view + _TIMEOUT_US < wm_us:
+            last_view = None  # stale anchor: clicks it could arm are behind the watermark
+        if live or last_view is not None:
+            ts_l = [ct for ct, _, _ in live]
+            id_l = [ci for _, ci, _ in live]
+            vw_l = [cv for _, _, cv in live]
+            state.update((last_view, ts_l, id_l, vw_l))
+            if ts_l:
+                state.setTimeoutTimestamp(min(ts_l) // 1000 + _TIMEOUT_US // 1000)
+            else:
+                # view-only state: wake at the anchor's own deadline to
+                # self-clean (>= watermark here, so the timer is valid —
+                # pyspark rejects only timestamps strictly below it).
+                state.setTimeoutTimestamp(
+                    last_view // 1000 + _TIMEOUT_US // 1000
+                )
+        else:
+            state.remove()
 
 
-_STATE_SCHEMAS[retry_state_fn] = (
-    "run_len LONG, last_click_us LONG, pend_last ARRAY<LONG>, "
-    "pend_len ARRAY<LONG>",
-    "user_id LONG, last_click_us LONG, run_len LONG, hit LONG",
-)
+
+    _STATE_SCHEMAS[absence_state_fn] = (
+        "last_view_us LONG, pend_ts ARRAY<LONG>, pend_id ARRAY<LONG>, "
+        "pend_view ARRAY<LONG>",
+        "user_id LONG, click_id LONG, click_ts_us LONG, view_ts_us LONG",
+    )
+    return absence_state_fn
+
+
+# The engine's canonical absence twin (view -> click, notFollowedBy
+# purchase, within 30 min), kept as a module-level factory instance for
+# direct import by tests and docs.
+absence_state_fn = make_absence_state_fn("view", "click", "purchase", _TIMEOUT_US)
+
+
+def make_retry_state_fn(
+    run_type: str, follow_type: str, min_count: int, timeout_us: int
+):
+    """Factory for the strict_runs streaming lowering (cep.py
+    compile_pattern_stream) — the quantified-run-then-follow-up shape
+    (e.g. cep_retry_then_success's ``click{2,} purchase?``): keyed state
+    tracks the key's OPEN run of consecutive run_type events plus the
+    closed runs still awaiting their success window. Any other event
+    closes the open run (>= min_count → it becomes a pending burst, else
+    discarded); a follow_type event then marks every pending burst whose
+    window it lands in as success (hit=1, emitted immediately — the
+    window bound is strict ``last < t``, matching the batch join's
+    ``e.ts > last_ts``); when the watermark passes a pending deadline the
+    burst emits hit=0 (any in-window follow-up would now be behind the
+    watermark, so the verdict is final). State is bounded by pending
+    bursts inside the horizon plus one open-run pair; the open run itself
+    only emits once an event closes it — a trailing open run stays
+    pending by construction (the equivalence test's must-fire set
+    accounts for it). Contiguity is event-order within the replay: like
+    the sibling twins, a late cross-batch event cannot retroactively
+    split an already-closed run (documented stream/batch divergence under
+    extreme disorder)."""
+    _TIMEOUT_US = timeout_us
+
+    def retry_state_fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            run_len, last_click, pend_last, pend_len = (
+                int(state.get[0]),
+                int(state.get[1]),
+                list(state.get[2]),
+                list(state.get[3]),
+            )
+        else:
+            run_len, last_click, pend_last, pend_len = 0, 0, [], []
+        user_id = key[0]
+        emit_last: list[int] = []
+        emit_len: list[int] = []
+        emit_hit: list[int] = []
+
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for r in pdf.itertuples(index=False):
+                    t_us = int(r.ts.value // 1000)
+                    if r.event_type == run_type:
+                        run_len += 1
+                        last_click = t_us
+                    else:
+                        if run_len >= min_count:
+                            pend_last.append(last_click)
+                            pend_len.append(run_len)
+                        run_len, last_click = 0, 0
+                        if r.event_type == follow_type:
+                            keep_last, keep_len = [], []
+                            for pl, pn in zip(pend_last, pend_len):
+                                if pl < t_us <= pl + _TIMEOUT_US:
+                                    emit_last.append(pl)
+                                    emit_len.append(pn)
+                                    emit_hit.append(1)
+                                else:
+                                    keep_last, keep_len = (
+                                        keep_last + [pl],
+                                        keep_len + [pn],
+                                    )
+                            pend_last, pend_len = keep_last, keep_len
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        live_last, live_len = [], []
+        for pl, pn in zip(pend_last, pend_len):
+            if pl + _TIMEOUT_US < wm_us:
+                emit_last.append(pl)
+                emit_len.append(pn)
+                emit_hit.append(0)
+            else:
+                live_last.append(pl)
+                live_len.append(pn)
+        if emit_last:
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([user_id] * len(emit_last), dtype="int64"),
+                    "last_click_us": pd.Series(emit_last, dtype="int64"),
+                    "run_len": pd.Series(emit_len, dtype="int64"),
+                    "hit": pd.Series(emit_hit, dtype="int64"),
+                }
+            )
+        if live_last or run_len > 0:
+            state.update((run_len, last_click, live_last, live_len))
+            if live_last:
+                state.setTimeoutTimestamp(min(live_last) // 1000 + _TIMEOUT_US // 1000)
+        else:
+            state.remove()
+
+
+
+    _STATE_SCHEMAS[retry_state_fn] = (
+        "run_len LONG, last_click_us LONG, pend_last ARRAY<LONG>, "
+        "pend_len ARRAY<LONG>",
+        "user_id LONG, last_click_us LONG, run_len LONG, hit LONG",
+    )
+    return retry_state_fn
+
+
+# The engine's canonical retry twin (click{2,} purchase? within 30 min),
+# kept as a module-level factory instance for direct import by tests.
+retry_state_fn = make_retry_state_fn("click", "purchase", 2, _TIMEOUT_US)

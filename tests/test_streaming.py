@@ -2409,6 +2409,52 @@ def test_cep_pattern_compiler_shapes_and_validation(spark):
             bad()
 
 
+def test_cep_pattern_stream_compiler_dispatch():
+    """compile_pattern_stream maps each supported shape onto the right
+    state-fn factory (with its schema registered) and rejects shapes with
+    no streaming finalization signal."""
+    from flink_realtime_spark.streaming.cep import (
+        CepUnsupportedPattern,
+        Pattern,
+        compile_pattern_stream,
+    )
+    from flink_realtime_spark.streaming.stateful import _STATE_SCHEMAS
+
+    anchored = (
+        Pattern.begin("view")
+        .next("click")
+        .not_followed_by("purchase")
+        .within("30 MINUTES")
+    )
+    fn = compile_pattern_stream(anchored)
+    assert fn.__name__ == "absence_state_fn" and fn in _STATE_SCHEMAS
+
+    runs = (
+        Pattern.begin("error")
+        .times_or_more(3)
+        .followed_by("purchase", optional=True)
+        .within("2 HOURS")
+    )
+    fn = compile_pattern_stream(runs)
+    assert fn.__name__ == "retry_state_fn" and fn in _STATE_SCHEMAS
+
+    seq = Pattern.begin("signup").followed_by("view").followed_by("purchase")
+    fn = compile_pattern_stream(seq)
+    assert fn.__name__ == "sequence_state_fn" and fn in _STATE_SCHEMAS
+
+    with pytest.raises(CepUnsupportedPattern):
+        compile_pattern_stream(
+            Pattern.begin("error").times_or_more(3).within("1 HOUR")
+        )
+    with pytest.raises(CepUnsupportedPattern):
+        compile_pattern_stream(
+            Pattern.begin("a")
+            .next("b")
+            .not_followed_by("c")
+            .within("1 fortnight")
+        )
+
+
 def test_cep_retry_stream_matches_batch(spark, chunked_events_dir):
     """Compiler-lowered quantified pattern (click{2,} purchase?) under
     streaming: every streamed burst must appear in the batch strict_runs
@@ -2419,16 +2465,26 @@ def test_cep_retry_stream_matches_batch(spark, chunked_events_dir):
     construction."""
     import datetime as dt
 
-    from flink_realtime_spark.streaming.cep import Pattern, compile_pattern
-    from flink_realtime_spark.streaming.stateful import (
-        apply_with_state,
-        retry_state_fn,
+    from flink_realtime_spark.streaming.cep import (
+        Pattern,
+        compile_pattern,
+        compile_pattern_stream,
     )
+    from flink_realtime_spark.streaming.stateful import apply_with_state
 
+    stream_pat = (
+        Pattern.begin("click")
+        .times_or_more(2)
+        .followed_by("purchase", optional=True)
+        .within("30 MINUTES")
+    )
     sdf = file_stream_source(
         spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
     ).withWatermark("ts", "1 minute")
-    bursts = apply_with_state(sdf, "user_id", retry_state_fn, timeout="event")
+    # the compiler's STREAMING lowering — same dispatch as the batch side
+    bursts = apply_with_state(
+        sdf, "user_id", compile_pattern_stream(stream_pat), timeout="event"
+    )
     streamed = {
         (r.user_id, r.last_click_us, r.run_len): r.hit
         for r in run_available_now(bursts, "append").collect()

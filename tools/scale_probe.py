@@ -133,6 +133,193 @@ def build_distinct_docs(spark, k: int) -> str:
     return out
 
 
+def build_zipf_docs(spark, k: int) -> str:
+    """documents REGENERATED (not replicated) with a ZIPFIAN word
+    distribution at k× the sf0.1 count — the natural-language df shape the
+    fixture lacks (its shingle df is flat at ~9.6; VERDICT r5 #3). Word
+    ranks come from the closed-form inverse CDF of Zipf s=1 over a
+    Heaps-law vocabulary (V = 20000·√k): u uniform from a doc/pos hash,
+    rank = ceil(exp(u·ln V)) gives P(rank ≤ x) = ln x / ln V, i.e.
+    density ∝ 1/rank — so stopword-shingle posting lists now have a
+    genuine head that grows with the corpus. Every 200th doc also gets a
+    planted near-dup (last five words dropped) so threshold-0.5 survivor
+    pairs exist. Fully deterministic (hash-driven, no rand())."""
+    import math as _math
+
+    out = f"{WORK}/zipf{k}"
+    if os.path.exists(os.path.join(out, "_OK")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    n_docs = 5000 * k
+    vocab = int(20000 * _math.sqrt(k))
+    ln_v = float(_math.log(vocab))
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    n_words = F.pmod(F.xxhash64("doc_id"), F.lit(40)) + F.lit(40)
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda p: F.concat(
+            F.lit("w"),
+            F.least(
+                F.lit(vocab),
+                F.ceil(
+                    F.exp(
+                        (
+                            F.pmod(
+                                F.xxhash64(F.col("doc_id"), p),
+                                F.lit(1_000_000),
+                            )
+                            / F.lit(1_000_000.0)
+                        )
+                        * F.lit(ln_v)
+                    )
+                ),
+            ).cast("long"),
+        ),
+    )
+    docs = base.withColumn("text", F.array_join(words, " "))
+    dups = (
+        docs.filter(F.col("doc_id") % 200 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(n_docs))
+        .withColumn(
+            "text",
+            F.array_join(
+                F.slice(
+                    F.split("text", " "),
+                    F.lit(1),
+                    F.greatest(F.size(F.split("text", " ")) - 5, F.lit(3)),
+                ),
+                " ",
+            ),
+        )
+    )
+    (
+        docs.unionByName(dups)
+        .select(
+            "doc_id",
+            "text",
+            F.lit("en").alias("lang"),
+            F.lit("zipf_synth").alias("source"),
+            F.length("text").alias("n_chars"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "documents.parquet"))
+    )
+    for name in TABLE_NAMES:
+        dst = os.path.join(out, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, f"{name}.parquet"), dst)
+    open(os.path.join(out, "_OK"), "w").close()
+    return out
+
+
+_BOILER = (
+    "this document is provided as is without warranty of any kind "
+    "please retain this notice in all copies"
+)
+
+
+def build_boiler_docs(spark, k: int) -> str:
+    """The Zipf corpus with a SHARED 17-word boilerplate preamble on every
+    doc — the crawl shape that actually kills the posting join: ~15
+    preamble trigrams each have df = n_docs, so candidate volume is
+    ~15·n²/2 pairs that ALL fail verification (the preamble alone never
+    reaches J ≥ 0.5 against 40-80 content words). The prefix filter
+    excludes exactly those grams (highest df → never in the rarest-half
+    prefix) while provably keeping every true pair."""
+    out = f"{WORK}/boiler{k}"
+    if os.path.exists(os.path.join(out, "_OK")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    src = build_zipf_docs(spark, k)
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    (
+        docs.withColumn("text", F.concat(F.lit(_BOILER + " "), F.col("text")))
+        .withColumn("n_chars", F.length("text"))
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "documents.parquet"))
+    )
+    for name in TABLE_NAMES:
+        dst = os.path.join(out, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, f"{name}.parquet"), dst)
+    open(os.path.join(out, "_OK"), "w").close()
+    return out
+
+
+def zipf_probe(spark, ks, builder=None) -> None:
+    """The df-skew crossover measurement (VERDICT r5 #3): on each Zipf
+    corpus run BOTH exact ngram-jaccard plans, print candidate volume per
+    doc, walls, and assert the pair sets are IDENTICAL (probe outputs are
+    data); llm_dedup_minhash for reference. The numbers set
+    _SSJOIN_CROSSOVER_CAND_PER_DOC in llm/dedup.py."""
+    from flink_realtime_spark.llm.dedup import (
+        _with_shingles,
+        ngram_jaccard_pairs,
+    )
+
+    builder = builder or build_zipf_docs
+    for k in ks:
+        sf_dir = builder(spark, k)
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        sh = _with_shingles(docs.select("doc_id", "text")).select(
+            "doc_id", "sh"
+        )
+        postings = sh.select("doc_id", F.explode("sh").alias("g"))
+        n_docs = docs.count()
+        row = (
+            postings.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(
+                (F.sum(F.col("df") * (F.col("df") - 1)) / 2).alias("cand"),
+                F.max("df").alias("max_df"),
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum("df").alias("n_postings"),
+            )
+            .collect()[0]
+        )
+        cand_per_doc = 2.0 * float(row["cand"]) / n_docs
+        print(
+            f"zipf×{k}: {n_docs} docs, {row['n_postings']} postings over "
+            f"{row['n_grams']} grams (max df {row['max_df']}), "
+            f"candidates/doc {cand_per_doc:,.0f}"
+        )
+        results = {}
+        for mode in ("posting", "prefix"):
+            if mode == "posting" and row["cand"] > 2e9:
+                # the point of the probe at this k: the posting join's own
+                # candidate volume IS the explosion — don't run a 2B+-row
+                # pair shuffle just to time it failing
+                print(
+                    f"zipf×{k} posting  SKIPPED "
+                    f"({row['cand']:,.0f} predicted candidate rows)"
+                )
+                continue
+            t0 = time.perf_counter()
+            pairs = ngram_jaccard_pairs(docs, mode)
+            got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+            dt = time.perf_counter() - t0
+            results[mode] = got
+            print(f"zipf×{k} {mode:8s} {dt:7.2f}s  ({len(got)} pairs)")
+        if "posting" in results:
+            assert results["posting"] == results["prefix"], (
+                f"zipf×{k}: plans disagree — "
+                f"{len(results['posting'] - results['prefix'])} only-posting, "
+                f"{len(results['prefix'] - results['posting'])} only-prefix"
+            )
+        else:
+            assert len(results["prefix"]) >= n_docs // 200, (
+                "prefix plan lost planted near-dup pairs"
+            )
+        t0 = time.perf_counter()
+        n_mh = registry.QUERIES["llm_dedup_minhash"](spark, sf_dir).count()
+        print(
+            f"zipf×{k} minhash  {time.perf_counter() - t0:7.2f}s  "
+            f"({n_mh} pairs, banded reference)"
+        )
+
+
 def corpus_scale(spark, ks) -> None:
     """Corpus-growth curve for the LLM family: wall time per key at k×
     DISTINCT corpus size. Near-linear growth = the posting/banding plans
@@ -208,6 +395,16 @@ def main() -> None:
         spark = get_spark("scale-probe-ingest")
         registry.QUERIES["llm_dedup_minhash"](spark, SRC).count()  # warm
         ingest_stress(spark, k, n_batches)
+        spark.stop()
+        return
+    if "--zipf" in sys.argv or "--boiler" in sys.argv:
+        boiler = "--boiler" in sys.argv
+        sys.argv = [a for a in sys.argv if a not in ("--zipf", "--boiler")]
+        ks = [int(a) for a in sys.argv[1:]] or ([10] if boiler else [10, 100])
+        registry.load_all()
+        spark = get_spark("scale-probe-zipf")
+        registry.QUERIES["llm_dedup_ngram_jaccard"](spark, SRC).count()  # warm
+        zipf_probe(spark, ks, builder=build_boiler_docs if boiler else None)
         spark.stop()
         return
     if "--corpus" in sys.argv:
