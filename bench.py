@@ -54,6 +54,10 @@ HEADLINE = [
     "cep_absence",
     "ads_gap_fill_ffill",
     "win_late_refire",
+    # round-6 additions: the compiler-lowered quantified pattern and the
+    # deterministic-quantizer IVF (the oracle-hashable ANN form)
+    "cep_retry_then_success",
+    "llm_knn_ivf_hash",
     # streaming-executing keys: these run a real availableNow streaming
     # job (checkpoint + micro-batch scheduling + sink), reported both
     # per-key and as a separate stream-exec subtotal since their wall is

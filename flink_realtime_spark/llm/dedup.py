@@ -167,13 +167,32 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(wh.documents)
 
 
-# Candidates-per-doc level at which the prefix-filtered SSJoin overtakes
-# the plain posting join, measured on the Zipf-df synthetic corpora
-# (tools/scale_probe.py --zipf; SCALE.md r06 "ngram-jaccard on a Zipf
-# corpus"). Below it the posting join's single shuffle wins (flat-df
-# fixture: ~226 cand/doc, posting 4× faster); above it Σ df² work
-# dominates everything and the df-rank prefix pass pays for itself.
-_SSJOIN_CROSSOVER_CAND_PER_DOC = 1500.0
+# SSJoin crossover rule, calibrated on four measured corpora
+# (tools/scale_probe.py --zipf/--boiler + the flat grow corpora; SCALE.md
+# r06 "ngram-jaccard df-skew crossover"). The discriminator is df SKEW,
+# not candidate volume: the prefix filter only pays when HEAD grams
+# (df >= _HEAD_DF) carry the candidate mass, because those are exactly
+# the grams the rarest-half prefix excludes. On a flat-df corpus the
+# prefix barely filters (grow100: posting 52 s vs prefix 124 s at 113M
+# candidates, head_frac 0.00); on a Zipf corpus it collapses the join
+# (zipf100: prefix 27 s vs posting 73 s at 117M candidates, head_frac
+# 0.87); on shared-boilerplate corpora posting is not even runnable
+# (boiler10: 20B candidates, head_frac 1.00, prefix 10 s). The candidate
+# floor keeps small corpora on the cheaper single-shuffle posting join
+# regardless of skew (zipf10: head_frac 0.57 but 2.1M candidates —
+# posting 5.0 s vs prefix 9.2 s).
+_HEAD_DF = 100
+_HEAD_FRAC_CROSSOVER = 0.5
+_CAND_FLOOR = 20_000_000
+
+
+def _pick_ngram_mode(cand: float, cand_head: float) -> str:
+    """posting vs prefix from the df-stats scalars (pure, unit-tested):
+    prefix iff head grams carry most of the candidate mass AND the
+    volume is past what the posting join clears in seconds locally."""
+    if cand > _CAND_FLOOR and cand_head > _HEAD_FRAC_CROSSOVER * cand:
+        return "prefix"
+    return "posting"
 
 
 def ngram_jaccard_pairs(docs: DataFrame, mode: str = "auto") -> DataFrame:
@@ -209,17 +228,22 @@ def ngram_jaccard_pairs(docs: DataFrame, mode: str = "auto") -> DataFrame:
         stats = (
             postings.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
-            .agg((F.sum(F.col("df") * (F.col("df") - 1)) / 2).alias("cand"))
+            .agg(
+                (F.sum(F.col("df") * (F.col("df") - 1)) / 2).alias("cand"),
+                (
+                    F.sum(
+                        F.when(
+                            F.col("df") >= _HEAD_DF,
+                            F.col("df") * (F.col("df") - 1),
+                        ).otherwise(F.lit(0))
+                    )
+                    / 2
+                ).alias("cand_head"),
+            )
             .collect()[0]
         )
-        n_docs = sizes.count()
-        cand_per_doc = (
-            2.0 * float(stats["cand"] or 0) / max(n_docs, 1)
-        )
-        mode = (
-            "posting"
-            if cand_per_doc <= _SSJOIN_CROSSOVER_CAND_PER_DOC
-            else "prefix"
+        mode = _pick_ngram_mode(
+            float(stats["cand"] or 0), float(stats["cand_head"] or 0)
         )
     if mode == "posting":
         pairs = (
@@ -260,15 +284,17 @@ def ngram_jaccard_pairs(docs: DataFrame, mode: str = "auto") -> DataFrame:
     # prefix-filtered SSJoin — exact at J >= 0.5 under a single GLOBAL
     # shingle order shared by every doc (df ASC, then hash: both docs of
     # any qualifying pair rank their shared shingles identically)
-    # shuffle_hash hints: df_counts (distinct grams ≈ postings) and hsets
-    # (full per-doc arrays) are corpus-sized, but both sit above an
-    # aggregate whose output size Catalyst underestimates — at 500k docs
-    # the planner picked a broadcast for each and OOM'd the 8g driver
-    # (measured, --zipf 100). The hint pins the sane plan at every scale.
+    # merge hints: df_counts (distinct grams ≈ postings) and hsets (full
+    # per-doc arrays) are corpus-sized, but both sit above an aggregate
+    # whose output size Catalyst underestimates — at 500k docs the
+    # planner picked a broadcast for each and OOM'd the 8g driver
+    # (measured, --zipf 100); shuffle_hash then died building 26M-gram
+    # per-partition hash relations (no spill path). Sort-merge is the
+    # only join here whose memory is bounded at every corpus size.
     df_counts = postings.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df")
     )
-    ranked = postings.join(df_counts.hint("shuffle_hash"), "shingle").withColumn(
+    ranked = postings.join(df_counts.hint("merge"), "shingle").withColumn(
         "r",
         F.row_number().over(
             Window.partitionBy("doc_id").orderBy("df", "shingle")
@@ -302,13 +328,13 @@ def ngram_jaccard_pairs(docs: DataFrame, mode: str = "auto") -> DataFrame:
     return (
         cand.join(
             hsets.withColumnsRenamed({"doc_id": "doc_a", "hs": "ha"}).hint(
-                "shuffle_hash"
+                "merge"
             ),
             "doc_a",
         )
         .join(
             hsets.withColumnsRenamed({"doc_id": "doc_b", "hs": "hb"}).hint(
-                "shuffle_hash"
+                "merge"
             ),
             "doc_b",
         )

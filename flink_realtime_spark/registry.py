@@ -61,22 +61,22 @@ _loaded = False
 # reworked in r06 after its last driver record goes first — the three
 # CEP keys re-expressed through the streaming/cep.py pattern compiler,
 # and the three as-of keys whose rank oracles were rewritten for the
-# ×100 tier; (b) the two keys NEW this round (cep_retry_then_success —
-# compiler-lowered quantified pattern; llm_knn_ivf_hash — deterministic
-# quantizer, shrinks the rows-only set to 3); (c) cogroup_apply, the
-# single r01-stale key, moved out of the tail for its refresh (it has an
-# oracle and VERDICT r3 exempts nothing for slowness); (d) 41 refresh
-# slots for the r02-stale cohort in its CORRECTNESS_r02 record order —
-# the 7 that don't fit (win_topn, win_dedup, over_lag_lead,
-# over_moving_avg, over_time_range, scalar_math, scalar_array) are the
-# whole r07 stale pool.
+# ×100 tier; (b) the three keys NEW this round (cep_retry_then_success /
+# cep_funnel_within — compiler-lowered patterns; llm_knn_ivf_hash —
+# deterministic quantizer, shrinks the rows-only set to 3); (c)
+# cogroup_apply, the single r01-stale key, moved out of the tail for its
+# refresh (it has an oracle and VERDICT r3 exempts nothing for
+# slowness); (d) 40 refresh slots for the r02-stale cohort in its
+# CORRECTNESS_r02 record order — the 8 that don't fit (win_late_drop,
+# win_topn, win_dedup, over_lag_lead, over_moving_avg, over_time_range,
+# scalar_math, scalar_array) are the whole r07 stale pool.
 _PRIORITY_HEAD = [
     # (a) reworked in r06: CEP compiler re-expressions + as-of oracle
     # rewrites (hash-identical plans, but the driver re-verifies them)
     "cep_funnel_batch", "cep_error_burst", "cep_absence",
     "join_asof_temporal", "join_asof_nearest", "join_asof_forward",
     # (b) new in r06
-    "cep_retry_then_success", "llm_knn_ivf_hash",
+    "cep_retry_then_success", "llm_knn_ivf_hash", "cep_funnel_within",
     # (c) the one r01-stale key
     "cogroup_apply",
     # (d) r02-stale refresh, in CORRECTNESS_r02 order (join_asof_temporal
@@ -93,7 +93,7 @@ _PRIORITY_HEAD = [
     "pipe_sample_hash", "llm_multimodal_join", "udf_scalar_pandas",
     "state_rule_engine", "dq_anomaly_zscore", "llm_dup_gram_share",
     "agg_histogram", "ads_session_stats", "ads_pareto_share",
-    "tpch_q1_pricing", "win_slide", "win_session", "win_late_drop",
+    "tpch_q1_pricing", "win_slide", "win_session",
 ]
 
 # Streaming-executing / estimator-fit keys with rows-only or property

@@ -163,11 +163,6 @@ class Pattern:
             return "per_anchor"
         if len(self.steps) < 2:
             raise CepUnsupportedPattern("a pattern needs at least two steps")
-        if self.within_interval is not None:
-            raise CepUnsupportedPattern(
-                "first_match lowering has no within() form yet — the "
-                "min-ts chain would need per-step deadlines"
-            )
         return "first_match"
 
 
@@ -271,7 +266,12 @@ def compile_pattern_stream(pattern: Pattern):
             _interval_us(pattern.within_interval),
         )
     return make_sequence_state_fn(
-        tuple(s.event_type for s in pattern.steps)
+        tuple(s.event_type for s in pattern.steps),
+        within_us=(
+            _interval_us(pattern.within_interval)
+            if pattern.within_interval is not None
+            else None
+        ),
     )
 
 
@@ -280,7 +280,20 @@ def _lower_first_match(
 ) -> DataFrame:
     """Earliest-occurrence chain: step i's frame is
     filter(type_i) ⋈ step_{i-1} on key, ts > t_{i-1}, min(ts) per key.
-    Exactly the min-ts join chain cep_funnel_batch hand-wrote."""
+    Exactly the min-ts join chain cep_funnel_batch hand-wrote.
+
+    With within(w): ANCHORED-within semantics — the whole chain must
+    complete within w of the key's FIRST step-1 event (the funnel-board
+    interpretation: "did the user convert within an hour of their first
+    view"). Flink's NFA would additionally re-anchor at later step-1
+    events after an expired attempt (skip-till-next-match); that form
+    needs a per-anchor scan, which the per_anchor lowering provides for
+    two-step patterns — the divergence is documented, not hidden."""
+    bound = (
+        F.expr(f"INTERVAL {pattern.within_interval}")
+        if pattern.within_interval is not None
+        else None
+    )
     acc: DataFrame | None = None
     frames: list[DataFrame] = []
     for i, step in enumerate(pattern.steps, start=1):
@@ -288,12 +301,25 @@ def _lower_first_match(
         cur = ev.filter(F.col(type_col) == step.event_type)
         if acc is not None:
             cur = cur.join(acc, key).filter(F.col(ts) > F.col(f"t_step{i - 1}"))
-        frame = cur.groupBy(key).agg(F.min(ts).alias(col))
+            if bound is not None:
+                cur = cur.filter(F.col(ts) <= F.col("t_step1") + bound)
+            # per-key t_step1 is a constant, so min() just carries the
+            # anchor forward for the within() bound of later steps
+            frame = cur.groupBy(key).agg(
+                F.min(ts).alias(col), F.min("t_step1").alias("__anchor")
+            )
+            frame = frame.withColumnsRenamed({"__anchor": "t_step1"}).select(
+                key, "t_step1", col
+            )
+        else:
+            frame = cur.groupBy(key).agg(F.min(ts).alias(col))
         frames.append(frame)
         acc = frame
     out = frames[0]
-    for frame in frames[1:]:
-        out = out.join(frame, key, "left")
+    for i, frame in enumerate(frames[1:], start=2):
+        out = out.join(
+            frame.select(key, f"t_step{i}"), key, "left"
+        )
     return out
 
 

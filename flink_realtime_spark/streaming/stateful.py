@@ -165,6 +165,73 @@ def cep_funnel_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cep_funnel_within",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2, MIN(v.t1) AS t1c
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL 1 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t1c + INTERVAL 1 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT
+      u.user_id,
+      CAST(CASE
+        WHEN p.user_id IS NOT NULL THEN 3
+        WHEN c.user_id IS NOT NULL THEN 2
+        WHEN v.user_id IS NOT NULL THEN 1
+        ELSE 0
+      END AS BIGINT) AS funnel_stage
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    """,
+)
+def cep_funnel_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel pattern with Flink CEP's within() bound, through the
+    r06 compiler: view → click → purchase where every later step must
+    land within ONE HOUR of the user's first view (anchored-within — the
+    'did they convert within the hour' funnel board; the compiler
+    documents how this differs from NFA re-anchoring). Same min-ts chain
+    as cep_funnel_batch with per-step deadline filters; the anchor ts
+    rides the chain as a constant per key, so the plan shape (three keyed
+    aggs + broadcast-out left joins) is unchanged."""
+    from flink_realtime_spark.streaming.cep import Pattern, compile_pattern
+
+    wh = Warehouse(spark, sf_dir)
+    ev = wh.events
+    pat = (
+        Pattern.begin("view")
+        .followed_by("click")
+        .followed_by("purchase")
+        .within("1 HOUR")
+    )
+    matched = compile_pattern(ev, pat)
+    users = ev.select("user_id").distinct()
+    return users.join(matched, "user_id", "left").select(
+        "user_id",
+        F.when(F.col("t_step3").isNotNull(), 3)
+        .when(F.col("t_step2").isNotNull(), 2)
+        .when(F.col("t_step1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("funnel_stage"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming forms: arbitrary keyed state (the KeyedProcessFunction analog).
 #
@@ -233,22 +300,27 @@ def latest_image_state_fn(key, pdf_iter, state):
         )
 
 
-def make_sequence_state_fn(step_types: tuple):
+def make_sequence_state_fn(step_types: tuple, within_us: int | None = None):
     """Factory for the first_match streaming lowering (cep.py
     compile_pattern_stream): CEP-lite NFA per key advancing through the
     given step types on strictly increasing event time, emitting the
-    current stage after each micro-batch. State = (stage, last_transition
-    ts_us); feed ts-ordered batches for event-time semantics
-    (out-of-order events within a batch are sorted here; cross-batch
-    stragglers follow arrival order — the documented Spark-vs-Flink
-    ordering gap)."""
+    current stage after each micro-batch. With ``within_us``, ANCHORED
+    semantics matching the batch lowering: every transition after step 1
+    must land within the horizon of the key's FIRST step-1 event
+    (expired events simply don't transition). State = (stage,
+    last_transition ts_us, anchor ts_us); feed ts-ordered batches for
+    event-time semantics (out-of-order events within a batch are sorted
+    here; cross-batch stragglers follow arrival order — the documented
+    Spark-vs-Flink ordering gap)."""
     steps = tuple(step_types)
     n_steps = len(steps)
 
     def sequence_state_fn(key, pdf_iter, state):
         import pandas as pd
 
-        stage, last_us = (tuple(state.get) if state.exists else (0, -1))
+        stage, last_us, anchor_us = (
+            tuple(state.get) if state.exists else (0, -1, -1)
+        )
         user_id = key[0]
         saw_any = False
         for pdf in pdf_iter:
@@ -261,9 +333,16 @@ def make_sequence_state_fn(step_types: tuple):
                     and r.event_type == steps[stage]
                     and t_us > last_us
                 ):
+                    if stage > 0 and (
+                        within_us is not None
+                        and t_us > anchor_us + within_us
+                    ):
+                        continue  # past the anchored horizon: no transition
+                    if stage == 0:
+                        anchor_us = t_us
                     stage, last_us = stage + 1, t_us
         if saw_any:
-            state.update((stage, last_us))
+            state.update((stage, last_us, anchor_us))
             yield pd.DataFrame(
                 {
                     "user_id": pd.Series([user_id], dtype="int64"),
@@ -272,7 +351,7 @@ def make_sequence_state_fn(step_types: tuple):
             )
 
     _STATE_SCHEMAS[sequence_state_fn] = (
-        "stage LONG, last_us LONG",
+        "stage LONG, last_us LONG, anchor_us LONG",
         "user_id LONG, funnel_stage LONG",
     )
     return sequence_state_fn

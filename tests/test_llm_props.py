@@ -31,6 +31,61 @@ def planted_pairs(spark):
     return pairs
 
 
+def test_ngram_mode_crossover_rule():
+    """The df-skew decision function classifies every measured corpus the
+    way the wall-clock measurements say it should (SCALE.md r06):
+    flat-df corpora stay on the posting join at any size, skewed corpora
+    switch to the prefix SSJoin once volume passes the floor."""
+    from flink_realtime_spark.llm.dedup import _pick_ngram_mode
+
+    # (cand, cand_head) measured by the --zipf/--boiler probes
+    assert _pick_ngram_mode(12_657_790, 0) == "posting"  # grow10 flat
+    assert _pick_ngram_mode(113_000_000, 0) == "posting"  # grow100 flat
+    assert _pick_ngram_mode(2_104_614, 0.569 * 2_104_614) == "posting"  # zipf10
+    assert (
+        _pick_ngram_mode(117_350_535, 0.872 * 117_350_535) == "prefix"
+    )  # zipf100
+    assert (
+        _pick_ngram_mode(20_212_117_973, 20_212_117_973) == "prefix"
+    )  # boiler10
+
+
+def test_ngram_jaccard_modes_identical(spark, planted_pairs):
+    """The two exact ngram-jaccard plans (flat-df posting join vs
+    prefix-filtered SSJoin) must emit the IDENTICAL pair set — on the
+    fixture AND on a boilerplate corpus (every doc sharing a 17-word
+    preamble), the df-head shape the prefix filter exists for: the
+    preamble grams rank last in the global (df, gram) order and never
+    enter the candidate join, yet verification against the full sets
+    keeps every true pair (VERDICT r5 #3; crossover numbers in SCALE.md)."""
+    from flink_realtime_spark.llm.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for corpus in (
+        docs,
+        docs.withColumn(
+            "text",
+            F.concat(
+                F.lit(
+                    "this document is provided as is without warranty of "
+                    "any kind please retain this notice in all copies "
+                ),
+                F.col("text"),
+            ),
+        ),
+    ):
+        posting = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(corpus, "posting").collect()
+        }
+        prefix = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(corpus, "prefix").collect()
+        }
+        assert posting == prefix
+        assert {(a, b) for a, b, _ in posting} >= planted_pairs or corpus is not docs
+
+
 @pytest.mark.parametrize("key", ["llm_dedup_minhash", "llm_dedup_minhash_ml"])
 def test_minhash_finds_planted_pairs(spark, planted_pairs, key):
     got = {

@@ -76,11 +76,12 @@ def test_driver_window_rotation():
     ordered = list(registry.ordered_queries())
     window = ordered[:50]
     # front: plans/oracles reworked in r06 after their last driver
-    # record, then the two keys introduced in r06, then the r01 straggler
-    assert window[:9] == [
+    # record, then the three keys introduced in r06, then the r01
+    # straggler
+    assert window[:10] == [
         "cep_funnel_batch", "cep_error_burst", "cep_absence",
         "join_asof_temporal", "join_asof_nearest", "join_asof_forward",
-        "cep_retry_then_success", "llm_knn_ivf_hash",
+        "cep_retry_then_success", "llm_knn_ivf_hash", "cep_funnel_within",
         "cogroup_apply",
     ]
     # every oracle key with no driver record yet is in the window
@@ -90,7 +91,7 @@ def test_driver_window_rotation():
     assert set(never) <= set(window), sorted(set(never) - set(window))
     # beyond the reworked/new front, a previously-sampled key may occupy
     # a slot only to refresh the stalest (r01/r02) evidence
-    stale_ok = [k for k in window[9:] if latest.get(k) not in (None, 1, 2)]
+    stale_ok = [k for k in window[10:] if latest.get(k) not in (None, 1, 2)]
     assert stale_ok == [], stale_ok
 
 

@@ -391,6 +391,41 @@ def test_funnel_state_fn_matches_batch(spark):
     assert final["funnel_stage"].tolist() == batch["funnel_stage"].tolist()
 
 
+def test_funnel_within_stream_matches_batch(spark):
+    """The anchored-within sequence (compile_pattern_stream's first_match
+    lowering with a horizon) must reach the same final stage per user as
+    the batch cep_funnel_within chain over a ts-ordered replay."""
+    from flink_realtime_spark.streaming.cep import (
+        Pattern,
+        compile_pattern_stream,
+    )
+    from flink_realtime_spark.streaming.stateful import apply_with_state
+
+    pat = (
+        Pattern.begin("view")
+        .followed_by("click")
+        .followed_by("purchase")
+        .within("1 HOUR")
+    )
+    sdf = events_stream(spark, SF_DIR).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    out = apply_with_state(sdf, "user_id", compile_pattern_stream(pat))
+    emitted = run_available_now(out, "append").toPandas()
+    final = emitted.groupby("user_id", sort=True).last().reset_index()
+    batch = (
+        registry.QUERIES["cep_funnel_within"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert final["user_id"].tolist() == batch["user_id"].tolist()
+    assert final["funnel_stage"].tolist() == batch["funnel_stage"].tolist()
+    # the bound must actually bite somewhere on the fixture
+    unbounded = registry.QUERIES["cep_funnel_batch"](spark, SF_DIR).toPandas()
+    assert unbounded["funnel_stage"].sum() > batch["funnel_stage"].sum()
+
+
 def test_stream_slide_complete_equals_batch(spark):
     """Sliding (hopping) windows under streaming == batch: each event lands
     in size/slide = 2 windows in both modes."""
@@ -2389,6 +2424,15 @@ def test_cep_pattern_compiler_shapes_and_validation(spark):
     }
     assert first == {1: True, 2: False, 3: False}
 
+    # anchored within(): user 1's purchase lands 11 min after the FIRST
+    # click — inside a 30-min horizon, outside a 5-min one
+    tight = Pattern.begin("click").followed_by("purchase").within("5 MINUTES")
+    first_tight = {
+        r.user_id: r.t_step2 is not None
+        for r in compile_pattern(ev, tight).collect()
+    }
+    assert first_tight == {1: False, 2: False, 3: False}
+
     for bad in (
         lambda: Pattern.begin("a")._shape(),  # single step
         lambda: (
@@ -2398,9 +2442,6 @@ def test_cep_pattern_compiler_shapes_and_validation(spark):
             Pattern.begin("a").times_or_more(2).followed_by("b")._shape()
         ),  # quantified follow-up without within()
         lambda: Pattern.begin("a").next("b").not_followed_by("c")._shape(),
-        lambda: (
-            Pattern.begin("a").followed_by("b").within("5 MINUTES")._shape()
-        ),  # first_match has no within form
         lambda: (
             Pattern.begin("a").not_followed_by("b").followed_by("c")
         ),  # negation is terminal
