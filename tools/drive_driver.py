@@ -68,8 +68,8 @@ X100_TIER = [
     "join_asof_temporal", "join_asof_forward", "join_asof_nearest",
     # cdc / cep / dq
     "cdc_latest_image", "cdc_scd2_history", "cdc_snapshot_at",
-    "cep_funnel_batch", "cep_error_burst", "cep_absence",
-    "cep_retry_then_success", "dq_illegal_transitions",
+    "cep_funnel_batch", "cep_funnel_within", "cep_error_burst",
+    "cep_absence", "cep_retry_then_success", "dq_illegal_transitions",
     "dq_anomaly_zscore",
     # tpch
     "tpch_q1_pricing", "tpch_q3_priority", "tpch_q6_forecast",
