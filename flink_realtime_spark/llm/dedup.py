@@ -1752,3 +1752,149 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_removed"),
         F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )
+
+
+# ---- exact duplicated-substring spans (the suffix-array dedup shape:
+# "Deduplicating Training Data Makes Language Models Better", Lee et al.
+# 2022, arXiv:2107.06499 — find every character substring of length >= L
+# that occurs more than once in the corpus and merge the hits into
+# contiguous per-document spans). The reference snapshot (README-only,
+# /root/reference/README.md:1-2) names no such operator; NORTH mandates
+# it as a first-class training-data op. A distributed suffix array is the
+# paper's tool, not the semantics: fixed-length gram anchors recover the
+# identical span set, because any duplicated run of length >= L is
+# exactly a maximal chain of duplicated L-grams at consecutive offsets.
+
+_SPAN_L = 30  # anchor length = minimum duplicated-run length, chars
+
+
+def duplicated_spans(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
+    """Per-document merged duplicated-substring spans (start s0 inclusive,
+    end e0 exclusive) over ``docs(doc_id, text, n_chars)``.
+
+    Scale shape (100 TB): the naive plan shuffles every L-char gram STRING
+    to count occurrences — an L× byte amplification of the corpus. Instead:
+
+    1. explode offsets 0..len-L (codegen), hash each gram to 8 bytes
+       (xxhash64) and shuffle ONLY (doc_id, offset, hash) — the window
+       count over the hash is the candidate filter. Every occurrence of a
+       truly-duplicated gram shares its hash, so all of them survive; a
+       hash collision can only ADD candidates, never drop one.
+    2. join the (rare) candidates back to the text on doc_id, recompute
+       the gram STRING, and re-count over the exact gram — collision
+       casualties fall out here, so the result is exact, while the wide
+       shuffle runs over the filtered set only.
+    3. merge each doc's surviving offsets into maximal spans with one
+       gaps-and-islands pass (new island exactly when an offset starts
+       after the running end), one WindowExec per doc partition.
+
+    A boilerplate mega-gram makes one hot hash partition in step 1; the
+    count cap is ">= 2", so at scale the window becomes a two-phase
+    partial count (same bound as the ngram-jaccard df prune)."""
+    base = docs.filter(F.length("text") >= L)
+    g = base.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.expr(f"sequence(0, length(text) - {L})")).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        "n_chars",
+        "p",
+        F.xxhash64(F.expr(f"substring(text, p + 1, {L})")).alias("gh"),
+    )
+    cand = (
+        g.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("gh")))
+        .filter(F.col("cnt") >= 2)
+        .select("doc_id", "n_chars", "p")
+    )
+    cg = cand.join(base.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "n_chars",
+        "p",
+        F.expr(f"substring(text, p + 1, {L})").alias("gram"),
+    )
+    dup = (
+        cg.withColumn("c2", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+        .filter(F.col("c2") >= 2)
+        .select("doc_id", "n_chars", "p")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = dup.withColumn(
+        "isl",
+        F.sum(
+            F.when(
+                F.col("p") > F.coalesce(F.lag("p").over(w) + L, F.lit(-1)),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    return isl.groupBy("doc_id", "isl").agg(
+        F.min("n_chars").alias("n_chars"),
+        F.min("p").alias("s0"),
+        (F.max("p") + L).alias("e0"),
+    )
+
+
+@query(
+    "llm_dedup_substring",
+    f"""
+    WITH g AS (
+      SELECT doc_id, n_chars, p, substr(text, p + 1, {_SPAN_L}) AS gram
+      FROM documents,
+           LATERAL unnest(range(0, length(text) - {_SPAN_L} + 1)) AS t(p)
+      WHERE length(text) >= {_SPAN_L}
+    ),
+    c AS (
+      SELECT doc_id, n_chars, p,
+             COUNT(*) OVER (PARTITION BY gram) AS cnt
+      FROM g
+    ),
+    d AS (SELECT doc_id, n_chars, p FROM c WHERE cnt >= 2),
+    f AS (
+      SELECT doc_id, n_chars, p,
+             CASE WHEN p > COALESCE(
+                 LAG(p) OVER (PARTITION BY doc_id ORDER BY p) + {_SPAN_L},
+                 -1)
+               THEN 1 ELSE 0 END AS newisl
+      FROM d
+    ),
+    i AS (
+      SELECT doc_id, n_chars, p,
+             SUM(newisl) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+      FROM f
+    ),
+    s AS (
+      SELECT doc_id, isl, MIN(n_chars) AS n_chars,
+             MIN(p) AS s0, MAX(p) + {_SPAN_L} AS e0
+      FROM i GROUP BY doc_id, isl
+    )
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_spans,
+      CAST(SUM(e0 - s0) AS BIGINT) AS dup_chars,
+      CAST((SUM(e0 - s0) * 10000) // MIN(n_chars) AS BIGINT) AS dup_bps
+    FROM s GROUP BY doc_id
+    """,
+)
+def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection, Lee-et-al-2022 semantics: a
+    character run belongs to a span iff some substring of length >= 30
+    covering it occurs >= 2 times corpus-wide (within- OR
+    cross-document). Per doc: span count, duplicated chars, duplicated
+    basis points of the doc (integer arithmetic — no float rounding to
+    diverge between engines). The oracle counts exact gram strings
+    directly; the Spark plan's hash-prefilter + exact-confirm is
+    semantics-preserving (see duplicated_spans), so both sides compute
+    the identical span set."""
+    wh = Warehouse(spark, sf_dir)
+    docs = rebalance(
+        wh.documents.select("doc_id", "text", "n_chars"), "doc_id"
+    )
+    spans = duplicated_spans(docs)
+    return spans.groupBy("doc_id").agg(
+        bigint(F.count(F.lit(1))).alias("n_spans"),
+        bigint(F.sum(F.col("e0") - F.col("s0"))).alias("dup_chars"),
+        bigint(
+            F.expr(f"(sum(e0 - s0) * 10000) div min(n_chars)")
+        ).alias("dup_bps"),
+    )

@@ -60,6 +60,7 @@ class CepUnsupportedPattern(ValueError):
 class _Step:
     event_type: str
     min_count: int = 1
+    max_count: int | None = None  # bounded quantifier (Flink times(m, n))
     strict: bool = False  # strict contiguity (Flink next / consecutive times)
     optional: bool = False
 
@@ -112,6 +113,28 @@ class Pattern:
         )
         return self
 
+    def times(self, m: int, n: int, consecutive: bool = True) -> "Pattern":
+        """Quantify the LAST step with a bounded band: a MAXIMAL
+        consecutive run whose length lands in [m, n] (Flink
+        ``.times(m, n).consecutive()`` under skip-past-last-event — the
+        lowering matches whole maximal runs, so a longer storm is NOT
+        also reported as its sub-runs; Flink's skip-to-next would emit
+        those, a divergence the docstring owns rather than hides)."""
+        self._check_open()
+        if not self.steps:
+            raise CepUnsupportedPattern("times needs a step to quantify")
+        if not (1 <= m <= n):
+            raise CepUnsupportedPattern(f"times({m}, {n}): need 1 <= m <= n")
+        last = self.steps[-1]
+        self.steps[-1] = _Step(
+            last.event_type,
+            min_count=m,
+            max_count=n,
+            strict=consecutive,
+            optional=last.optional,
+        )
+        return self
+
     def not_followed_by(self, event_type: str) -> "Pattern":
         """Negation edge; must be terminal (as in Flink, where
         notFollowedBy cannot end a pattern without a within())."""
@@ -132,9 +155,12 @@ class Pattern:
 
     # -- shape dispatch ----------------------------------------------------
     def _shape(self) -> str:
-        quantified = [s for s in self.steps if s.min_count > 1]
+        def _is_quant(s: _Step) -> bool:
+            return s.min_count > 1 or s.max_count is not None
+
+        quantified = [s for s in self.steps if _is_quant(s)]
         if quantified:
-            if len(quantified) != 1 or self.steps[0].min_count <= 1:
+            if len(quantified) != 1 or not _is_quant(self.steps[0]):
                 raise CepUnsupportedPattern(
                     "only the FIRST step may carry times_or_more "
                     "(strict_runs lowering)"
@@ -264,6 +290,7 @@ def compile_pattern_stream(pattern: Pattern):
             follow.event_type,
             run.min_count,
             _interval_us(pattern.within_interval),
+            max_count=run.max_count,
         )
     return make_sequence_state_fn(
         tuple(s.event_type for s in pattern.steps),
@@ -398,6 +425,8 @@ def _lower_strict_runs(
         .agg(F.count(F.lit(1)).alias("run_len"), F.max(ts).alias("last_ts"))
         .filter(F.col("run_len") >= run.min_count)
     )
+    if run.max_count is not None:
+        runs = runs.filter(F.col("run_len") <= run.max_count)
     if len(pattern.steps) == 1:
         return runs
     follow = pattern.steps[1]

@@ -1244,6 +1244,75 @@ def cep_retry_then_success(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cep_bounded_burst",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+        SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING
+        ) AS island
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, island,
+        COUNT(*) AS run_len,
+        MAX(ts) AS last_error_ts
+      FROM seq WHERE event_type = 'error'
+      GROUP BY user_id, island
+      HAVING COUNT(*) BETWEEN 2 AND 3
+    ),
+    alerted AS (
+      SELECT r.user_id, r.island, r.run_len,
+        MAX(CASE WHEN e.event_id IS NOT NULL THEN 1 ELSE 0 END) AS hit
+      FROM runs r
+      LEFT JOIN events e
+        ON e.user_id = r.user_id AND e.event_type = 'purchase'
+        AND e.ts > r.last_error_ts
+        AND e.ts <= r.last_error_ts + INTERVAL 30 MINUTE
+      GROUP BY r.user_id, r.island, r.run_len
+    )
+    SELECT
+      user_id,
+      COUNT(*) AS n_bursts,
+      CAST(SUM(hit) AS BIGINT) AS n_recovered,
+      CAST(MAX(run_len) AS BIGINT) AS max_len
+    FROM alerted
+    GROUP BY user_id
+    """,
+)
+def cep_bounded_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-band quantifier through the pattern compiler: Flink CEP
+    ``error{2,3} purchase?`` — MAXIMAL runs of consecutive errors whose
+    length lands in [2, 3] (a storm of 4+ is a different signal and is
+    excluded by the upper bound — the band is what separates 'flaky but
+    recovering' from cep_error_burst's open-ended {3,} storms), plus
+    whether a purchase landed within 30 minutes of the last error.
+    Lowering is the same strict_runs shape with one extra run_len
+    predicate on the keyed agg — no new shuffle. Maximal-run semantics
+    (skip-past-last-event): a 5-run is NOT re-reported as its 2- and
+    3-sub-runs; Flink's skip-to-next strategy would emit those, a
+    documented divergence (cep.py Pattern.times). Streaming form =
+    make_retry_state_fn with the same band, equivalence-tested."""
+    from flink_realtime_spark.streaming.cep import Pattern, compile_pattern
+
+    wh = Warehouse(spark, sf_dir)
+    ev = wh.events.select("user_id", "event_id", "ts", "event_type")
+    pat = (
+        Pattern.begin("error")
+        .times(2, 3)
+        .followed_by("purchase", optional=True)
+        .within("30 MINUTES")
+    )
+    alerted = compile_pattern(ev, pat)
+    return alerted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_bursts"),
+        F.sum("hit").cast("long").alias("n_recovered"),
+        F.max("run_len").cast("long").alias("max_len"),
+    )
+
+
 _SNAPSHOT_AT = "2024-01-15 00:00:00"
 
 
@@ -1479,14 +1548,19 @@ absence_state_fn = make_absence_state_fn("view", "click", "purchase", _TIMEOUT_U
 
 
 def make_retry_state_fn(
-    run_type: str, follow_type: str, min_count: int, timeout_us: int
+    run_type: str,
+    follow_type: str,
+    min_count: int,
+    timeout_us: int,
+    max_count: int | None = None,
 ):
     """Factory for the strict_runs streaming lowering (cep.py
     compile_pattern_stream) — the quantified-run-then-follow-up shape
     (e.g. cep_retry_then_success's ``click{2,} purchase?``): keyed state
     tracks the key's OPEN run of consecutive run_type events plus the
     closed runs still awaiting their success window. Any other event
-    closes the open run (>= min_count → it becomes a pending burst, else
+    closes the open run (length in [min_count, max_count] — max_count
+    None means unbounded — → it becomes a pending burst, else
     discarded); a follow_type event then marks every pending burst whose
     window it lands in as success (hit=1, emitted immediately — the
     window bound is strict ``last < t``, matching the batch join's
@@ -1528,7 +1602,9 @@ def make_retry_state_fn(
                         run_len += 1
                         last_click = t_us
                     else:
-                        if run_len >= min_count:
+                        if run_len >= min_count and (
+                            max_count is None or run_len <= max_count
+                        ):
                             pend_last.append(last_click)
                             pend_len.append(run_len)
                         run_len, last_click = 0, 0

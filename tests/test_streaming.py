@@ -2771,3 +2771,105 @@ def test_state_change_feed_key_caches_checkpoint(spark):
         assert r.final_n_events == total
         assert r.batch0_n_events == even
         assert r.n_state_updates == 2
+
+
+def test_cep_bounded_band_stream_and_batch(spark, tmp_path):
+    """times(m, n) band bound, both lowerings on one staged replay:
+    a 3-run (in band, recovered), a 4-run (excluded by the upper bound
+    even though it satisfies {2,}), and a 2-run with no purchase whose
+    deadline the watermark passes (in band, hit=0). The 4-run user is
+    the regression: before max_count existed, both lowerings reported
+    it."""
+    import datetime as dt
+
+    from flink_realtime_spark.streaming.cep import (
+        Pattern,
+        compile_pattern,
+        compile_pattern_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, typ, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, typ, 0.0, "{}")
+
+    chunks = [
+        # user 1: errors@0,1,2 → view closes the run → purchase@10 (hit)
+        # user 2: errors@0..3 (4-run, band-excluded) → view → purchase
+        # user 3: errors@0,1 → view closes → no purchase ever
+        [
+            ev(1, 1, "error", 0), ev(2, 1, "error", 1), ev(3, 1, "error", 2),
+            ev(4, 2, "error", 0), ev(5, 2, "error", 1), ev(6, 2, "error", 2),
+            ev(7, 2, "error", 3),
+        ],
+        [
+            ev(8, 1, "view", 5), ev(9, 2, "view", 5), ev(10, 3, "error", 0),
+            ev(11, 3, "error", 1), ev(12, 3, "view", 5),
+        ],
+        # purchases + a far-future watermark driver event so user 3's
+        # 30-minute deadline finalizes as hit=0
+        [
+            ev(13, 1, "purchase", 10), ev(14, 2, "purchase", 10),
+            ev(15, 9, "view", 600),
+        ],
+    ]
+    d = tmp_path / "band_chunks"
+    d.mkdir()
+    schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"part{i}"))
+        sub = [
+            f for f in os.listdir(d / f"part{i}") if f.endswith(".parquet")
+        ][0]
+        os.rename(d / f"part{i}" / sub, d / f"chunk{i}.parquet")
+        shutil.rmtree(d / f"part{i}")
+
+    pat = (
+        Pattern.begin("error")
+        .times(2, 3)
+        .followed_by("purchase", optional=True)
+        .within("30 MINUTES")
+    )
+
+    all_ev = spark.read.parquet(*(str(d / f"chunk{i}.parquet") for i in range(3)))
+    batch = {
+        (r.user_id, r.run_len): r.hit for r in compile_pattern(all_ev, pat).collect()
+    }
+    assert batch == {(1, 3): 1, (3, 2): 0}  # user 2's 4-run banded out
+
+    sdf = file_stream_source(
+        spark, str(d), EVENTS_DDL, max_files_per_trigger=1
+    ).withWatermark("ts", "1 minute")
+    streamed = {
+        (r.user_id, r.run_len): r.hit
+        for r in run_available_now(
+            apply_with_state(
+                sdf, "user_id", compile_pattern_stream(pat), timeout="event"
+            ),
+            "append",
+        ).collect()
+    }
+    assert streamed == batch
+
+
+def test_cep_times_band_shape_checks():
+    """times(m, n) validation: dispatches to strict_runs, rejects an
+    inverted band and composes with the existing quantifier guards."""
+    import pytest as _pytest
+
+    from flink_realtime_spark.streaming.cep import CepUnsupportedPattern, Pattern
+
+    assert (
+        Pattern.begin("a").times(2, 3).followed_by("b", optional=True)
+        .within("1 HOUR")._shape()
+        == "strict_runs"
+    )
+    assert Pattern.begin("a").times(1, 4)._shape() == "strict_runs"
+    with _pytest.raises(CepUnsupportedPattern):
+        Pattern.begin("a").times(3, 2)
+    with _pytest.raises(CepUnsupportedPattern):
+        Pattern.begin("a").times(0, 2)
+    with _pytest.raises(CepUnsupportedPattern):
+        Pattern.begin("a").times(2, 3, consecutive=False)._shape()
