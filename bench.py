@@ -54,10 +54,14 @@ HEADLINE = [
     "cep_absence",
     "ads_gap_fill_ffill",
     "win_late_refire",
-    # round-6 additions: the compiler-lowered quantified pattern and the
-    # deterministic-quantizer IVF (the oracle-hashable ANN form)
+    # round-6 additions: the compiler-lowered quantified pattern, the
+    # deterministic-quantizer IVF (the oracle-hashable ANN form), and the
+    # substring-span dedup (the heaviest per-char dedup stage; the
+    # cep_bounded_burst band is plan-identical to cep_retry_then_success
+    # and stays out to keep the stdout artifact compact)
     "cep_retry_then_success",
     "llm_knn_ivf_hash",
+    "llm_dedup_substring",
     # streaming-executing keys: these run a real availableNow streaming
     # job (checkpoint + micro-batch scheduling + sink), reported both
     # per-key and as a separate stream-exec subtotal since their wall is

@@ -1898,3 +1898,116 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(sum(e0 - s0) * 10000) div min(n_chars)")
         ).alias("dup_bps"),
     )
+
+
+@query(
+    "llm_substring_clean",
+    f"""
+    WITH g AS (
+      SELECT doc_id, p, substr(text, p + 1, {_SPAN_L}) AS gram
+      FROM documents,
+           LATERAL unnest(range(0, length(text) - {_SPAN_L} + 1)) AS t(p)
+      WHERE length(text) >= {_SPAN_L}
+    ),
+    c AS (
+      SELECT doc_id, p, COUNT(*) OVER (PARTITION BY gram) AS cnt FROM g
+    ),
+    d AS (SELECT doc_id, p FROM c WHERE cnt >= 2),
+    f AS (
+      SELECT doc_id, p,
+             CASE WHEN p > COALESCE(
+                 LAG(p) OVER (PARTITION BY doc_id ORDER BY p) + {_SPAN_L},
+                 -1)
+               THEN 1 ELSE 0 END AS newisl
+      FROM d
+    ),
+    i AS (
+      SELECT doc_id, p,
+             SUM(newisl) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+      FROM f
+    ),
+    s AS (
+      SELECT doc_id, isl, MIN(p) AS s0, MAX(p) + {_SPAN_L} AS e0
+      FROM i GROUP BY doc_id, isl
+    ),
+    segs AS (
+      SELECT doc_id,
+             COALESCE(LAG(e0) OVER (PARTITION BY doc_id ORDER BY s0), 0)
+               AS ks,
+             s0 AS ke
+      FROM s
+      UNION ALL
+      SELECT s.doc_id, MAX(s.e0) AS ks, MIN(dd.n_chars) AS ke
+      FROM s JOIN documents dd USING (doc_id) GROUP BY s.doc_id
+    ),
+    ka AS (
+      SELECT g.doc_id,
+             string_agg(substr(dd.text, g.ks + 1, g.ke - g.ks),
+                        '' ORDER BY g.ks) AS cleaned_text,
+             SUM(g.ke - g.ks) AS kept
+      FROM segs g JOIN documents dd USING (doc_id)
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+      CAST(d.n_chars AS BIGINT) AS n_chars,
+      CAST(d.n_chars - COALESCE(ka.kept, d.n_chars) AS BIGINT) AS n_removed,
+      COALESCE(ka.cleaned_text, d.text) AS cleaned_text
+    FROM documents d LEFT JOIN ka USING (doc_id)
+    """,
+)
+def llm_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of the suffix-array dedup recipe (Lee et al. 2022
+    cut the duplicated spans out of the corpus; llm_dedup_substring only
+    reports them): every doc reassembled from the characters OUTSIDE its
+    merged duplicated spans. Returns all docs — untouched ones keep their
+    full text — so the output is a drop-in replacement corpus.
+
+    Scale shape: duplicated_spans' linear anchor plan, then one keyed
+    collect of the (few) spans per doc and a single-pass cut via
+    aggregate() over the sorted span array — the higher-order lambda is
+    bounded by spans-per-doc (not corpus size), the one place the
+    interpreted-lambda rule (SCALE.md Lessons) permits it. The final
+    left join returns the untouched majority without shuffling their
+    text: spans are the small side, broadcast at fixture scale and a
+    keyed merge at 100 TB."""
+    wh = Warehouse(spark, sf_dir)
+    docs = rebalance(
+        wh.documents.select("doc_id", "text", "n_chars"), "doc_id"
+    )
+    return substring_clean(docs)
+
+
+def substring_clean(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
+    """The span-cut plan behind llm_substring_clean, parameterized for the
+    brute-force property test (tests/test_plan_props.py)."""
+    spans = duplicated_spans(docs, L=L)
+    sp = spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s0", "e0"))).alias("sp")
+    )
+    cut = F.expr(
+        """
+        aggregate(
+          sp,
+          struct(CAST('' AS STRING) AS acc, 0 AS pos),
+          (st, x) -> struct(
+            concat(st.acc, substring(text, st.pos + 1, x.s0 - st.pos)),
+            CAST(x.e0 AS INT)),
+          st -> concat(st.acc, substring(text, st.pos + 1,
+                                         length(text) - st.pos))
+        )
+        """
+    )
+    return docs.join(sp, "doc_id", "left").select(
+        "doc_id",
+        bigint(F.col("n_chars")).alias("n_chars"),
+        F.when(F.col("sp").isNull(), F.lit(0).cast("long"))
+        .otherwise(
+            F.aggregate(
+                "sp", F.lit(0), lambda a, x: a + (x["e0"] - x["s0"])
+            ).cast("long")
+        )
+        .alias("n_removed"),
+        F.when(F.col("sp").isNull(), F.col("text"))
+        .otherwise(cut)
+        .alias("cleaned_text"),
+    )

@@ -69,8 +69,8 @@ X100_TIER = [
     # cdc / cep / dq
     "cdc_latest_image", "cdc_scd2_history", "cdc_snapshot_at",
     "cep_funnel_batch", "cep_funnel_within", "cep_error_burst",
-    "cep_absence", "cep_retry_then_success", "dq_illegal_transitions",
-    "dq_anomaly_zscore",
+    "cep_absence", "cep_retry_then_success", "cep_bounded_burst",
+    "dq_illegal_transitions", "dq_anomaly_zscore",
     # tpch
     "tpch_q1_pricing", "tpch_q3_priority", "tpch_q6_forecast",
     "tpch_q13_custdist", "tpch_q8_market_share", "tpch_q17_small_qty",

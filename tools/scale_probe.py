@@ -332,6 +332,7 @@ def corpus_scale(spark, ks) -> None:
             "llm_dedup_minhash",
             "llm_dedup_ngram_jaccard",
             "llm_dup_gram_share",
+            "llm_dedup_substring",
             "llm_text_stats",
         ):
             t0 = time.perf_counter()
@@ -377,7 +378,7 @@ def ingest_stress(spark, k: int, n_batches: int) -> None:
 def dedup_stress(spark, ks) -> None:
     for k in ks:
         sf_dir = SRC if k == 1 else build_dup_docs(spark, k)
-        for key in ("llm_dedup_exact", "llm_dedup_minhash", "llm_dedup_cluster", "llm_dedup_two_stage"):
+        for key in ("llm_dedup_exact", "llm_dedup_minhash", "llm_dedup_cluster", "llm_dedup_two_stage", "llm_dedup_substring"):
             t0 = time.perf_counter()
             df = registry.QUERIES[key](spark, sf_dir)
             n = df.count()
