@@ -1808,7 +1808,13 @@ def duplicated_spans(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
         .filter(F.col("cnt") >= 2)
         .select("doc_id", "n_chars", "p")
     )
-    cg = cand.join(base.select("doc_id", "text"), "doc_id").select(
+    # merge hint: cand sits above a Generate (the offset explode) whose
+    # row count Catalyst underestimates at the SCAN's cardinality, so on
+    # a duplication-heavy corpus the planner statically broadcasts a side
+    # that is actually ~every gram position (500k-doc probe: ~100M rows,
+    # OOM on an 8g heap). Sort-merge is the only join whose memory stays
+    # bounded whatever the dup rate turns out to be (SCALE.md Lessons).
+    cg = cand.join(base.select("doc_id", "text").hint("merge"), "doc_id").select(
         "doc_id",
         "n_chars",
         "p",
@@ -1997,7 +2003,9 @@ def substring_clean(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
         )
         """
     )
-    return docs.join(sp, "doc_id", "left").select(
+    # sp is post-aggregate (underestimated) and grows with the corpus's
+    # dup rate — same merge-hint rationale as duplicated_spans' join.
+    return docs.join(sp.hint("merge"), "doc_id", "left").select(
         "doc_id",
         bigint(F.col("n_chars")).alias("n_chars"),
         F.when(F.col("sp").isNull(), F.lit(0).cast("long"))
@@ -2010,4 +2018,84 @@ def substring_clean(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
         F.when(F.col("sp").isNull(), F.col("text"))
         .otherwise(cut)
         .alias("cleaned_text"),
+    )
+
+
+@query(
+    "llm_top_boilerplate",
+    f"""
+    WITH g AS (
+      SELECT doc_id, p, substr(text, p + 1, {_SPAN_L}) AS gram
+      FROM documents,
+           LATERAL unnest(range(0, length(text) - {_SPAN_L} + 1)) AS t(p)
+      WHERE length(text) >= {_SPAN_L}
+    ),
+    c AS (
+      SELECT doc_id, p, COUNT(*) OVER (PARTITION BY gram) AS cnt FROM g
+    ),
+    d AS (SELECT doc_id, p FROM c WHERE cnt >= 2),
+    f AS (
+      SELECT doc_id, p,
+             CASE WHEN p > COALESCE(
+                 LAG(p) OVER (PARTITION BY doc_id ORDER BY p) + {_SPAN_L},
+                 -1)
+               THEN 1 ELSE 0 END AS newisl
+      FROM d
+    ),
+    i AS (
+      SELECT doc_id, p,
+             SUM(newisl) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+      FROM f
+    ),
+    s AS (
+      SELECT doc_id, isl, MIN(p) AS s0, MAX(p) + {_SPAN_L} AS e0
+      FROM i GROUP BY doc_id, isl
+    ),
+    sp AS (
+      SELECT substr(dd.text, s.s0 + 1, s.e0 - s.s0) AS snippet
+      FROM s JOIN documents dd USING (doc_id)
+    )
+    SELECT snippet,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) * length(snippet) AS BIGINT) AS chars_covered
+    FROM sp
+    GROUP BY snippet
+    HAVING COUNT(*) >= 2
+    ORDER BY n_spans DESC, snippet ASC
+    LIMIT 20
+    """,
+)
+def llm_top_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate miner: the top-20 duplicated span TEXTS by how many
+    merged spans carry them verbatim (the license-header / nav-chrome /
+    SEO-footer question a crawl curator asks before choosing removal
+    rules). A span's text is the maximal duplicated run, so identical
+    snippets here are whole repeated regions, not overlapping gram
+    shards. Global top-K via orderBy().limit() (TakeOrderedAndProject —
+    the bounded form the partition-less-window sweep mandates); unique
+    tiebreak (n_spans DESC, snippet ASC) since snippet is the grouping
+    key. Scale shape: duplicated_spans' linear plan + one keyed string
+    agg over the (rare) spans + a 20-row take."""
+    wh = Warehouse(spark, sf_dir)
+    docs = rebalance(
+        wh.documents.select("doc_id", "text", "n_chars"), "doc_id"
+    )
+    spans = duplicated_spans(docs)
+    # spans is post-aggregate and dup-rate-sized — merge hint as above.
+    snip = spans.join(docs.select("doc_id", "text").hint("merge"), "doc_id").select(
+        F.expr("substring(text, s0 + 1, e0 - s0)").alias("snippet")
+    )
+    return (
+        snip.groupBy("snippet")
+        .agg(bigint(F.count(F.lit(1))).alias("n_spans"))
+        .filter(F.col("n_spans") >= 2)
+        .select(
+            "snippet",
+            "n_spans",
+            bigint(F.col("n_spans") * F.length("snippet")).alias(
+                "chars_covered"
+            ),
+        )
+        .orderBy(F.col("n_spans").desc(), F.col("snippet").asc())
+        .limit(20)
     )

@@ -78,6 +78,7 @@ _PRIORITY_HEAD = [
     # (b) new in r06
     "cep_retry_then_success", "llm_knn_ivf_hash", "cep_funnel_within",
     "llm_dedup_substring", "cep_bounded_burst", "llm_substring_clean",
+    "llm_top_boilerplate",
     # (c) the one r01-stale key
     "cogroup_apply",
     # (d) r02-stale refresh, in CORRECTNESS_r02 order (join_asof_temporal
@@ -93,7 +94,7 @@ _PRIORITY_HEAD = [
     "llm_dedup_exact", "llm_knn_cosine", "llm_text_stats",
     "pipe_sample_hash", "llm_multimodal_join", "udf_scalar_pandas",
     "state_rule_engine", "dq_anomaly_zscore", "llm_dup_gram_share",
-    "agg_histogram", "ads_session_stats", "ads_pareto_share",
+    "agg_histogram", "ads_session_stats",
 ]
 
 # Streaming-executing / estimator-fit keys with rows-only or property

@@ -418,3 +418,20 @@ def test_shingle_rebalance_not_undone_by_pushdown(spark):
         assert "zip_with" not in below, (
             "dense shingle expression pushed below the rebalance exchange"
         )
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["llm_dedup_substring", "llm_substring_clean", "llm_top_boilerplate"],
+)
+def test_substring_family_joins_are_sort_merge(spark, key):
+    """The substring-dedup joins must stay memory-bounded whatever the
+    corpus's duplication rate: the candidate side sits above a Generate
+    (offset explode) whose row count Catalyst estimates at the SCAN's
+    cardinality, so without the merge hints the static planner broadcast
+    a side that materialized ~100M rows on the 500k-doc dup-heavy probe
+    and OOM'd an 8g heap (r06b finding). No BroadcastExchange anywhere in
+    these plans — every join sort-merge."""
+    plan = plan_of(spark, key)
+    assert "BroadcastExchange" not in plan, key
+    assert "SortMergeJoin" in plan, key

@@ -81,6 +81,20 @@ X100_TIER = [
     "scalar_calendar_dow", "scalar_json_props",
 ]
 
+# The ×1000 tier (r06b): a THIRD decade — 600M lineitem / 100M events
+# (tools/scale_probe.py 1000). Strict hash still, but restricted to keys
+# whose OUTPUT stays small (aggregate boards / top-k) so the instrument's
+# collect and the DuckDB oracle both stay tractable at this volume; the
+# full-relation keys (cdc/cep/sort families, ~100M-row collects) remain
+# ×100-tier citizens. Run: python /tmp/drive_driver.py --tier x1000
+# --sf /tmp/spark_graft_scale/x1000 --mem 24g
+X1000_TIER = [
+    "agg_star_flagship", "agg_groupby_basic", "agg_rollup",
+    "tpch_q1_pricing", "tpch_q6_forecast",
+    "win_tumble", "sort_topk", "over_topn_pergroup",
+    "ads_daily_uv_pv", "ads_gmv_dashboard", "ads_heatmap_hour_dow",
+]
+
 
 def canon(v):
     # Mirror a representation-hash: no tolerant numeric coercion. Floats are
@@ -136,9 +150,14 @@ def main() -> int:
             mem = next(it)
         elif a == "--tier":
             name = next(it)
-            if name != "x100":
-                raise SystemExit(f"unknown tier {name!r} (have: x100)")
-            only.extend(X100_TIER)
+            if name == "x100":
+                only.extend(X100_TIER)
+            elif name == "x1000":
+                only.extend(X1000_TIER)
+            else:
+                raise SystemExit(
+                    f"unknown tier {name!r} (have: x100, x1000)"
+                )
         else:
             only.append(a)
 

@@ -320,6 +320,20 @@ def zipf_probe(spark, ks, builder=None) -> None:
         )
 
 
+def _release(spark) -> None:
+    """Drop accumulated JVM state between probe keys: localCheckpoint
+    blocks and broadcast pieces from a finished key linger until their
+    Python DataFrames are GC'd AND the ContextCleaner runs — in a shared
+    8g local JVM, 10+ corpus-scale keys of leftovers eventually tip a
+    later key's broadcast build into notEnoughMemoryToBuildAndBroadcast
+    (the key alone re-runs fine in a fresh session — instrument state,
+    not an operator bug; measured r06b on grow100 ngram-jaccard)."""
+    import gc
+
+    gc.collect()  # drop pyspark refs so the cleaner sees dead RDDs
+    spark.sparkContext._jvm.System.gc()
+
+
 def corpus_scale(spark, ks) -> None:
     """Corpus-growth curve for the LLM family: wall time per key at k×
     DISTINCT corpus size. Near-linear growth = the posting/banding plans
@@ -339,6 +353,7 @@ def corpus_scale(spark, ks) -> None:
             n = registry.QUERIES[key](spark, sf_dir).count()
             dt = time.perf_counter() - t0
             print(f"grow×{k:<3} {key:<24} {dt:6.2f}s  ({n} out rows)")
+            _release(spark)
 
 
 def ingest_stress(spark, k: int, n_batches: int) -> None:
@@ -384,6 +399,7 @@ def dedup_stress(spark, ks) -> None:
             n = df.count()
             dt = time.perf_counter() - t0
             print(f"dup×{k:<3} {key:<20} {dt:6.2f}s  ({n} out rows)")
+            _release(spark)
 
 
 def main() -> None:
