@@ -20,7 +20,11 @@ Three lowerings, chosen by pattern shape (`Pattern._shape()`):
                    step, all keyed on the pattern key — a cluster
                    co-partitions the whole chain.
 
-``per_anchor``   — ``begin(a).next(b).not_followed_by(c).within(w)``:
+``strict_pair``  — ``begin(a).next(b)``: Flink strict contiguity — b is
+                   the key's immediately-next event after a. One LAG
+                   window pass; every adjacency emits.
+
+``per_anchor``   — ``begin(a).followed_by(b).not_followed_by(c).within(w)``:
                    the negation anchored on every b event, lowered to ONE
                    window pass per key — a backward MAX frame finds the
                    most recent preceding a, a forward MIN frame the
@@ -93,11 +97,15 @@ class Pattern:
         return self
 
     def next(self, event_type: str) -> "Pattern":
-        """Strict-order step. In the per-anchor lowering the distinction
-        from followed_by is immaterial (the anchor sees the nearest
-        preceding step either way); kept for Flink API parity."""
+        """STRICT contiguity (Flink ``next``): the step must be the
+        IMMEDIATELY following event in the key's (ts, id) order — no
+        intervening event of any type. Two lowerings honor it: the
+        two-step ``strict_pair`` (one LAG pass) and the ``per_anchor``
+        negation form (the anchor's immediately-preceding event must be
+        the prefix step). For 'other events may occur in between', use
+        followed_by."""
         self._check_open()
-        self.steps.append(_Step(event_type))
+        self.steps.append(_Step(event_type, strict=True))
         return self
 
     def times_or_more(self, n: int, consecutive: bool = True) -> "Pattern":
@@ -183,12 +191,20 @@ class Pattern:
         if self.negation is not None:
             if len(self.steps) != 2 or self.within_interval is None:
                 raise CepUnsupportedPattern(
-                    "per_anchor lowering is begin(a).next(b)"
+                    "per_anchor lowering is begin(a).followed_by(b)"
                     ".not_followed_by(c).within(w)"
                 )
             return "per_anchor"
+        if len(self.steps) == 2 and self.steps[1].strict:
+            return "strict_pair"
         if len(self.steps) < 2:
             raise CepUnsupportedPattern("a pattern needs at least two steps")
+        if any(s.strict for s in self.steps):
+            raise CepUnsupportedPattern(
+                "strict contiguity (next) is lowered only as a two-step "
+                "pattern or as the per_anchor negation anchor — longer "
+                "chains would silently relax it; use followed_by"
+            )
         return "first_match"
 
 
@@ -209,6 +225,9 @@ def compile_pattern(
       step's ts is the MIN ts strictly after the previous step's).
     - ``per_anchor``: one row per step-2 event whose pattern matched:
       (key, anchor_id, anchor_ts, prev_ts).
+    - ``strict_pair``: one row per ADJACENT (a, b) event pair in the
+      key's (ts, id) order: (key, prev_id, prev_ts, anchor_id,
+      anchor_ts) — every adjacency matches, not just the first.
     - ``strict_runs``: one row per maximal run of >= n consecutive
       quantified events: (key, island, run_len, last_ts[, hit]) — ``hit``
       present when a follow-up step exists (1 when any follow-up event
@@ -219,6 +238,8 @@ def compile_pattern(
         return _lower_first_match(ev, pattern, key, ts, type_col)
     if shape == "per_anchor":
         return _lower_per_anchor(ev, pattern, key, ts, id_col, type_col)
+    if shape == "strict_pair":
+        return _lower_strict_pair(ev, pattern, key, ts, id_col, type_col)
     return _lower_strict_runs(ev, pattern, key, ts, id_col, type_col)
 
 
@@ -253,7 +274,11 @@ def compile_pattern_stream(pattern: Pattern):
     Shape map (same dispatch as the batch compiler):
 
     - ``per_anchor``  → make_absence_state_fn (pending anchors + negation
-      disarm + event-time timeout),
+      disarm + event-time timeout; relaxed anchors only — the state fn
+      arms on the most recent preceding prefix, so a STRICT anchor is
+      rejected rather than silently relaxed),
+    - ``strict_pair`` → make_adjacency_state_fn (last-event state; each
+      event checked against its predecessor),
     - ``strict_runs`` with a follow-up → make_retry_state_fn (open-run
       tracking + pending success windows),
     - ``first_match`` → make_sequence_state_fn (per-key NFA stage).
@@ -264,13 +289,32 @@ def compile_pattern_stream(pattern: Pattern):
     and is rejected."""
     from flink_realtime_spark.streaming.stateful import (
         make_absence_state_fn,
+        make_adjacency_state_fn,
         make_retry_state_fn,
         make_sequence_state_fn,
     )
 
     shape = pattern._shape()
+    if shape == "strict_pair":
+        a, b = pattern.steps
+        return make_adjacency_state_fn(
+            a.event_type,
+            b.event_type,
+            within_us=(
+                _interval_us(pattern.within_interval)
+                if pattern.within_interval is not None
+                else None
+            ),
+        )
     if shape == "per_anchor":
         prefix, anchor = pattern.steps
+        if anchor.strict:
+            raise CepUnsupportedPattern(
+                "streaming per_anchor implements the relaxed anchor "
+                "(most recent preceding prefix) — a strict next() anchor "
+                "would be silently relaxed; use followed_by or the batch "
+                "lowering"
+            )
         assert pattern.negation is not None
         return make_absence_state_fn(
             prefix.event_type,
@@ -350,6 +394,47 @@ def _lower_first_match(
     return out
 
 
+def _lower_strict_pair(
+    ev: DataFrame,
+    pattern: Pattern,
+    key: str,
+    ts: str,
+    id_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Strict contiguity (Flink ``begin(a).next(b)``): the b event's
+    IMMEDIATELY preceding event in the key's (ts, id) total order must be
+    an a — one LAG pass per key, every adjacency a match (Flink emits all
+    of them too; adjacent pairs can't share events, so no skip-strategy
+    ambiguity). With within(w), additionally b.ts <= a.ts + w. At 100 TB
+    this is one hash exchange on the key + one sort — the cheapest CEP
+    shape there is."""
+    a, b = pattern.steps
+    order = Window.partitionBy(key).orderBy(ts, id_col)
+    ctx = ev.select(
+        key,
+        id_col,
+        ts,
+        type_col,
+        F.lag(F.col(type_col)).over(order).alias("__p_type"),
+        F.lag(F.col(ts)).over(order).alias("prev_ts"),
+        F.lag(F.col(id_col)).over(order).alias("prev_id"),
+    )
+    cond = (F.col(type_col) == b.event_type) & (
+        F.col("__p_type") == a.event_type
+    )
+    if pattern.within_interval is not None:
+        bound = F.expr(f"INTERVAL {pattern.within_interval}")
+        cond = cond & (F.col(ts) <= F.col("prev_ts") + bound)
+    return ctx.filter(cond).select(
+        key,
+        "prev_id",
+        "prev_ts",
+        F.col(id_col).alias("anchor_id"),
+        F.col(ts).alias("anchor_ts"),
+    )
+
+
 def _lower_per_anchor(
     ev: DataFrame,
     pattern: Pattern,
@@ -361,7 +446,11 @@ def _lower_per_anchor(
     """One WindowExec: backward MAX for the prefix step, forward MIN for
     the negation, both over the (key, ts, id) total order — ties are
     deterministic on BOTH sides (the streaming twin disarms
-    lexicographically on (ts, event_id) to match)."""
+    lexicographically on (ts, event_id) to match). A STRICT anchor
+    (``next``) instead takes its prefix from LAG over the same order —
+    the immediately preceding event must BE the prefix step — which
+    Catalyst folds into the same single WindowExec (all frames share the
+    sort)."""
     prefix, anchor = pattern.steps
     neg = pattern.negation
     assert neg is not None
@@ -369,14 +458,22 @@ def _lower_per_anchor(
     back = order.rowsBetween(Window.unboundedPreceding, -1)
     fwd = order.rowsBetween(1, Window.unboundedFollowing)
     bound = F.expr(f"INTERVAL {pattern.within_interval}")
+    prev_expr = (
+        F.when(
+            F.lag(F.col(type_col)).over(order) == prefix.event_type,
+            F.lag(F.col(ts)).over(order),
+        )
+        if anchor.strict
+        else F.max(
+            F.when(F.col(type_col) == prefix.event_type, F.col(ts))
+        ).over(back)
+    )
     ctx = ev.select(
         key,
         id_col,
         ts,
         type_col,
-        F.max(F.when(F.col(type_col) == prefix.event_type, F.col(ts)))
-        .over(back)
-        .alias("prev_ts"),
+        prev_expr.alias("prev_ts"),
         F.min(F.when(F.col(type_col) == neg.event_type, F.col(ts)))
         .over(fwd)
         .alias("next_neg_ts"),

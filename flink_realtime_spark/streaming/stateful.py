@@ -1383,7 +1383,8 @@ def cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cep_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantified-negation CEP (Flink CEP
-    ``begin("view").next("click").notFollowedBy("purchase").within(30m)``):
+    ``begin("view").followedBy("click").notFollowedBy("purchase")
+    .within(30m)``):
     a click whose pattern prefix matched (a view from the same user within
     the 30 minutes before it, earlier in (ts, event_id) event order) that
     is NOT followed by any purchase within 30 minutes after it. Distinct
@@ -1411,7 +1412,7 @@ def cep_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "ts", "event_type")
     pat = (
         Pattern.begin("view")
-        .next("click")
+        .followed_by("click")
         .not_followed_by("purchase")
         .within("30 MINUTES")
     )
@@ -1420,6 +1421,54 @@ def cep_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("anchor_id").alias("click_id"),
         F.col("anchor_ts").alias("click_ts"),
         F.col("prev_ts").alias("view_ts"),
+    )
+
+
+@query(
+    "cep_strict_next",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(ts) OVER w AS prev_ts,
+             LAG(event_id) OVER w AS prev_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           prev_id AS view_id, prev_ts AS view_ts,
+           event_id AS purchase_id, ts AS purchase_ts
+    FROM o
+    WHERE event_type = 'purchase' AND prev_type = 'view'
+      AND ts <= prev_ts + INTERVAL 1 DAY
+    """,
+)
+def cep_strict_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT-contiguity CEP (Flink CEP ``begin("view").next("purchase")
+    .within(1d)``): a purchase whose IMMEDIATELY preceding event in the
+    user's (ts, event_id) order is a view — zero intervening events of
+    any type — within a day of it (the 'saw it and bought it in one
+    motion' signal; followed_by would also match view→click→…→purchase
+    sessions). The compiler's strict_pair lowering (streaming/cep.py —
+    the fourth shape, r06c): ONE LAG window pass per user, every
+    adjacency a match. Distinct from cep_funnel_batch (relaxed chain,
+    first match only) and cep_absence (negation): this is the contiguity
+    semantics Flink's next() has and Spark has no native operator for.
+    Streaming form = adjacency_state_fn below (last-event keyed state),
+    equivalence-tested in tests/test_streaming.py. At 100 TB: one hash
+    exchange on user_id + one sort — the cheapest CEP shape; no join,
+    no state beyond the window sort."""
+    from flink_realtime_spark.streaming.cep import Pattern, compile_pattern
+
+    wh = Warehouse(spark, sf_dir)
+    ev = wh.events.select("user_id", "event_id", "ts", "event_type")
+    pat = Pattern.begin("view").next("purchase").within("1 DAY")
+    return compile_pattern(ev, pat).select(
+        "user_id",
+        F.col("prev_id").alias("view_id"),
+        F.col("prev_ts").alias("view_ts"),
+        F.col("anchor_id").alias("purchase_id"),
+        F.col("anchor_ts").alias("purchase_ts"),
     )
 
 
@@ -1545,6 +1594,79 @@ def make_absence_state_fn(
 # purchase, within 30 min), kept as a module-level factory instance for
 # direct import by tests and docs.
 absence_state_fn = make_absence_state_fn("view", "click", "purchase", _TIMEOUT_US)
+
+
+def make_adjacency_state_fn(
+    a_type: str, b_type: str, within_us: int | None = None
+):
+    """Factory for the strict_pair streaming lowering (cep.py
+    compile_pattern_stream) — Flink ``begin(a).next(b)``: keyed state is
+    just the key's LAST event (ts_us, id, type); each incoming event is
+    checked against its predecessor and emits a match when the
+    predecessor is an ``a``, the event is a ``b``, and (with within) the
+    gap fits the horizon. O(1) state per key — the smallest CEP state
+    there is; no timers needed because adjacency is decidable the moment
+    the successor arrives. Ordering contract (shared with
+    make_sequence_state_fn): batches are processed in (ts, event_id)
+    order; cross-batch stragglers follow arrival order — the documented
+    Spark-vs-Flink ordering gap (a straggler that lands between two
+    previously-adjacent events is adjudicated by arrival, where Flink's
+    watermark-sorted NFA would re-order)."""
+
+    def adjacency_state_fn(key, pdf_iter, state):
+        import pandas as pd
+
+        last_us, last_id, last_type = (
+            tuple(state.get) if state.exists else (-1, -1, "")
+        )
+        user_id = key[0]
+        m_prev_id, m_prev_us, m_id, m_us = [], [], [], []
+        saw_any = False
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples(index=False):
+                saw_any = True
+                t_us = int(r.ts.value // 1000)
+                if (
+                    last_type == a_type
+                    and r.event_type == b_type
+                    and (within_us is None or t_us <= last_us + within_us)
+                ):
+                    m_prev_id.append(last_id)
+                    m_prev_us.append(last_us)
+                    m_id.append(int(r.event_id))
+                    m_us.append(t_us)
+                last_us, last_id, last_type = (
+                    t_us,
+                    int(r.event_id),
+                    r.event_type,
+                )
+        if saw_any:
+            state.update((last_us, last_id, last_type))
+        if m_id:
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([user_id] * len(m_id), dtype="int64"),
+                    "prev_id": pd.Series(m_prev_id, dtype="int64"),
+                    "prev_ts_us": pd.Series(m_prev_us, dtype="int64"),
+                    "anchor_id": pd.Series(m_id, dtype="int64"),
+                    "anchor_ts_us": pd.Series(m_us, dtype="int64"),
+                }
+            )
+
+    _STATE_SCHEMAS[adjacency_state_fn] = (
+        "last_us LONG, last_id LONG, last_type STRING",
+        "user_id LONG, prev_id LONG, prev_ts_us LONG, "
+        "anchor_id LONG, anchor_ts_us LONG",
+    )
+    return adjacency_state_fn
+
+
+# The engine's canonical adjacency twin (view immediately followed by
+# purchase, within a day), matching cep_strict_next above.
+adjacency_state_fn = make_adjacency_state_fn(
+    "view", "purchase", within_us=86_400_000_000
+)
 
 
 def make_retry_state_fn(

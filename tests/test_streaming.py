@@ -2357,6 +2357,34 @@ def test_cep_absence_stream_matches_batch(spark, chunked_events_dir):
     assert len(streamed) >= len(must_fire) > 0
 
 
+def test_cep_strict_next_stream_matches_batch(spark, chunked_events_dir):
+    """Strict-contiguity CEP under streaming: adjacency is decidable the
+    moment the successor event arrives (no timers, no pending windows),
+    and the chunk replay preserves event-time order, so the streamed
+    match set must EXACTLY equal the batch strict_pair relation —
+    including pairs whose two events land in different micro-batches
+    (carried by the last-event state)."""
+    from flink_realtime_spark.streaming.stateful import (
+        adjacency_state_fn,
+        apply_with_state,
+    )
+
+    sdf = file_stream_source(
+        spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
+    )
+    matches = apply_with_state(sdf, "user_id", adjacency_state_fn)
+    streamed = {
+        (r.user_id, r.prev_id, r.anchor_id)
+        for r in run_available_now(matches, "append").collect()
+    }
+    batch = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in registry.QUERIES["cep_strict_next"](spark, SF_DIR).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
+
+
 def test_cep_pattern_compiler_shapes_and_validation(spark):
     """The pattern compiler supports exactly three lowering shapes and
     rejects everything else at compile time (no silent wrong answers);
@@ -2411,11 +2439,27 @@ def test_cep_pattern_compiler_shapes_and_validation(spark):
 
     anchored = (
         Pattern.begin("view")
-        .next("click")
+        .followed_by("click")
         .not_followed_by("purchase")
         .within("30 MINUTES")
     )
     assert compile_pattern(ev, anchored).count() == 0  # no view->click here
+
+    # strict_pair: click immediately followed by purchase — only user 1's
+    # (2, 3) adjacency qualifies (10-min gap), and a 5-min within() bound
+    # excludes it
+    adj = Pattern.begin("click").next("purchase")
+    got_adj = [
+        (r.user_id, r.prev_id, r.anchor_id)
+        for r in compile_pattern(ev, adj).collect()
+    ]
+    assert got_adj == [(1, 2, 3)]
+    assert (
+        compile_pattern(
+            ev, Pattern.begin("click").next("purchase").within("5 MINUTES")
+        ).count()
+        == 0
+    )
 
     seq = Pattern.begin("click").followed_by("purchase")
     first = {
@@ -2445,9 +2489,52 @@ def test_cep_pattern_compiler_shapes_and_validation(spark):
         lambda: (
             Pattern.begin("a").not_followed_by("b").followed_by("c")
         ),  # negation is terminal
+        lambda: (
+            Pattern.begin("a").next("b").followed_by("c")._shape()
+        ),  # strict step in a longer chain would be silently relaxed
     ):
         with pytest.raises(CepUnsupportedPattern):
             bad()
+
+
+def test_cep_strict_vs_relaxed_anchor(spark):
+    """The per_anchor negation honors next() vs followed_by(): with an
+    intervening event between view and click, the relaxed anchor still
+    arms (most recent preceding view) but the strict anchor must NOT —
+    its immediately-preceding event is the error, not the view."""
+    import datetime as dt
+
+    from flink_realtime_spark.streaming.cep import Pattern, compile_pattern
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, "view"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "error"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "click"),
+        (4, t0, 2, "view"),
+        (5, t0 + dt.timedelta(minutes=1), 2, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    relaxed = (
+        Pattern.begin("view")
+        .followed_by("click")
+        .not_followed_by("purchase")
+        .within("30 MINUTES")
+    )
+    strict = (
+        Pattern.begin("view")
+        .next("click")
+        .not_followed_by("purchase")
+        .within("30 MINUTES")
+    )
+    got_relaxed = {
+        r.user_id for r in compile_pattern(ev, relaxed).collect()
+    }
+    got_strict = {r.user_id for r in compile_pattern(ev, strict).collect()}
+    assert got_relaxed == {1, 2}
+    assert got_strict == {2}
 
 
 def test_cep_pattern_stream_compiler_dispatch():
@@ -2463,12 +2550,26 @@ def test_cep_pattern_stream_compiler_dispatch():
 
     anchored = (
         Pattern.begin("view")
-        .next("click")
+        .followed_by("click")
         .not_followed_by("purchase")
         .within("30 MINUTES")
     )
     fn = compile_pattern_stream(anchored)
     assert fn.__name__ == "absence_state_fn" and fn in _STATE_SCHEMAS
+
+    adj = Pattern.begin("view").next("purchase").within("1 DAY")
+    fn = compile_pattern_stream(adj)
+    assert fn.__name__ == "adjacency_state_fn" and fn in _STATE_SCHEMAS
+
+    # a strict negation anchor would be silently relaxed by
+    # absence_state_fn — rejected, not approximated
+    with pytest.raises(CepUnsupportedPattern):
+        compile_pattern_stream(
+            Pattern.begin("view")
+            .next("click")
+            .not_followed_by("purchase")
+            .within("30 MINUTES")
+        )
 
     runs = (
         Pattern.begin("error")
@@ -2490,7 +2591,7 @@ def test_cep_pattern_stream_compiler_dispatch():
     with pytest.raises(CepUnsupportedPattern):
         compile_pattern_stream(
             Pattern.begin("a")
-            .next("b")
+            .followed_by("b")
             .not_followed_by("c")
             .within("1 fortnight")
         )
