@@ -484,6 +484,76 @@ _STATE_SCHEMAS.update({
 })
 
 
+def make_temporal_join_state_fn(version_type: str, fact_type: str):
+    """Streaming temporal-table join (Flink ``FOR SYSTEM_TIME AS OF`` on
+    a changelog stream) — the streaming twin of join_asof_temporal: both
+    the version stream and the fact stream arrive as ONE keyed event
+    stream (the CDC union shape), keyed state holds the key's current
+    version (ts_us, id, value), and each fact emits enriched with the
+    version in force at its event time. O(1) state per key — Flink's
+    temporal join keeps the full version history per key because facts
+    may arrive arbitrarily out of order; under Spark's micro-batch
+    arrival-order contract (shared with make_sequence_state_fn: batches
+    sorted here, cross-batch stragglers follow arrival order) only the
+    CURRENT version is reachable, so latest-image state suffices — the
+    same state the upsert store keeps.
+
+    Tie discipline (must match plans/asof.py): within a batch rows sort
+    (ts, version-before-fact, event_id), so an equal-ts version is
+    visible to the fact it ties with; among equal-ts versions the
+    smallest id wins (strict ``>`` replacement under ascending order).
+    Facts with no version yet emit nothing (the batch plan's inner
+    filter)."""
+
+    def temporal_join_state_fn(key, pdf_iter, state):
+        import pandas as pd
+
+        v_ts, v_id, v_val = (
+            tuple(state.get) if state.exists else (-1, -1, float("nan"))
+        )
+        user_id = key[0]
+        out_fact, out_vid, out_vval = [], [], []
+        saw_any = False
+        for pdf in pdf_iter:
+            pdf = pdf.assign(
+                __is_fact=(pdf["event_type"] == fact_type).astype("int64")
+            ).sort_values(["ts", "__is_fact", "event_id"])
+            for r in pdf.itertuples(index=False):
+                saw_any = True
+                t_us = int(r.ts.value // 1000)
+                if r.event_type == version_type:
+                    if t_us > v_ts:
+                        v_ts, v_id, v_val = t_us, int(r.event_id), float(r.value)
+                elif r.event_type == fact_type and v_id >= 0:
+                    out_fact.append(int(r.event_id))
+                    out_vid.append(v_id)
+                    out_vval.append(v_val)
+        if saw_any:
+            state.update((v_ts, v_id, v_val))
+        if out_fact:
+            yield pd.DataFrame(
+                {
+                    "purchase_id": pd.Series(out_fact, dtype="int64"),
+                    "user_id": pd.Series(
+                        [user_id] * len(out_fact), dtype="int64"
+                    ),
+                    "click_id": pd.Series(out_vid, dtype="int64"),
+                    "click_value": pd.Series(out_vval, dtype="float64"),
+                }
+            )
+
+    _STATE_SCHEMAS[temporal_join_state_fn] = (
+        "v_ts_us LONG, v_id LONG, v_value DOUBLE",
+        "purchase_id LONG, user_id LONG, click_id LONG, click_value DOUBLE",
+    )
+    return temporal_join_state_fn
+
+
+# The engine's canonical temporal-join twin (purchases enriched with the
+# click version in force), matching join_asof_temporal.
+temporal_join_state_fn = make_temporal_join_state_fn("click", "purchase")
+
+
 def apply_with_state(
     sdf: DataFrame,
     key: str,

@@ -2385,6 +2385,36 @@ def test_cep_strict_next_stream_matches_batch(spark, chunked_events_dir):
     assert len(batch) > 0
 
 
+def test_temporal_join_stream_matches_batch_asof(spark, chunked_events_dir):
+    """Streaming temporal-table join (Flink FOR SYSTEM_TIME AS OF): the
+    keyed latest-version state enriching facts as they arrive must
+    reproduce the batch as-of join EXACTLY under order-preserving replay
+    — each purchase gets the click version in force at its event time,
+    including versions set in an earlier micro-batch (carried by state)
+    and purchases before any click (dropped, the batch inner filter)."""
+    from flink_realtime_spark.streaming.stateful import (
+        apply_with_state,
+        temporal_join_state_fn,
+    )
+
+    sdf = file_stream_source(
+        spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    joined = apply_with_state(sdf, "user_id", temporal_join_state_fn)
+    streamed = {
+        (r.purchase_id, r.user_id, r.click_id, r.click_value)
+        for r in run_available_now(joined, "append").collect()
+    }
+    batch = {
+        (r.purchase_id, r.user_id, r.click_id, r.click_value)
+        for r in registry.QUERIES["join_asof_temporal"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
+
+
 def test_cep_pattern_compiler_shapes_and_validation(spark):
     """The pattern compiler supports exactly three lowering shapes and
     rejects everything else at compile time (no silent wrong answers);
