@@ -69,9 +69,9 @@ _loaded = False
 # slowness); (d) refresh slots for the r02-stale cohort in its
 # CORRECTNESS_r02 record order — the keys that don't fit (win_late_drop,
 # win_topn, win_dedup, over_lag_lead, over_moving_avg, over_time_range,
-# scalar_math, scalar_array, ads_session_stats, ads_pareto_share, plus
-# the keys the r06b/r06c additions displaced: win_session, win_slide,
-# tpch_q1_pricing) lead the r07 stale pool.
+# scalar_math, scalar_array, ads_session_stats, ads_pareto_share,
+# agg_histogram, plus the keys the r06b/r06c additions displaced:
+# win_session, win_slide, tpch_q1_pricing) lead the r07 stale pool.
 _PRIORITY_HEAD = [
     # (a) reworked in r06: CEP compiler re-expressions + as-of oracle
     # rewrites (hash-identical plans, but the driver re-verifies them)
@@ -80,7 +80,7 @@ _PRIORITY_HEAD = [
     # (b) new in r06
     "cep_retry_then_success", "llm_knn_ivf_hash", "cep_funnel_within",
     "llm_dedup_substring", "cep_bounded_burst", "llm_substring_clean",
-    "llm_top_boilerplate", "cep_strict_next",
+    "llm_top_boilerplate", "cep_strict_next", "cep_funnel_any",
     # (c) the one r01-stale key
     "cogroup_apply",
     # (d) r02-stale refresh, in CORRECTNESS_r02 order (join_asof_temporal
@@ -96,7 +96,6 @@ _PRIORITY_HEAD = [
     "llm_dedup_exact", "llm_knn_cosine", "llm_text_stats",
     "pipe_sample_hash", "llm_multimodal_join", "udf_scalar_pandas",
     "state_rule_engine", "dq_anomaly_zscore", "llm_dup_gram_share",
-    "agg_histogram",
 ]
 
 # Streaming-executing / estimator-fit keys with rows-only or property

@@ -62,11 +62,38 @@ class CepUnsupportedPattern(ValueError):
 
 @dataclass(frozen=True)
 class _Step:
-    event_type: str
+    # a single type, or a tuple of alternatives (Flink composite OR
+    # condition) — supported in the first_match and strict_pair shapes
+    event_type: str | tuple
     min_count: int = 1
     max_count: int | None = None  # bounded quantifier (Flink times(m, n))
     strict: bool = False  # strict contiguity (Flink next / consecutive times)
     optional: bool = False
+
+
+def _types(step: "_Step") -> tuple:
+    t = step.event_type
+    return t if isinstance(t, tuple) else (t,)
+
+
+def _norm_type(event_type) -> str | tuple:
+    """Normalize a step's type spec: a string stays a string; any other
+    iterable becomes a tuple of alternatives (singletons collapse)."""
+    if isinstance(event_type, str):
+        return event_type
+    t = tuple(event_type)
+    if not t or not all(isinstance(x, str) for x in t):
+        raise CepUnsupportedPattern(
+            "a step needs one event type or a non-empty set of types"
+        )
+    return t[0] if len(t) == 1 else t
+
+
+def _match_col(type_col: str, step: "_Step") -> F.Column:
+    ts = _types(step)
+    if len(ts) == 1:
+        return F.col(type_col) == ts[0]
+    return F.col(type_col).isin(*ts)
 
 
 @dataclass(frozen=True)
@@ -85,15 +112,18 @@ class Pattern:
 
     # -- construction ------------------------------------------------------
     @staticmethod
-    def begin(event_type: str) -> "Pattern":
+    def begin(event_type) -> "Pattern":
+        """First step; accepts one type or a set of alternatives (Flink's
+        composite OR condition), e.g. ``begin(("view", "click"))``."""
         p = Pattern()
-        p.steps.append(_Step(event_type))
+        p.steps.append(_Step(_norm_type(event_type)))
         return p
 
-    def followed_by(self, event_type: str, optional: bool = False) -> "Pattern":
-        """Relaxed contiguity: other events may occur in between."""
+    def followed_by(self, event_type, optional: bool = False) -> "Pattern":
+        """Relaxed contiguity: other events may occur in between. Accepts
+        one type or a set of alternatives."""
         self._check_open()
-        self.steps.append(_Step(event_type, optional=optional))
+        self.steps.append(_Step(_norm_type(event_type), optional=optional))
         return self
 
     def next(self, event_type: str) -> "Pattern":
@@ -105,7 +135,7 @@ class Pattern:
         the prefix step). For 'other events may occur in between', use
         followed_by."""
         self._check_open()
-        self.steps.append(_Step(event_type, strict=True))
+        self.steps.append(_Step(_norm_type(event_type), strict=True))
         return self
 
     def times_or_more(self, n: int, consecutive: bool = True) -> "Pattern":
@@ -167,6 +197,14 @@ class Pattern:
             return s.min_count > 1 or s.max_count is not None
 
         quantified = [s for s in self.steps if _is_quant(s)]
+        if (quantified or self.negation is not None) and any(
+            len(_types(s)) > 1 for s in self.steps
+        ):
+            raise CepUnsupportedPattern(
+                "type alternatives are lowered in the first_match and "
+                "strict_pair shapes only — quantified/negation steps take "
+                "a single type"
+            )
         if quantified:
             if len(quantified) != 1 or not _is_quant(self.steps[0]):
                 raise CepUnsupportedPattern(
@@ -369,7 +407,7 @@ def _lower_first_match(
     frames: list[DataFrame] = []
     for i, step in enumerate(pattern.steps, start=1):
         col = f"t_step{i}"
-        cur = ev.filter(F.col(type_col) == step.event_type)
+        cur = ev.filter(_match_col(type_col, step))
         if acc is not None:
             cur = cur.join(acc, key).filter(F.col(ts) > F.col(f"t_step{i - 1}"))
             if bound is not None:
@@ -420,9 +458,7 @@ def _lower_strict_pair(
         F.lag(F.col(ts)).over(order).alias("prev_ts"),
         F.lag(F.col(id_col)).over(order).alias("prev_id"),
     )
-    cond = (F.col(type_col) == b.event_type) & (
-        F.col("__p_type") == a.event_type
-    )
+    cond = _match_col(type_col, b) & _match_col("__p_type", a)
     if pattern.within_interval is not None:
         bound = F.expr(f"INTERVAL {pattern.within_interval}")
         cond = cond & (F.col(ts) <= F.col("prev_ts") + bound)

@@ -232,6 +232,75 @@ def cep_funnel_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cep_funnel_any",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1c
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type IN ('view', 'click') AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t1c + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    )
+    SELECT
+      u.user_id,
+      CAST(CASE
+        WHEN s3.user_id IS NOT NULL THEN 3
+        WHEN s2.user_id IS NOT NULL THEN 2
+        WHEN s1.user_id IS NOT NULL THEN 1
+        ELSE 0
+      END AS BIGINT) AS funnel_stage
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN s1 ON u.user_id = s1.user_id
+    LEFT JOIN s2 ON u.user_id = s2.user_id
+    LEFT JOIN s3 ON u.user_id = s3.user_id
+    """,
+)
+def cep_funnel_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternation funnel (Flink CEP composite OR conditions, r06c):
+    signup → (view|click) → purchase, each later step within ONE DAY of
+    the user's first signup — 'did the new account engage either way and
+    convert inside day one'. The middle step is a type SET, which the
+    compiler lowers to one isin() filter in the same min-ts chain as
+    cep_funnel_batch (no plan-shape change, no extra shuffle; the
+    alternatives share a single keyed aggregate). Streaming form:
+    make_sequence_state_fn accepts per-step type sets — the same NFA
+    stage advances on any member. Stage distribution on the fixture:
+    55/71/24 across stages 1/2/3."""
+    from flink_realtime_spark.streaming.cep import Pattern, compile_pattern
+
+    wh = Warehouse(spark, sf_dir)
+    ev = wh.events
+    pat = (
+        Pattern.begin("signup")
+        .followed_by(("view", "click"))
+        .followed_by("purchase")
+        .within("1 DAY")
+    )
+    matched = compile_pattern(ev, pat)
+    users = ev.select("user_id").distinct()
+    return users.join(matched, "user_id", "left").select(
+        "user_id",
+        F.when(F.col("t_step3").isNotNull(), 3)
+        .when(F.col("t_step2").isNotNull(), 2)
+        .when(F.col("t_step1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("funnel_stage"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming forms: arbitrary keyed state (the KeyedProcessFunction analog).
 #
@@ -312,7 +381,10 @@ def make_sequence_state_fn(step_types: tuple, within_us: int | None = None):
     event-time semantics (out-of-order events within a batch are sorted
     here; cross-batch stragglers follow arrival order — the documented
     Spark-vs-Flink ordering gap)."""
-    steps = tuple(step_types)
+    # each element: one type or a tuple of alternatives (compiler sets)
+    steps = tuple(
+        s if isinstance(s, tuple) else (s,) for s in step_types
+    )
     n_steps = len(steps)
 
     def sequence_state_fn(key, pdf_iter, state):
@@ -330,7 +402,7 @@ def make_sequence_state_fn(step_types: tuple, within_us: int | None = None):
                 t_us = int(r.ts.value // 1000)
                 if (
                     stage < n_steps
-                    and r.event_type == steps[stage]
+                    and r.event_type in steps[stage]
                     and t_us > last_us
                 ):
                     if stage > 0 and (
@@ -1683,6 +1755,9 @@ def make_adjacency_state_fn(
     previously-adjacent events is adjudicated by arrival, where Flink's
     watermark-sorted NFA would re-order)."""
 
+    a_types = a_type if isinstance(a_type, tuple) else (a_type,)
+    b_types = b_type if isinstance(b_type, tuple) else (b_type,)
+
     def adjacency_state_fn(key, pdf_iter, state):
         import pandas as pd
 
@@ -1698,8 +1773,8 @@ def make_adjacency_state_fn(
                 saw_any = True
                 t_us = int(r.ts.value // 1000)
                 if (
-                    last_type == a_type
-                    and r.event_type == b_type
+                    last_type in a_types
+                    and r.event_type in b_types
                     and (within_us is None or t_us <= last_us + within_us)
                 ):
                     m_prev_id.append(last_id)

@@ -426,6 +426,55 @@ def test_funnel_within_stream_matches_batch(spark):
     assert unbounded["funnel_stage"].sum() > batch["funnel_stage"].sum()
 
 
+def test_stream_funnel_any_matches_batch(spark):
+    """Alternation steps under streaming: the per-step type SET advances
+    the NFA stage on any member, and the final stage per user matches
+    the batch cep_funnel_any chain over a ts-ordered replay."""
+    from flink_realtime_spark.streaming.cep import (
+        Pattern,
+        compile_pattern_stream,
+    )
+    from flink_realtime_spark.streaming.stateful import apply_with_state
+
+    pat = (
+        Pattern.begin("signup")
+        .followed_by(("view", "click"))
+        .followed_by("purchase")
+        .within("1 DAY")
+    )
+    sdf = events_stream(spark, SF_DIR).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    out = apply_with_state(sdf, "user_id", compile_pattern_stream(pat))
+    emitted = run_available_now(out, "append").toPandas()
+    final = emitted.groupby("user_id", sort=True).last().reset_index()
+    batch = (
+        registry.QUERIES["cep_funnel_any"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert final["user_id"].tolist() == batch["user_id"].tolist()
+    assert final["funnel_stage"].tolist() == batch["funnel_stage"].tolist()
+    # the alternation must bite: a single-type middle step reaches fewer
+    # users than the (view|click) set
+    single = (
+        Pattern.begin("signup")
+        .followed_by("view")
+        .followed_by("purchase")
+        .within("1 DAY")
+    )
+    from flink_realtime_spark.streaming.cep import compile_pattern
+    from flink_realtime_spark.tables import Warehouse
+
+    ev = Warehouse(spark, SF_DIR).events
+    n_single = (
+        compile_pattern(ev, single).filter(F.col("t_step2").isNotNull()).count()
+    )
+    n_any = int((batch["funnel_stage"] >= 2).sum())
+    assert n_any > n_single
+
+
 def test_stream_slide_complete_equals_batch(spark):
     """Sliding (hopping) windows under streaming == batch: each event lands
     in size/slide = 2 windows in both modes."""
@@ -2522,9 +2571,28 @@ def test_cep_pattern_compiler_shapes_and_validation(spark):
         lambda: (
             Pattern.begin("a").next("b").followed_by("c")._shape()
         ),  # strict step in a longer chain would be silently relaxed
+        lambda: (
+            Pattern.begin(("a", "b")).times_or_more(2)._shape()
+        ),  # alternation not lowered in quantified shapes
+        lambda: (
+            Pattern.begin(("a", "b"))
+            .followed_by("c")
+            .not_followed_by("d")
+            .within("1 HOUR")
+            ._shape()
+        ),  # alternation not lowered in the negation shape
+        lambda: Pattern.begin(()),  # empty type set
     ):
         with pytest.raises(CepUnsupportedPattern):
             bad()
+
+    # alternation in strict_pair: (click|view) immediately followed by
+    # purchase still finds only user 1's (2, 3) adjacency
+    adj_any = Pattern.begin(("click", "view")).next("purchase")
+    assert [
+        (r.user_id, r.prev_id, r.anchor_id)
+        for r in compile_pattern(ev, adj_any).collect()
+    ] == [(1, 2, 3)]
 
 
 def test_cep_strict_vs_relaxed_anchor(spark):

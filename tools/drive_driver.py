@@ -70,7 +70,7 @@ X100_TIER = [
     "cdc_latest_image", "cdc_scd2_history", "cdc_snapshot_at",
     "cep_funnel_batch", "cep_funnel_within", "cep_error_burst",
     "cep_absence", "cep_retry_then_success", "cep_bounded_burst",
-    "cep_strict_next",
+    "cep_strict_next", "cep_funnel_any",
     "dq_illegal_transitions", "dq_anomaly_zscore",
     # tpch
     "tpch_q1_pricing", "tpch_q3_priority", "tpch_q6_forecast",
