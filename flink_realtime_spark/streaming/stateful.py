@@ -626,6 +626,69 @@ def make_temporal_join_state_fn(version_type: str, fact_type: str):
 temporal_join_state_fn = make_temporal_join_state_fn("click", "purchase")
 
 
+def make_forward_asof_state_fn(fact_type: str, version_type: str):
+    """Streaming twin of join_asof_forward: each fact (click) waits in
+    keyed state for the key's NEXT version (purchase) at-or-after its
+    event time; the version's arrival resolves and flushes every pending
+    fact at once. Facts with no later version stay pending forever —
+    exactly the rows the batch inner join drops, so under
+    order-preserving replay the emitted set EQUALS the batch relation.
+    State is bounded by the facts between two consecutive versions of
+    one key (the same buffer Flink's event-time interval join holds).
+
+    Tie discipline (plans/asof.py reverse scan): a fact ties an equal-ts
+    version (at-or-after is inclusive), so within a batch rows sort
+    (ts, fact-before-version, event_id); among equal-ts versions the
+    smallest id arrives first and takes the flush."""
+
+    def forward_asof_state_fn(key, pdf_iter, state):
+        import pandas as pd
+
+        pend = list(state.get[0]) if state.exists else []
+        user_id = key[0]
+        out_fact, out_vid, out_vval = [], [], []
+        saw_any = False
+        for pdf in pdf_iter:
+            pdf = pdf.assign(
+                __is_ver=(pdf["event_type"] == version_type).astype("int64")
+            ).sort_values(["ts", "__is_ver", "event_id"])
+            for r in pdf.itertuples(index=False):
+                saw_any = True
+                if r.event_type == fact_type:
+                    pend.append(int(r.event_id))
+                elif r.event_type == version_type and pend:
+                    v_id, v_val = int(r.event_id), float(r.value)
+                    out_fact.extend(pend)
+                    out_vid.extend([v_id] * len(pend))
+                    out_vval.extend([v_val] * len(pend))
+                    pend = []
+        if saw_any:
+            state.update((pend,))
+        if out_fact:
+            yield pd.DataFrame(
+                {
+                    "click_id": pd.Series(out_fact, dtype="int64"),
+                    "user_id": pd.Series(
+                        [user_id] * len(out_fact), dtype="int64"
+                    ),
+                    "purchase_id": pd.Series(out_vid, dtype="int64"),
+                    "purchase_value": pd.Series(out_vval, dtype="float64"),
+                }
+            )
+
+    _STATE_SCHEMAS[forward_asof_state_fn] = (
+        "pend ARRAY<LONG>",
+        "click_id LONG, user_id LONG, purchase_id LONG, "
+        "purchase_value DOUBLE",
+    )
+    return forward_asof_state_fn
+
+
+# The canonical forward twin (clicks resolved by the next purchase),
+# matching join_asof_forward.
+forward_asof_state_fn = make_forward_asof_state_fn("click", "purchase")
+
+
 def apply_with_state(
     sdf: DataFrame,
     key: str,

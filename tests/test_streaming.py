@@ -2464,6 +2464,35 @@ def test_temporal_join_stream_matches_batch_asof(spark, chunked_events_dir):
     assert len(batch) > 0
 
 
+def test_forward_asof_stream_matches_batch(spark, chunked_events_dir):
+    """Streaming forward as-of: each click pends in keyed state until the
+    user's next purchase flushes it; under order-preserving replay the
+    emitted set equals the batch join_asof_forward relation exactly —
+    trailing clicks with no later purchase stay pending, which is
+    precisely the batch inner join's dropped set."""
+    from flink_realtime_spark.streaming.stateful import (
+        apply_with_state,
+        forward_asof_state_fn,
+    )
+
+    sdf = file_stream_source(
+        spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    joined = apply_with_state(sdf, "user_id", forward_asof_state_fn)
+    streamed = {
+        (r.click_id, r.user_id, r.purchase_id, r.purchase_value)
+        for r in run_available_now(joined, "append").collect()
+    }
+    batch = {
+        (r.click_id, r.user_id, r.purchase_id, r.purchase_value)
+        for r in registry.QUERIES["join_asof_forward"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
+
+
 def test_cep_pattern_compiler_shapes_and_validation(spark):
     """The pattern compiler supports exactly three lowering shapes and
     rejects everything else at compile time (no silent wrong answers);
