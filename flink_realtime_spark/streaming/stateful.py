@@ -689,6 +689,91 @@ def make_forward_asof_state_fn(fact_type: str, version_type: str):
 forward_asof_state_fn = make_forward_asof_state_fn("click", "purchase")
 
 
+def make_nearest_asof_state_fn(fact_type: str, version_type: str):
+    """Streaming twin of join_asof_nearest, in the engine's
+    provisional-emit + latest-wins-upsert serving pattern (the same
+    Lambda shape win_late_refire uses): a fact emits PROVISIONALLY with
+    its backward version the moment it arrives (rev 0), then pends; the
+    key's next version resolves every pending fact — re-emitting with
+    rev+1 only when the forward delta is STRICTLY smaller (equal deltas
+    prefer backward, matching plans/asof.py's p.ts ASC tie). The
+    max-rev row per fact is the batch nearest relation; a keyed upsert
+    store (sink_upsert_latest) materializes exactly that. Facts whose
+    nearest is the backward version never re-emit; trailing facts with
+    no later version keep their provisional row — both are the batch
+    answer, so the upserted relation equals batch under ordered replay.
+
+    State stays O(pending): every pending fact arrived after the key's
+    latest version, so they all SHARE that version as their backward
+    candidate — one (ts, id, value) triple plus the pending id/ts
+    arrays. An equal-ts version resolves the fact it ties with at
+    forward delta 0 (fact sorts before version), which picks the same
+    purchase the batch plan calls a backward delta-0 match — same row
+    either way."""
+
+    def nearest_asof_state_fn(key, pdf_iter, state):
+        import pandas as pd
+
+        b_ts, b_id, b_val, p_ids, p_ts = (
+            tuple(state.get) if state.exists else (-1, -1, float("nan"), [], [])
+        )
+        p_ids, p_ts = list(p_ids), list(p_ts)
+        user_id = key[0]
+        out = []  # (click_id, purchase_id, purchase_value, rev)
+        saw_any = False
+        for pdf in pdf_iter:
+            pdf = pdf.assign(
+                __is_ver=(pdf["event_type"] == version_type).astype("int64")
+            ).sort_values(["ts", "__is_ver", "event_id"])
+            for r in pdf.itertuples(index=False):
+                saw_any = True
+                t_us = int(r.ts.value // 1000)
+                if r.event_type == fact_type:
+                    if b_id >= 0:
+                        out.append((int(r.event_id), b_id, b_val, 0))
+                    p_ids.append(int(r.event_id))
+                    p_ts.append(t_us)
+                elif r.event_type == version_type:
+                    v_id, v_val = int(r.event_id), float(r.value)
+                    for cid, cts in zip(p_ids, p_ts):
+                        if b_id < 0:
+                            out.append((cid, v_id, v_val, 0))
+                        elif (t_us - cts) < (cts - b_ts):
+                            out.append((cid, v_id, v_val, 1))
+                    p_ids, p_ts = [], []
+                    if t_us > b_ts:
+                        b_ts, b_id, b_val = t_us, v_id, v_val
+        if saw_any:
+            state.update((b_ts, b_id, b_val, p_ids, p_ts))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "click_id": pd.Series([o[0] for o in out], dtype="int64"),
+                    "user_id": pd.Series([user_id] * len(out), dtype="int64"),
+                    "purchase_id": pd.Series(
+                        [o[1] for o in out], dtype="int64"
+                    ),
+                    "purchase_value": pd.Series(
+                        [o[2] for o in out], dtype="float64"
+                    ),
+                    "rev": pd.Series([o[3] for o in out], dtype="int64"),
+                }
+            )
+
+    _STATE_SCHEMAS[nearest_asof_state_fn] = (
+        "b_ts LONG, b_id LONG, b_val DOUBLE, "
+        "p_ids ARRAY<LONG>, p_ts ARRAY<LONG>",
+        "click_id LONG, user_id LONG, purchase_id LONG, "
+        "purchase_value DOUBLE, rev LONG",
+    )
+    return nearest_asof_state_fn
+
+
+# The canonical nearest twin (clicks attached to the time-closest
+# purchase either side), matching join_asof_nearest.
+nearest_asof_state_fn = make_nearest_asof_state_fn("click", "purchase")
+
+
 def apply_with_state(
     sdf: DataFrame,
     key: str,

@@ -2493,6 +2493,43 @@ def test_forward_asof_stream_matches_batch(spark, chunked_events_dir):
     assert len(batch) > 0
 
 
+def test_nearest_asof_stream_upsert_matches_batch(spark, chunked_events_dir):
+    """Streaming nearest as-of in the provisional+correction pattern: the
+    max-rev emission per click (what a latest-wins upsert store keyed on
+    click_id materializes) must equal the batch join_asof_nearest
+    relation exactly — provisional backward rows stand unless a strictly
+    nearer forward purchase re-emits them."""
+    from flink_realtime_spark.streaming.stateful import (
+        apply_with_state,
+        nearest_asof_state_fn,
+    )
+
+    sdf = file_stream_source(
+        spark, chunked_events_dir, EVENTS_DDL, max_files_per_trigger=1
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    emitted = run_available_now(
+        apply_with_state(sdf, "user_id", nearest_asof_state_fn), "append"
+    ).collect()
+    latest = {}
+    for r in emitted:
+        prev = latest.get(r.click_id)
+        if prev is None or r.rev > prev[0]:
+            latest[r.click_id] = (r.rev, r.user_id, r.purchase_id, r.purchase_value)
+    streamed = {
+        (cid, u, pid, pval) for cid, (_, u, pid, pval) in latest.items()
+    }
+    batch = {
+        (r.click_id, r.user_id, r.purchase_id, r.purchase_value)
+        for r in registry.QUERIES["join_asof_nearest"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
+    # the correction path must actually fire on the fixture
+    assert any(r.rev == 1 for r in emitted)
+
+
 def test_cep_pattern_compiler_shapes_and_validation(spark):
     """The pattern compiler supports exactly three lowering shapes and
     rejects everything else at compile time (no silent wrong answers);
