@@ -60,8 +60,9 @@ _loaded = False
 # Round-6 window (VERDICT r5 #1): (a) every key whose plan OR oracle was
 # reworked in r06 after its last driver record goes first — the three
 # CEP keys re-expressed through the streaming/cep.py pattern compiler,
-# and the three as-of keys whose rank oracles were rewritten for the
-# ×100 tier; (b) the three keys NEW this round (cep_retry_then_success /
+# the three as-of keys whose rank oracles were rewritten for the
+# ×100 tier, and llm_dedup_containment (r06c half-space pair join);
+# (b) the three keys NEW this round (cep_retry_then_success /
 # cep_funnel_within — compiler-lowered patterns; llm_knn_ivf_hash —
 # deterministic quantizer, shrinks the rows-only set to 3); (c)
 # cogroup_apply, the single r01-stale key, moved out of the tail for its
@@ -77,6 +78,7 @@ _PRIORITY_HEAD = [
     # rewrites (hash-identical plans, but the driver re-verifies them)
     "cep_funnel_batch", "cep_error_burst", "cep_absence",
     "join_asof_temporal", "join_asof_nearest", "join_asof_forward",
+    "llm_dedup_containment",
     # (b) new in r06
     "cep_retry_then_success", "llm_knn_ivf_hash", "cep_funnel_within",
     "llm_dedup_substring", "cep_bounded_burst", "llm_substring_clean",
@@ -95,7 +97,7 @@ _PRIORITY_HEAD = [
     "scalar_datetime", "cdc_latest_image",
     "llm_dedup_exact", "llm_knn_cosine", "llm_text_stats",
     "pipe_sample_hash", "llm_multimodal_join", "udf_scalar_pandas",
-    "state_rule_engine", "dq_anomaly_zscore", "llm_dup_gram_share",
+    "state_rule_engine", "dq_anomaly_zscore",
 ]
 
 # Streaming-executing / estimator-fit keys with rows-only or property

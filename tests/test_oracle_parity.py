@@ -78,9 +78,10 @@ def test_driver_window_rotation():
     # front: plans/oracles reworked in r06 after their last driver
     # record, then the three keys introduced in r06, then the r01
     # straggler
-    assert window[:16] == [
+    assert window[:17] == [
         "cep_funnel_batch", "cep_error_burst", "cep_absence",
         "join_asof_temporal", "join_asof_nearest", "join_asof_forward",
+        "llm_dedup_containment",
         "cep_retry_then_success", "llm_knn_ivf_hash", "cep_funnel_within",
         "llm_dedup_substring", "cep_bounded_burst", "llm_substring_clean",
         "llm_top_boilerplate", "cep_strict_next", "cep_funnel_any",
