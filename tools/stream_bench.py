@@ -88,6 +88,59 @@ def stateful_main() -> None:
     spark.stop()
 
 
+def asof_main() -> None:
+    """Throughput of the r06c streaming as-of twins: the same replicated
+    replay through temporal (latest-version enrich), forward (pending
+    flush) and nearest (provisional + correction) keyed-state joins —
+    the full event stream is keyed and scanned, facts/versions filtered
+    inside the fn's batch, so events/s is comparable with --stateful."""
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("stream-bench-asof")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    from flink_realtime_spark.streaming.stateful import (
+        apply_with_state,
+        forward_asof_state_fn,
+        nearest_asof_state_fn,
+        temporal_join_state_fn,
+    )
+    from tools.scale_probe import build
+
+    sf_dir = SRC if k == 1 else build(spark, k)
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    n_events = spark.read.parquet(ev_path).count()
+    for name, fn in (
+        ("temporal", temporal_join_state_fn),
+        ("forward", forward_asof_state_fn),
+        ("nearest", nearest_asof_state_fn),
+    ):
+        if os.path.isdir(ev_path):
+            sdf = file_stream_source(spark, ev_path, EVENTS_DDL)
+        else:
+            sdf = file_stream_source(
+                spark, sf_dir, EVENTS_DDL, glob="events.parquet"
+            )
+        out = apply_with_state(
+            sdf.filter(F.col("event_type").isin("click", "purchase")).select(
+                "user_id", "event_id", "ts", "event_type", "value"
+            ),
+            "user_id",
+            fn,
+        )
+        t0 = time.perf_counter()
+        n_out = run_available_now(out, "append").count()
+        dt = time.perf_counter() - t0
+        print(
+            f"asof-{name:<8} {n_events} events in {dt:.2f}s = "
+            f"{n_events / dt / 1e3:.0f}k events/s ({n_out} emissions)",
+            flush=True,
+        )
+    spark.stop()
+
+
 def perrow_main() -> None:
     """Throughput of the PER-ROW-emission state path: the streaming OVER
     mitigation (running_sum_state_fn) emits one enriched row per input
@@ -294,6 +347,10 @@ def main() -> None:
     if "--perrow" in sys.argv:
         sys.argv.remove("--perrow")
         perrow_main()
+        return
+    if "--asof" in sys.argv:
+        sys.argv.remove("--asof")
+        asof_main()
         return
     if "--stateful" in sys.argv:
         sys.argv.remove("--stateful")
