@@ -341,19 +341,23 @@ def corpus_scale(spark, ks) -> None:
     blow-up hiding somewhere."""
     for k in ks:
         sf_dir = SRC if k == 1 else build_distinct_docs(spark, k)
-        for key in (
-            "llm_dedup_exact",
-            "llm_dedup_minhash",
-            "llm_dedup_ngram_jaccard",
-            "llm_dup_gram_share",
-            "llm_dedup_substring",
-            "llm_text_stats",
-        ):
+        for key in _CORPUS_KEYS:
             t0 = time.perf_counter()
             n = registry.QUERIES[key](spark, sf_dir).count()
             dt = time.perf_counter() - t0
             print(f"grow×{k:<3} {key:<24} {dt:6.2f}s  ({n} out rows)")
             _release(spark)
+
+
+_CORPUS_KEYS = (
+    "llm_dedup_exact",
+    "llm_dedup_minhash",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_containment",  # r06c: shares the posting-join growth shape
+    "llm_dup_gram_share",
+    "llm_dedup_substring",
+    "llm_text_stats",
+)
 
 
 def ingest_stress(spark, k: int, n_batches: int) -> None:
