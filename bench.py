@@ -62,6 +62,11 @@ HEADLINE = [
     "cep_retry_then_success",
     "llm_knn_ivf_hash",
     "llm_dedup_substring",
+    # r06c additions: the cheapest CEP shape (one LAG pass — a plan
+    # regression here means WindowExec machinery drift) and the
+    # asymmetric containment dedup (posting-join family's directed form)
+    "cep_strict_next",
+    "llm_dedup_containment",
     # streaming-executing keys: these run a real availableNow streaming
     # job (checkpoint + micro-batch scheduling + sink), reported both
     # per-key and as a separate stream-exec subtotal since their wall is
