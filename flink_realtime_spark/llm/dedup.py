@@ -1618,7 +1618,14 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     → 47.6 s; the gain is bounded because shingle construction, not the
     pair join, dominates this corpus — but the halved aggregate state is
     what matters on a dup-heavy one). The oracle's <> join is unchanged —
-    identical directed output."""
+    identical directed output.
+
+    Dup-heavy caveat (measured, SCALE.md): on k-clique corpora the
+    posting join emits k² fully-overlapping candidates per clique
+    (dup×10 25.6 s; dup×100 >10 min) — route such corpora through
+    exact-collapse FIRST (llm_dedup_two_stage's ordering) and run
+    containment over representatives; exact duplicates are containment
+    1.0 trivially, so the collapse loses nothing."""
     wh = Warehouse(spark, sf_dir)
     sh = (
         _with_shingles(wh.documents.select("doc_id", "text"))

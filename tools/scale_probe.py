@@ -397,7 +397,23 @@ def ingest_stress(spark, k: int, n_batches: int) -> None:
 def dedup_stress(spark, ks) -> None:
     for k in ks:
         sf_dir = SRC if k == 1 else build_dup_docs(spark, k)
-        for key in ("llm_dedup_exact", "llm_dedup_minhash", "llm_dedup_cluster", "llm_dedup_two_stage", "llm_dedup_substring"):
+        keys = [
+            "llm_dedup_exact",
+            "llm_dedup_minhash",
+            "llm_dedup_cluster",
+            "llm_dedup_two_stage",
+            "llm_dedup_substring",
+        ]
+        if k <= 10:
+            # r06c: directed containment — on k-cliques the posting join
+            # emits k² fully-overlapping candidates per group (25.6 s at
+            # dup×10; >10 min at dup×100), the same quadratic shape that
+            # keeps ngram_jaccard out of this tier. The production
+            # routing for dup-heavy corpora is exact-collapse FIRST
+            # (llm_dedup_two_stage's ordering), then containment over
+            # representatives.
+            keys.append("llm_dedup_containment")
+        for key in keys:
             t0 = time.perf_counter()
             df = registry.QUERIES[key](spark, sf_dir)
             n = df.count()
