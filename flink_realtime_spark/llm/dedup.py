@@ -1611,24 +1611,151 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup policy drops the contained copy and keeps the superset
     document.
 
-    Plan (r06c): the posting self-join runs on the a < b HALF-SPACE —
-    shared counts are direction-free, so both directed rows derive from
-    ONE unordered pair via a size join + union, halving the pair shuffle
-    and the aggregate state vs the r04 `!=` join (grow100 probe: 55.2 s
-    → 47.6 s; the gain is bounded because shingle construction, not the
-    pair join, dominates this corpus — but the halved aggregate state is
-    what matters on a dup-heavy one). The oracle's <> join is unchanged —
-    identical directed output.
-
-    Dup-heavy caveat (measured, SCALE.md): on k-clique corpora the
-    posting join emits k² fully-overlapping candidates per clique
-    (dup×10 25.6 s; dup×100 >10 min) — route such corpora through
-    exact-collapse FIRST (llm_dedup_two_stage's ordering) and run
-    containment over representatives; exact duplicates are containment
-    1.0 trivially, so the collapse loses nothing."""
+    The physical plan is PICKED by a cheap exact-dup probe
+    (containment_pairs below, the _pick_ngram_mode pattern): organic
+    corpora run the half-space posting join directly; duplicate-heavy
+    corpora (mirrors/reposts — k-clique groups whose posting join emits
+    k²·|sh| candidate gram rows per clique) collapse exact duplicates
+    first, run containment over one representative per group, and expand
+    — exact duplicates share their whole shingle set, so every expanded
+    pair carries the representative's exact containment and within-group
+    pairs are containment 1.0 by definition. Identical directed output,
+    measured k²·|sh| → k² (the k² is the answer itself)."""
     wh = Warehouse(spark, sf_dir)
+    return containment_pairs(wh.documents.select("doc_id", "text"))
+
+
+# Exact-dup routing crossover (r07, VERDICT r6 #2): collapse iff the
+# k-clique pair mass Σ k(k-1) rivals the corpus size — below that the
+# collapse's extra text-hash shuffle + expansion joins cost more than the
+# redundant posting work they remove (measured, tools/scale_probe.py
+# --dedup: dup×10 flat 25.6 s vs collapse ~7 s; dup×100 flat >10 min vs
+# collapse ~17 s; organic sf0.1 dup_pairs = 0 stays flat).
+_CONTAIN_COLLAPSE_CROSSOVER = 1.0
+
+
+def _pick_containment_mode(n_docs: float, dup_pairs: float) -> str:
+    """flat vs collapse from the exact-dup probe scalars (pure,
+    unit-tested): collapse iff directed exact-dup pairs Σ k(k-1) reach
+    the corpus size (dup mass ~sqrt-scale or denser)."""
+    if dup_pairs >= _CONTAIN_COLLAPSE_CROSSOVER * max(n_docs, 1.0):
+        return "collapse"
+    return "flat"
+
+
+def containment_pairs(docs: DataFrame, mode: str = "auto") -> DataFrame:
+    """Directed containment pairs (|A∩B|/|A| ≥ 0.8) over
+    ``docs(doc_id, text)`` with a dup-rate-chosen physical plan:
+
+    - ``flat``: the r06c half-space posting join, right for organic
+      corpora (near-dup pairs are sparse).
+    - ``collapse``: exact-collapse on the normalized text hash →
+      flat containment over one representative per group → expand.
+      Within a group every ordered pair is containment 1.0 (identical
+      normalized text ⇒ identical shingle SET ⇒ shared = n_self);
+      across groups the representative's containment is every member
+      pair's containment for the same reason. Groups whose docs have
+      <3 normalized words have empty shingle sets and emit nothing,
+      exactly as the flat plan (they never enter the postings).
+    - ``auto``: one two-phase aggregate over xxhash64(normalized text)
+      yields (n_docs, Σ k(k-1)); _pick_containment_mode routes. O(1)
+      driver data, same pattern as ngram-jaccard's df-skew probe.
+
+    Both plans return the identical directed pair set with bit-identical
+    containment doubles (same shared/n_self integer division)."""
+    th = docs.select(
+        "doc_id", F.xxhash64(F.expr(_NORM_SPARK)).alias("th")
+    )
+    if mode == "auto":
+        stats = (
+            th.groupBy("th")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .agg(
+                F.sum("k").alias("n"),
+                F.sum(F.col("k") * (F.col("k") - 1)).alias("dup_pairs"),
+            )
+            .collect()[0]
+        )
+        mode = _pick_containment_mode(
+            float(stats["n"] or 0), float(stats["dup_pairs"] or 0)
+        )
+    if mode == "flat":
+        return _containment_flat(docs)
+    if mode != "collapse":
+        raise ValueError(f"unknown containment mode {mode!r}")
+    members = th.localCheckpoint(eager=False)  # feeds reps + 3 expansions
+    groups = members.groupBy("th").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("k")
+    )
+    rep_docs = docs.join(
+        groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+    )
+    rep_pairs = _containment_flat(rep_docs)
+    rep_th = groups.select("rep", "th")
+    # cross-group expansion: each directed representative pair fans out to
+    # every (member of contained group, member of container group)
+    expanded = (
+        rep_pairs.join(
+            rep_th.withColumnsRenamed({"rep": "contained_doc", "th": "th_a"}),
+            "contained_doc",
+        )
+        .join(
+            rep_th.withColumnsRenamed({"rep": "container_doc", "th": "th_b"}),
+            "container_doc",
+        )
+        .join(
+            members.withColumnsRenamed({"th": "th_a", "doc_id": "m_a"}),
+            "th_a",
+        )
+        .join(
+            members.withColumnsRenamed({"th": "th_b", "doc_id": "m_b"}),
+            "th_b",
+        )
+        .select(
+            F.col("m_a").alias("contained_doc"),
+            F.col("m_b").alias("container_doc"),
+            "containment",
+        )
+    )
+    # within-group pairs: only groups with a non-empty shingle set (>= 3
+    # normalized words) ever reach the postings in the flat plan
+    elig = (
+        docs.join(
+            groups.filter(F.col("k") >= 2).select(
+                F.col("rep").alias("doc_id"), "th"
+            ),
+            "doc_id",
+        )
+        .filter(F.size(F.split(F.expr(_NORM_SPARK), " ")) >= 3)
+        .select("th")
+    )
+    em = members.join(elig, "th", "left_semi")
+    within = (
+        em.alias("x")
+        .join(
+            em.alias("y"),
+            (F.col("x.th") == F.col("y.th"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("contained_doc"),
+            F.col("y.doc_id").alias("container_doc"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return expanded.unionAll(within)
+
+
+def _containment_flat(docs: DataFrame) -> DataFrame:
+    """The r06c half-space posting join: the a < b self-join derives BOTH
+    directed rows from ONE unordered pair via a size join + union,
+    halving the pair shuffle and the aggregate state vs the r04 `!=`
+    join (grow100 probe: 55.2 s → 47.6 s; the gain is bounded because
+    shingle construction, not the pair join, dominates that corpus — but
+    the halved aggregate state is what matters on a dup-heavy one). The
+    oracle's <> join is unchanged — identical directed output."""
     sh = (
-        _with_shingles(wh.documents.select("doc_id", "text"))
+        _with_shingles(docs.select("doc_id", "text"))
         .select("doc_id", "sh")  # <3-word docs already dropped upstream
     )
     sh = sh.localCheckpoint(eager=False)
@@ -1823,9 +1950,13 @@ def duplicated_spans(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
        gaps-and-islands pass (new island exactly when an offset starts
        after the running end), one WindowExec per doc partition.
 
-    A boilerplate mega-gram makes one hot hash partition in step 1; the
-    count cap is ">= 2", so at scale the window becomes a two-phase
-    partial count (same bound as the ngram-jaccard df prune)."""
+    Both duplicate counts run as groupBy().count() two-phase aggregates
+    (map-side partial combine) semi-joined back, NOT as counts over
+    Window.partitionBy(hash): the window form ships every occurrence of
+    a boilerplate mega-gram to ONE partition and sorts it there, and
+    window partitions cannot be split; the aggregate counts the hot gram
+    distributed, and the semi-join back is a sort-merge AQE's skew
+    handling can split (r07, ADVICE r6)."""
     base = docs.filter(F.length("text") >= L)
     g = base.select(
         "doc_id",
@@ -1838,10 +1969,17 @@ def duplicated_spans(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
         "p",
         F.xxhash64(F.expr(f"substring(text, p + 1, {L})")).alias("gh"),
     )
-    cand = (
-        g.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("gh")))
+    # dup_gh sits above an aggregate (underestimated) and scales with the
+    # corpus's dup rate — merge hint for the same bounded-memory rationale
+    # as the text join below.
+    dup_gh = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= 2)
-        .select("doc_id", "n_chars", "p")
+        .select("gh")
+    )
+    cand = g.join(dup_gh.hint("merge"), "gh", "left_semi").select(
+        "doc_id", "n_chars", "p"
     )
     # merge hint: cand sits above a Generate (the offset explode) whose
     # row count Catalyst underestimates at the SCAN's cardinality, so on
@@ -1855,10 +1993,14 @@ def duplicated_spans(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
         "p",
         F.expr(f"substring(text, p + 1, {L})").alias("gram"),
     )
-    dup = (
-        cg.withColumn("c2", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+    dup_gram = (
+        cg.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c2"))
         .filter(F.col("c2") >= 2)
-        .select("doc_id", "n_chars", "p")
+        .select("gram")
+    )
+    dup = cg.join(dup_gram.hint("merge"), "gram", "left_semi").select(
+        "doc_id", "n_chars", "p"
     )
     w = Window.partitionBy("doc_id").orderBy("p")
     isl = dup.withColumn(
@@ -1936,7 +2078,7 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.count(F.lit(1))).alias("n_spans"),
         bigint(F.sum(F.col("e0") - F.col("s0"))).alias("dup_chars"),
         bigint(
-            F.expr(f"(sum(e0 - s0) * 10000) div min(n_chars)")
+            F.expr("(sum(e0 - s0) * 10000) div min(n_chars)")
         ).alias("dup_bps"),
     )
 

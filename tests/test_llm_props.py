@@ -86,6 +86,56 @@ def test_ngram_jaccard_modes_identical(spark, planted_pairs):
         assert {(a, b) for a, b, _ in posting} >= planted_pairs or corpus is not docs
 
 
+def test_containment_mode_crossover_rule():
+    """The exact-dup decision function routes every measured corpus the
+    way the wall-clock says (tools/scale_probe.py --dedup, SCALE.md r07):
+    organic corpora stay flat, k-clique dup corpora collapse."""
+    from flink_realtime_spark.llm.dedup import _pick_containment_mode
+
+    # (n_docs, dup_pairs = Σ k(k-1)) per corpus
+    assert _pick_containment_mode(5_000, 0) == "flat"  # organic sf0.1
+    assert _pick_containment_mode(5_000, 40) == "flat"  # a few mirrors
+    assert _pick_containment_mode(50_000, 450_000) == "collapse"  # dup×10
+    assert (
+        _pick_containment_mode(500_000, 49_500_000) == "collapse"
+    )  # dup×100
+
+
+def test_containment_modes_identical(spark):
+    """The flat half-space posting join and the exact-collapse route must
+    emit the IDENTICAL directed pair set with identical containment
+    values on a dup-planted corpus (every 7th doc replicated ×3 →
+    k-clique groups on top of the organic cross pairs, plus a duplicated
+    <3-word doc whose empty shingle set must emit nothing from either
+    plan)."""
+    from flink_realtime_spark.llm.dedup import containment_pairs
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    trip = docs.filter(F.col("doc_id") % 7 == 0)
+    tiny = docs.sparkSession.createDataFrame(
+        [(9_000_000, "hi there"), (9_000_001, "hi there")],
+        "doc_id long, text string",
+    )
+    corpus = (
+        docs.unionByName(trip.withColumn("doc_id", F.col("doc_id") + n))
+        .unionByName(trip.withColumn("doc_id", F.col("doc_id") + 2 * n))
+        .unionByName(tiny)
+    )
+    out = {}
+    for mode in ("flat", "collapse"):
+        out[mode] = {
+            (r.contained_doc, r.container_doc, round(r.containment, 12))
+            for r in containment_pairs(corpus, mode).collect()
+        }
+    assert out["flat"] == out["collapse"]
+    assert len(out["flat"]) > 0
+    clique = {p for p in out["flat"] if p[0] % n == p[1] % n and p[2] == 1.0}
+    # every replicated doc forms a 3-clique: 6 directed pairs per group
+    assert len(clique) >= 6 * trip.count()
+    assert not any(p[0] >= 9_000_000 or p[1] >= 9_000_000 for p in out["flat"])
+
+
 @pytest.mark.parametrize("key", ["llm_dedup_minhash", "llm_dedup_minhash_ml"])
 def test_minhash_finds_planted_pairs(spark, planted_pairs, key):
     got = {

@@ -403,16 +403,14 @@ def dedup_stress(spark, ks) -> None:
             "llm_dedup_cluster",
             "llm_dedup_two_stage",
             "llm_dedup_substring",
+            # r07: containment routes dup-heavy corpora in-operator
+            # (exact-collapse → representatives → expand; containment_pairs
+            # "auto"), so it runs this tier at every k — the r06 flat plan
+            # emitted k²·|sh| candidate gram rows per clique (25.6 s at
+            # dup×10; >10 min at dup×100, where the collapse route answers
+            # in seconds; numbers in SCALE.md r07).
+            "llm_dedup_containment",
         ]
-        if k <= 10:
-            # r06c: directed containment — on k-cliques the posting join
-            # emits k² fully-overlapping candidates per group (25.6 s at
-            # dup×10; >10 min at dup×100), the same quadratic shape that
-            # keeps ngram_jaccard out of this tier. The production
-            # routing for dup-heavy corpora is exact-collapse FIRST
-            # (llm_dedup_two_stage's ordering), then containment over
-            # representatives.
-            keys.append("llm_dedup_containment")
         for key in keys:
             t0 = time.perf_counter()
             df = registry.QUERIES[key](spark, sf_dir)
