@@ -57,47 +57,44 @@ _loaded = False
 # round's first 50 rotates to keys no prior CORRECTNESS_r*.json sampled
 # (after r05, EVERY oracle key has a green record — the game is now
 # freshness, stalest first).
-# Round-6 window (VERDICT r5 #1): (a) every key whose plan OR oracle was
-# reworked in r06 after its last driver record goes first — the three
-# CEP keys re-expressed through the streaming/cep.py pattern compiler,
-# the three as-of keys whose rank oracles were rewritten for the
-# ×100 tier, and llm_dedup_containment (r06c half-space pair join);
-# (b) the three keys NEW this round (cep_retry_then_success /
-# cep_funnel_within — compiler-lowered patterns; llm_knn_ivf_hash —
-# deterministic quantizer, shrinks the rows-only set to 3); (c)
-# cogroup_apply, the single r01-stale key, moved out of the tail for its
-# refresh (it has an oracle and VERDICT r3 exempts nothing for
-# slowness); (d) refresh slots for the r02-stale cohort in its
-# CORRECTNESS_r02 record order — the keys that don't fit (win_late_drop,
-# win_topn, win_dedup, over_lag_lead, over_moving_avg, over_time_range,
-# scalar_math, scalar_array, ads_session_stats, ads_pareto_share,
-# agg_histogram, plus the keys the r06b/r06c additions displaced:
-# win_session, win_slide, tpch_q1_pricing) lead the r07 stale pool.
+# Round-7 window (VERDICT r6 #1): (a) the four keys whose plans were
+# reworked in r07 after their r06 record go first — llm_dedup_containment
+# (in-operator exact-dup routing, containment_pairs mode="auto") and the
+# three substring-family keys whose shared duplicated_spans step moved
+# from Window.partitionBy(hash) counts to two-phase groupBy aggregates;
+# (b) the 15 r02-stale keys, in CORRECTNESS_r02 record order — after a
+# green r07 no oracle key's latest record is older than r03;
+# (c) the first 31 of the 45-key r03 cohort, in CORRECTNESS_r03 record
+# order. The 14 r03 keys that don't fit (over_running_sum,
+# over_event_transitions, over_pct_of_total, win_cumulate,
+# win_late_side_output, win_tumble_offset, join_window_tvf,
+# win_session_dynamic, udaf_grouped_pandas, udtf_split_rows,
+# state_new_visitor, state_timeout_alert, cdc_apply_changelog,
+# cdc_scd2_history) lead the r08 refresh pool.
 _PRIORITY_HEAD = [
-    # (a) reworked in r06: CEP compiler re-expressions + as-of oracle
-    # rewrites (hash-identical plans, but the driver re-verifies them)
-    "cep_funnel_batch", "cep_error_burst", "cep_absence",
-    "join_asof_temporal", "join_asof_nearest", "join_asof_forward",
-    "llm_dedup_containment",
-    # (b) new in r06
-    "cep_retry_then_success", "llm_knn_ivf_hash", "cep_funnel_within",
-    "llm_dedup_substring", "cep_bounded_burst", "llm_substring_clean",
-    "llm_top_boilerplate", "cep_strict_next", "cep_funnel_any",
-    # (c) the one r01-stale key
-    "cogroup_apply",
-    # (d) r02-stale refresh, in CORRECTNESS_r02 order (join_asof_temporal
-    # already fronted above)
-    "filter_predicates", "flatmap_explode", "dedup_exact",
-    "setop_union_all", "sort_multi_key", "sort_topk",
-    "join_inner_equi", "join_outer_left", "join_semi", "join_anti",
-    "join_dim_broadcast", "join_interval_time", "join_theta_range",
-    "join_range_binned", "subq_lateral_topn",
-    "agg_star_flagship", "agg_groupby_basic", "agg_rollup", "agg_pivot",
-    "tpch_q6_forecast", "agg_max_by", "win_tumble", "over_ranking",
-    "scalar_datetime", "cdc_latest_image",
-    "llm_dedup_exact", "llm_knn_cosine", "llm_text_stats",
-    "pipe_sample_hash", "llm_multimodal_join", "udf_scalar_pandas",
-    "state_rule_engine", "dq_anomaly_zscore",
+    # (a) reworked in r07 (containment auto-routing; duplicated_spans
+    # two-phase duplicate-gram prune feeds the three substring keys)
+    "llm_dedup_containment", "llm_dedup_substring",
+    "llm_substring_clean", "llm_top_boilerplate",
+    # (b) r02-stale refresh, in CORRECTNESS_r02 order
+    "llm_dup_gram_share", "agg_histogram", "ads_session_stats",
+    "ads_pareto_share", "tpch_q1_pricing", "win_slide", "win_session",
+    "win_late_drop", "win_topn", "win_dedup", "over_lag_lead",
+    "over_moving_avg", "over_time_range", "scalar_math", "scalar_array",
+    # (c) r03 refresh, in CORRECTNESS_r03 order
+    "agg_approx_distinct", "agg_uv_sketch_rollup",
+    "ads_stickiness_dau_wau", "llm_collocation_lift",
+    "llm_dedup_incremental", "llm_dedup_editdist",
+    "scalar_string", "scalar_map", "scalar_json_props", "scalar_bitwise",
+    "scalar_url", "scalar_variant", "scalar_encode",
+    "dwd_clean_route", "dwd_try_safety",
+    "agg_bool_family", "agg_approx_quantile", "agg_funnel_window",
+    "agg_freq_items",
+    "ads_audience_overlap", "ads_new_vs_returning", "ads_time_to_convert",
+    "ads_heatmap_hour_dow", "ads_gap_fill_ffill",
+    "dq_integrity_checks", "dq_gap_detection", "dq_illegal_transitions",
+    "dq_drift_chi2",
+    "over_streak_detection", "over_topn_pergroup", "over_value_fns",
 ]
 
 # Streaming-executing / estimator-fit keys with rows-only or property

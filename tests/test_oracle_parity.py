@@ -44,12 +44,12 @@ def test_entry_smoke(spark):
 
 def test_driver_window_rotation():
     """The driver checks exactly the FIRST 50 keys of ordered_queries()
-    per round (CLAUDE.md "Driver sampling"). Lock the round-6 contract
-    (VERDICT r5 #1): keys whose plan or oracle was reworked in r06 lead
-    the window, the two new keys follow, every never-driver-sampled
-    oracle key is inside it, and the remaining slots refresh only the
-    stalest evidence (the one r01 key, then the r02 cohort) — no slot is
-    wasted re-sampling fresh records."""
+    per round (CLAUDE.md "Driver sampling"). Lock the round-7 contract
+    (VERDICT r6 #1): the keys whose plans were reworked in r07 lead the
+    window, every never-driver-sampled oracle key is inside it, and the
+    remaining slots refresh only the stalest evidence (the 15 r02-vintage
+    records, then the r03 cohort) — no slot is wasted re-sampling fresh
+    records."""
     import json
     import os
 
@@ -57,14 +57,15 @@ def test_driver_window_rotation():
     latest: dict[str, int] = {}
     # Deliberately pinned to the records the CURRENT rotation was built
     # against — extend this tuple together with each _PRIORITY_HEAD
-    # rotation (next round: add r06 and re-rotate onto the 7 spilled
-    # r02-stale keys + the r03 cohort).
+    # rotation (next round: add r07 and re-rotate onto the 14 leftover
+    # r03 keys + the r04 cohort).
     for rnd, rec in (
         (1, "CORRECTNESS_r01.json"),
         (2, "CORRECTNESS_r02.json"),
         (3, "CORRECTNESS_r03.json"),
         (4, "CORRECTNESS_r04.json"),
         (5, "CORRECTNESS_r05.json"),
+        (6, "CORRECTNESS_r06.json"),
     ):
         path = os.path.join(root, rec)
         if os.path.isfile(path):
@@ -75,27 +76,28 @@ def test_driver_window_rotation():
         pytest.skip("no prior CORRECTNESS records in this checkout")
     ordered = list(registry.ordered_queries())
     window = ordered[:50]
-    # front: plans/oracles reworked in r06 after their last driver
-    # record, then the three keys introduced in r06, then the r01
-    # straggler
-    assert window[:17] == [
-        "cep_funnel_batch", "cep_error_burst", "cep_absence",
-        "join_asof_temporal", "join_asof_nearest", "join_asof_forward",
-        "llm_dedup_containment",
-        "cep_retry_then_success", "llm_knn_ivf_hash", "cep_funnel_within",
-        "llm_dedup_substring", "cep_bounded_burst", "llm_substring_clean",
-        "llm_top_boilerplate", "cep_strict_next", "cep_funnel_any",
-        "cogroup_apply",
+    # front: plans reworked in r07 after their r06 record (containment
+    # auto-routing; duplicated_spans two-phase prune under the three
+    # substring keys)
+    assert window[:4] == [
+        "llm_dedup_containment", "llm_dedup_substring",
+        "llm_substring_clean", "llm_top_boilerplate",
     ]
     # every oracle key with no driver record yet is in the window
     never = [
         k for k in ordered if k not in latest and k in registry.ORACLES
     ]
     assert set(never) <= set(window), sorted(set(never) - set(window))
-    # beyond the reworked/new front, a previously-sampled key may occupy
-    # a slot only to refresh the stalest (r01/r02) evidence
-    stale_ok = [k for k in window[10:] if latest.get(k) not in (None, 1, 2)]
+    # beyond the reworked front, a previously-sampled key may occupy a
+    # slot only to refresh the stalest (r02/r03) evidence
+    stale_ok = [k for k in window[4:] if latest.get(k) not in (None, 2, 3)]
     assert stale_ok == [], stale_ok
+    # after a green r07 no oracle key's latest record is older than r03:
+    # every r02-vintage key must be inside this window
+    r02_stale = [k for k, r in latest.items() if r == 2]
+    assert set(r02_stale) <= set(window), sorted(
+        set(r02_stale) - set(window)
+    )
 
 
 _ASOF_RANK_SPECS = {
