@@ -703,21 +703,37 @@ def make_nearest_asof_state_fn(fact_type: str, version_type: str):
     no later version keep their provisional row — both are the batch
     answer, so the upserted relation equals batch under ordered replay.
 
-    State stays O(pending): every pending fact arrived after the key's
-    latest version, so they all SHARE that version as their backward
-    candidate — one (ts, id, value) triple plus the pending id/ts
-    arrays. An equal-ts version resolves the fact it ties with at
-    forward delta 0 (fact sorts before version), which picks the same
-    purchase the batch plan calls a backward delta-0 match — same row
-    either way."""
+    Each pending fact carries its own (best_delta, rev) in state, so a
+    version arriving in ANY later batch — including an event-time
+    STRAGGLER older than the fact — issues a further rev+1 correction
+    whenever it is strictly nearer; deltas are absolute, so a straggler
+    can no longer mis-consume the pending set the way the r06 flush-once
+    form did (ADVICE r6). A fact retires from state once the maximum
+    version timestamp seen reaches its own: by then best ≤ that forward
+    delta, and every FUTURE in-order version is farther, so its match is
+    settled — the state bound stays O(facts since the latest version).
+    The residual (documented) gap: a straggler landing nearer to an
+    already-settled fact is not re-opened; unbounded state would be the
+    price of catching it.
+
+    Tie discipline: equal deltas never correct (strict ``<``), so
+    backward wins an equidistant pair and the EARLIER of two equidistant
+    forward versions keeps the match — plans/asof.py's p.ts ASC tie. An
+    equal-ts version resolves the fact it ties with at forward delta 0
+    (fact sorts before version), which picks the same purchase the
+    batch plan calls a backward delta-0 match — same row either way."""
+
+    _NO_BEST = 1 << 62  # pending fact with no candidate match yet
 
     def nearest_asof_state_fn(key, pdf_iter, state):
         import pandas as pd
 
-        b_ts, b_id, b_val, p_ids, p_ts = (
-            tuple(state.get) if state.exists else (-1, -1, float("nan"), [], [])
+        b_ts, b_id, b_val, p_ids, p_ts, p_best, p_rev = (
+            tuple(state.get)
+            if state.exists
+            else (-1, -1, float("nan"), [], [], [], [])
         )
-        p_ids, p_ts = list(p_ids), list(p_ts)
+        pend = [list(t) for t in zip(p_ids, p_ts, p_best, p_rev)]
         user_id = key[0]
         out = []  # (click_id, purchase_id, purchase_value, rev)
         saw_any = False
@@ -731,20 +747,36 @@ def make_nearest_asof_state_fn(fact_type: str, version_type: str):
                 if r.event_type == fact_type:
                     if b_id >= 0:
                         out.append((int(r.event_id), b_id, b_val, 0))
-                    p_ids.append(int(r.event_id))
-                    p_ts.append(t_us)
+                        best, rev = abs(t_us - b_ts), 0
+                    else:
+                        best, rev = _NO_BEST, -1
+                    if t_us > b_ts:
+                        pend.append([int(r.event_id), t_us, best, rev])
+                    # else settled on arrival: the latest version is
+                    # at-or-after this fact, so best ≤ every future
+                    # in-order forward delta already
                 elif r.event_type == version_type:
                     v_id, v_val = int(r.event_id), float(r.value)
-                    for cid, cts in zip(p_ids, p_ts):
-                        if b_id < 0:
-                            out.append((cid, v_id, v_val, 0))
-                        elif (t_us - cts) < (cts - b_ts):
-                            out.append((cid, v_id, v_val, 1))
-                    p_ids, p_ts = [], []
+                    for f in pend:
+                        d = abs(t_us - f[1])
+                        if d < f[2]:
+                            f[2], f[3] = d, f[3] + 1
+                            out.append((f[0], v_id, v_val, f[3]))
                     if t_us > b_ts:
                         b_ts, b_id, b_val = t_us, v_id, v_val
+                    pend = [f for f in pend if f[1] > b_ts]
         if saw_any:
-            state.update((b_ts, b_id, b_val, p_ids, p_ts))
+            state.update(
+                (
+                    b_ts,
+                    b_id,
+                    b_val,
+                    [f[0] for f in pend],
+                    [f[1] for f in pend],
+                    [f[2] for f in pend],
+                    [f[3] for f in pend],
+                )
+            )
         if out:
             yield pd.DataFrame(
                 {
@@ -762,7 +794,8 @@ def make_nearest_asof_state_fn(fact_type: str, version_type: str):
 
     _STATE_SCHEMAS[nearest_asof_state_fn] = (
         "b_ts LONG, b_id LONG, b_val DOUBLE, "
-        "p_ids ARRAY<LONG>, p_ts ARRAY<LONG>",
+        "p_ids ARRAY<LONG>, p_ts ARRAY<LONG>, "
+        "p_best ARRAY<LONG>, p_rev ARRAY<LONG>",
         "click_id LONG, user_id LONG, purchase_id LONG, "
         "purchase_value DOUBLE, rev LONG",
     )
