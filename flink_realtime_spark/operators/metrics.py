@@ -546,19 +546,26 @@ def dq_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ads_pareto_share",
     """
+    -- every decimal→double routes VIA STRING (exprs.dsum_sql rationale):
+    -- at ×1000 facts cum_rev carries ~17 significant digits, where
+    -- DuckDB's direct CAST(DECIMAL AS DOUBLE) double-rounds 1 ulp off
+    -- Spark's correctly-rounded BigDecimal cast (caught by the r07
+    -- ×1000-tier widening; sf0.01–×100 magnitudes masked it)
     WITH cust AS (
       SELECT o_custkey,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING)
+               AS DOUBLE) AS rev
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (
       SELECT o_custkey, rev,
         CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS BIGINT)
           AS rnk,
-        CAST(SUM(CAST(rev AS DECIMAL(18,4))) OVER (
+        CAST(CAST(SUM(CAST(rev AS DECIMAL(18,4))) OVER (
           ORDER BY rev DESC, o_custkey ROWS UNBOUNDED PRECEDING
-        ) AS DOUBLE) AS cum_rev,
-        CAST(SUM(CAST(rev AS DECIMAL(18,4))) OVER () AS DOUBLE) AS total_rev
+        ) AS STRING) AS DOUBLE) AS cum_rev,
+        CAST(CAST(SUM(CAST(rev AS DECIMAL(18,4))) OVER () AS STRING)
+          AS DOUBLE) AS total_rev
       FROM cust
     )
     SELECT o_custkey, rev, rnk,

@@ -94,6 +94,16 @@ X1000_TIER = [
     "tpch_q1_pricing", "tpch_q6_forecast",
     "win_tumble", "sort_topk", "over_topn_pergroup",
     "ads_daily_uv_pv", "ads_gmv_dashboard", "ads_heatmap_hour_dow",
+    # r07 widening (VERDICT r6 #3): more small-output / linear-oracle
+    # keys — aggregate boards over the replicated facts whose result
+    # cardinality is bounded by the fixed time range or dim domain, not
+    # by the fact count. ads_time_to_convert stays OUT for the same
+    # reason as the ×100 tier: its per-user click×purchase interval
+    # pairing fans out ×k² under fact replication (same user/ts, new
+    # ids), which is a corpus-shape artifact, not an engine limit.
+    "win_topn", "dq_anomaly_zscore", "agg_max_by", "tpch_q12_late_lines",
+    "agg_retention", "agg_histogram", "ads_retention_cohort", "agg_pivot",
+    "tpch_q13_custdist", "ads_pareto_share",
 ]
 
 
