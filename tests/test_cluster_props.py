@@ -15,6 +15,11 @@ from hypothesis import strategies as st
 from flink_realtime_spark import registry
 from flink_realtime_spark.llm.dedup import cc_rounds, connected_components
 from tests.conftest import SF_DIR
+import pytest
+
+# iterative CC / cluster property runs — excluded from the fast gate (pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 registry.load_all()
 

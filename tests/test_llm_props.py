@@ -20,6 +20,10 @@ from flink_realtime_spark import registry
 from flink_realtime_spark.tables import load_table
 from tests.conftest import SF_DIR
 
+# LSH/containment mode-equivalence corpora — excluded from the fast gate (pytest.ini)
+pytestmark = pytest.mark.slow
+
+
 registry.load_all()
 
 

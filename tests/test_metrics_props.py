@@ -8,6 +8,11 @@ from pyspark.sql import functions as F
 from flink_realtime_spark import registry
 from flink_realtime_spark.tables import load_table
 from tests.conftest import SF_DIR
+import pytest
+
+# sketch-accuracy property runs — excluded from the fast gate (pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 registry.load_all()
 

@@ -29,6 +29,10 @@ from flink_realtime_spark.streaming.sources import (
     file_stream_source,
     run_available_now,
 )
+
+# streaming executions (checkpoint machinery dominates the suite wall) —
+# excluded from the fast gate (pytest.ini)
+pytestmark = pytest.mark.slow
 from flink_realtime_spark.streaming.stateful import (
     apply_with_state,
     latest_image_state_fn,
