@@ -684,10 +684,15 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification of the tiny candidate set. AND-within-band keeps
     candidates ~ sum(j^4) (vs sum(8j) for Spark ML's OR-combined single-hash
     tables, which blows up on correlated corpora). The oracle is the exact
-    all-pairs result: with candidate verification, banding only ever
-    *removes* sub-threshold pairs the exact filter would drop too, so on a
-    margin-gapped corpus the outputs coincide; the property test guards the
-    recall assumption."""
+    all-pairs result; verification means banding can only LOSE pairs,
+    never add them, and per-pair recall at 4 bands of 4 is 1-(1-j^4)^4 —
+    ~98% at j≈0.89, approaching 1 only as j→1 (measured: the grow10
+    replica corpus re-rolls the hash draw 10× and deterministically
+    drops ONE j=0.889 pair; SCALE.md r07). The fixture corpora are a
+    full-recall draw, so the oracle hashes match there; the ~2% miss at
+    j≈0.9 is the documented LSH throughput trade — callers needing
+    guaranteed recall (the leakage-safe split) use ngram_jaccard_pairs
+    instead."""
     return minhash_pairs(Warehouse(spark, sf_dir))
 
 

@@ -122,23 +122,32 @@ def pipe_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     failure mode of the per-document hash split (pipe_split_assign), where
     a doc and its 0.5-Jaccard twin land in train and test independently
     and the eval set silently overlaps training data. Composition of two
-    existing scale-safe pieces: banded-MinHash near-dup pairs → large/small
-    star connected components (llm/dedup.py, O(log n) keyed rounds) →
-    deterministic md5 bucket of rep_id (same salt as pipe_split_assign, so
-    singleton docs — the overwhelming majority — keep exactly the split the
-    naive assignment gave them; only clustered docs snap to their
-    representative). `resplit` flags members whose naive split differed —
-    a direct count of the eval-leakage the per-doc split would have
-    shipped."""
+    existing scale-safe pieces: EXACT J≥0.5 near-dup pairs (the df-skew
+    auto-routed posting/prefix-SSJoin engine, ngram_jaccard_pairs) →
+    large/small star connected components (llm/dedup.py, O(log n) keyed
+    rounds) → deterministic md5 bucket of rep_id (same salt as
+    pipe_split_assign, so singleton docs — the overwhelming majority —
+    keep exactly the split the naive assignment gave them; only clustered
+    docs snap to their representative). `resplit` flags members whose
+    naive split differed — a direct count of the eval-leakage the per-doc
+    split would have shipped.
+
+    The pair source must be EXACT, not banded MinHash: a leakage
+    guarantee is only as strong as pair recall, and 4×4 banding misses
+    ~2% of true j≈0.9 pairs (measured — the grow10 corpus tier caught
+    replica pair (31240, 34368), jaccard 0.889, absent from the banded
+    set; SCALE.md r07). Approximate recall is the right trade for dedup
+    THROUGHPUT (llm_dedup_minhash), never for a train/eval contamination
+    boundary."""
     from flink_realtime_spark.llm.dedup import (
         connected_components,
-        minhash_pairs,
+        ngram_jaccard_pairs,
     )
 
     wh = Warehouse(spark, sf_dir)
     labels = connected_components(
         wh.documents.select("doc_id"),
-        minhash_pairs(wh).select("doc_a", "doc_b"),
+        ngram_jaccard_pairs(wh.documents).select("doc_a", "doc_b"),
     )
     return labels.select(
         "doc_id",

@@ -73,9 +73,13 @@ _loaded = False
 # cdc_scd2_history) lead the r08 refresh pool.
 _PRIORITY_HEAD = [
     # (a) reworked in r07 (containment auto-routing; duplicated_spans
-    # two-phase duplicate-gram prune feeds the three substring keys)
+    # two-phase duplicate-gram prune feeds the three substring keys;
+    # the leakage-safe split's pair source moved from banded MinHash to
+    # the exact ngram_jaccard_pairs engine after the grow10 corpus tier
+    # measured a 2% banding recall miss at j≈0.9)
     "llm_dedup_containment", "llm_dedup_substring",
     "llm_substring_clean", "llm_top_boilerplate",
+    "pipe_split_leakage_safe",
     # (b) r02-stale refresh, in CORRECTNESS_r02 order
     "llm_dup_gram_share", "agg_histogram", "ads_session_stats",
     "ads_pareto_share", "tpch_q1_pricing", "win_slide", "win_session",
@@ -94,7 +98,7 @@ _PRIORITY_HEAD = [
     "ads_heatmap_hour_dow", "ads_gap_fill_ffill",
     "dq_integrity_checks", "dq_gap_detection", "dq_illegal_transitions",
     "dq_drift_chi2",
-    "over_streak_detection", "over_topn_pergroup", "over_value_fns",
+    "over_streak_detection", "over_topn_pergroup",
 ]
 
 # Streaming-executing / estimator-fit keys with rows-only or property

@@ -76,12 +76,13 @@ def test_driver_window_rotation():
         pytest.skip("no prior CORRECTNESS records in this checkout")
     ordered = list(registry.ordered_queries())
     window = ordered[:50]
-    # front: plans reworked in r07 after their r06 record (containment
+    # front: plans reworked in r07 after their last record (containment
     # auto-routing; duplicated_spans two-phase prune under the three
-    # substring keys)
-    assert window[:4] == [
+    # substring keys; the leakage split's exact pair source)
+    assert window[:5] == [
         "llm_dedup_containment", "llm_dedup_substring",
         "llm_substring_clean", "llm_top_boilerplate",
+        "pipe_split_leakage_safe",
     ]
     # every oracle key with no driver record yet is in the window
     never = [
@@ -90,7 +91,7 @@ def test_driver_window_rotation():
     assert set(never) <= set(window), sorted(set(never) - set(window))
     # beyond the reworked front, a previously-sampled key may occupy a
     # slot only to refresh the stalest (r02/r03) evidence
-    stale_ok = [k for k in window[4:] if latest.get(k) not in (None, 2, 3)]
+    stale_ok = [k for k in window[5:] if latest.get(k) not in (None, 2, 3)]
     assert stale_ok == [], stale_ok
     # after a green r07 no oracle key's latest record is older than r03:
     # every r02-vintage key must be inside this window

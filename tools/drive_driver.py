@@ -106,6 +106,38 @@ X1000_TIER = [
     "tpch_q13_custdist", "ads_pareto_share",
 ]
 
+# The grow100 CORPUS tier (r07): the documents-axis analog of ×100 —
+# 500k distinct docs (tools/scale_probe.py corpus growth shape: replica
+# words tagged, vocabulary ×100, zero cross-replica near-dup pairs).
+# Strict hash over every llm_*/pipe_* key whose DuckDB oracle is LINEAR
+# in the corpus and whose result the instrument can collect. Excluded,
+# with reasons:
+# - pair-join dedup/ANN keys (ngram_jaccard, containment, editdist,
+#   semantic, embcos, simhash_pairs, minhash, two_stage, cluster,
+#   incremental, knn_*) — their ORACLES are O(n²) pair scans; the
+#   operators themselves are covered by the scale_probe corpus/dup
+#   probes (timing + planted-pair recall) and sf0.01/sf0.1 hashes;
+# - llm_pii_redact / llm_substring_clean — full-text result collects
+#   (~500k × KB strings) exceed the instrument, and the substring
+#   family's oracle window sorts the whole gram space;
+# - multimodal/media keys — embeddings/media fixtures are NOT grown by
+#   this corpus shape (symlinked sf0.1 tables).
+# Run: python /tmp/drive_driver.py --tier grow100
+#      --sf /tmp/spark_graft_scale/grow100 --mem 24g
+GROW100_TIER = [
+    "llm_text_stats", "llm_token_count", "llm_token_topk", "llm_lang_id",
+    "llm_quality_score", "llm_repetition", "llm_doc_keywords",
+    "llm_dup_gram_share", "llm_length_histogram", "llm_line_dedup",
+    "llm_word_rarity", "llm_vocab_coverage", "llm_doc_fingerprint",
+    "llm_chunk_split", "llm_dedup_exact", "llm_decontaminate",
+    "llm_source_overlap", "llm_bpe_pair_freq", "llm_cooccurrence",
+    "llm_collocation_lift",
+    "pipe_sample_hash", "pipe_sample_stratified", "pipe_split_assign",
+    "pipe_split_leakage_safe", "pipe_token_budget", "pipe_shuffle_shard",
+    "pipe_curriculum_ntile", "pipe_mixture_weighted", "pipe_dataset_card",
+    "pipe_pack_sequences", "llm_dedup_substring", "llm_top_boilerplate",
+]
+
 
 def canon(v):
     # Mirror a representation-hash: no tolerant numeric coercion. Floats are
@@ -165,9 +197,11 @@ def main() -> int:
                 only.extend(X100_TIER)
             elif name == "x1000":
                 only.extend(X1000_TIER)
+            elif name == "grow100":
+                only.extend(GROW100_TIER)
             else:
                 raise SystemExit(
-                    f"unknown tier {name!r} (have: x100, x1000)"
+                    f"unknown tier {name!r} (have: x100, x1000, grow100)"
                 )
         else:
             only.append(a)
