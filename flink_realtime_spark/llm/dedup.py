@@ -1961,7 +1961,12 @@ def duplicated_spans(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
     a boilerplate mega-gram to ONE partition and sorts it there, and
     window partitions cannot be split; the aggregate counts the hot gram
     distributed, and the semi-join back is a sort-merge AQE's skew
-    handling can split (r07, ADVICE r6)."""
+    handling can split (r07, ADVICE r6). Measured price at sf0.1: the
+    extra sort+shuffle of the gram relation costs ~0.9 s (window form
+    best 1.79 s, this form 2.72 s, same box A/B) — paid knowingly; a
+    broadcast/bloom membership side would be cheaper here but is not
+    memory-bounded at 100 TB duplicated-gram cardinalities, and the
+    merge join is (same rationale as the text join below)."""
     base = docs.filter(F.length("text") >= L)
     g = base.select(
         "doc_id",
