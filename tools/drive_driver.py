@@ -138,6 +138,26 @@ GROW100_TIER = [
     "pipe_pack_sequences", "llm_dedup_substring", "llm_top_boilerplate",
 ]
 
+# The dup10 DUPLICATE-HEAVY corpus tier (r07): 50k docs where every
+# original doc is a 10-clique of exact copies (`scale_probe
+# build_dup_docs`) — the mirrors/reposts crawl shape. Strict hash for
+# the dedup keys whose oracles stay tractable there; this is the tier
+# that DuckDB-hash-verifies containment's exact-collapse route and
+# two-stage's collapse-first ordering end-to-end (the oracles pay the
+# k²·|sh| candidate grams those routes avoid: containment oracle ~140 s,
+# two_stage oracle ~470 s, vs 11 s / 9 s Spark-side). Excluded: the
+# LSH-only keys (minhash/cluster/incremental — exact oracles, banded
+# recall; see SCALE.md LSH lesson) and pipe_split_leakage_safe (its
+# exact pair relation is Ω(k² per clique) BY DEFINITION on this shape —
+# collapse-first is the production ordering, llm_dedup_two_stage).
+# Run: python /tmp/drive_driver.py --tier dup10
+#      --sf /tmp/spark_graft_scale/dup10 --mem 24g
+DUP10_TIER = [
+    "llm_dedup_exact", "llm_dedup_containment", "llm_dedup_substring",
+    "llm_substring_clean", "llm_top_boilerplate", "llm_line_dedup",
+    "llm_dedup_two_stage",
+]
+
 
 def canon(v):
     # Mirror a representation-hash: no tolerant numeric coercion. Floats are
@@ -199,9 +219,12 @@ def main() -> int:
                 only.extend(X1000_TIER)
             elif name == "grow100":
                 only.extend(GROW100_TIER)
+            elif name == "dup10":
+                only.extend(DUP10_TIER)
             else:
                 raise SystemExit(
-                    f"unknown tier {name!r} (have: x100, x1000, grow100)"
+                    f"unknown tier {name!r} "
+                    "(have: x100, x1000, grow100, dup10)"
                 )
         else:
             only.append(a)
