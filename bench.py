@@ -174,8 +174,23 @@ def main() -> None:
             json.dump({"spread": spread, **payload}, fh)
     except OSError:
         pass  # sidecar is best-effort; the stdout contract is the artifact
-    print(json.dumps(payload))
+
+    # The payload line must be the LAST thing on stdout (the driver
+    # tail-captures ~2 KB and parses the last line). Round 7 lost its
+    # bench artifact because spark.stop() ran AFTER the print and the
+    # streaming keys' StateStore maintenance thread raced a shutdown WARN
+    # onto stdout behind the JSON (VERDICT r7 #1). Quiesce everything
+    # first — cancel the maintenance task, stop Spark, drain in-flight
+    # JVM log lines — and only then emit the payload.
+    try:
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass  # no StateStores registered (or API drift): nothing to quiesce
     spark.stop()
+    time.sleep(1.0)
+    sys.stderr.flush()
+    print(json.dumps(payload))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -64,13 +64,15 @@ _loaded = False
 # from Window.partitionBy(hash) counts to two-phase groupBy aggregates;
 # (b) the 15 r02-stale keys, in CORRECTNESS_r02 record order — after a
 # green r07 no oracle key's latest record is older than r03;
-# (c) the first 31 of the 45-key r03 cohort, in CORRECTNESS_r03 record
-# order. The 14 r03 keys that don't fit (over_running_sum,
-# over_event_transitions, over_pct_of_total, win_cumulate,
-# win_late_side_output, win_tumble_offset, join_window_tvf,
-# win_session_dynamic, udaf_grouped_pandas, udtf_split_rows,
-# state_new_visitor, state_timeout_alert, cdc_apply_changelog,
-# cdc_scd2_history) lead the r08 refresh pool.
+# (c) the first 30 of the 45-key r03 cohort, in CORRECTNESS_r03 record
+# order. The 15 r03 keys that don't fit (over_value_fns,
+# over_running_sum, over_event_transitions, over_pct_of_total,
+# win_cumulate, win_late_side_output, win_tumble_offset,
+# join_window_tvf, win_session_dynamic, udaf_grouped_pandas,
+# udtf_split_rows, state_new_visitor, state_timeout_alert,
+# cdc_apply_changelog, cdc_scd2_history) lead the r08 refresh pool
+# (count + over_value_fns fixed per ADVICE r7 — the (c) block below
+# holds 30 keys, so 15 spill, matching CLAUDE.md).
 _PRIORITY_HEAD = [
     # (a) reworked in r07 (containment auto-routing; duplicated_spans
     # two-phase duplicate-gram prune feeds the three substring keys;

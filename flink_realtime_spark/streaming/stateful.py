@@ -712,9 +712,14 @@ def make_nearest_asof_state_fn(fact_type: str, version_type: str):
     version timestamp seen reaches its own: by then best ≤ that forward
     delta, and every FUTURE in-order version is farther, so its match is
     settled — the state bound stays O(facts since the latest version).
-    The residual (documented) gap: a straggler landing nearer to an
-    already-settled fact is not re-opened; unbounded state would be the
-    price of catching it.
+    Residual (documented) gaps, both priced at unbounded state to
+    close: (1) a straggler VERSION landing nearer to an already-settled
+    fact does not re-open it; (2) a straggler FACT arriving with
+    ts <= the latest version's ts settles on arrival against the
+    retained latest version only — the retirement argument ("best <=
+    every future in-order forward delta") bounds future versions, not
+    past ones, so a nearer EARLIER version already dropped from state
+    is not consulted (ADVICE r7).
 
     Tie discipline: equal deltas never correct (strict ``<``), so
     backward wins an equidistant pair and the EARLIER of two equidistant
