@@ -578,7 +578,7 @@ _PROJ_SIGN_SQL = "CASE WHEN ((i+7)*(j+13)*2654435761) % 1000 < 500 THEN 1.0 ELSE
       vec_id,
       CAST(j AS BIGINT) AS out_dim,
       ROUND(CAST(SUM(CAST(v * {_PROJ_SIGN_SQL} AS DECIMAL(28,10)))
-            AS DOUBLE) / sqrt({_PROJ_DIM}), 6) AS proj
+            AS DOUBLE) / sqrt({_PROJ_DIM}), 6) + 0 AS proj
     FROM x CROSS JOIN generate_series(0, {_PROJ_DIM - 1}) AS t(j)
     GROUP BY vec_id, j
     """,
@@ -595,7 +595,15 @@ def llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     that stays in whole-stage codegen; cost is O(N·d·k) map-side work with
     partial aggregation, no driver materialization. Sums go through
     DECIMAL(28,10) per term so accumulation order (partitioning) cannot
-    move the rounded result."""
+    move the rounded result.
+
+    NEGATIVE-ZERO normalization (vec100 tier find, r08): projections are
+    the one rounded output whose domain crosses zero, and the engines'
+    ROUND disagree on the sign of zero — Spark's BigDecimal HALF_UP
+    round has no -0.0, DuckDB's IEEE round keeps it (ROUND(-1e-9, 6) →
+    -0.0), so a tiny-negative projection hashes as '-0.0' vs '0.0'
+    under the driver's repr hash (2 of 3.2M rows at 200k vectors).
+    Both sides add +0 after the round: IEEE (-0.0) + (+0.0) = +0.0."""
     wh = Warehouse(spark, sf_dir)
     x = rebalance(wh.embeddings, "vec_id").select(
         "vec_id",
@@ -610,10 +618,15 @@ def llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.crossJoin(F.broadcast(dims))
         .groupBy("vec_id", F.col("j").cast("long").alias("out_dim"))
         .agg(
-            F.round(
-                F.sum((F.col("v") * sign).cast("decimal(28,10)")).cast("double")
-                / F.lit(_PROJ_DIM) ** 0.5,
-                6,
+            (
+                F.round(
+                    F.sum(
+                        (F.col("v") * sign).cast("decimal(28,10)")
+                    ).cast("double")
+                    / F.lit(_PROJ_DIM) ** 0.5,
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("proj")
         )
     )

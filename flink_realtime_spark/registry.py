@@ -57,50 +57,44 @@ _loaded = False
 # round's first 50 rotates to keys no prior CORRECTNESS_r*.json sampled
 # (after r05, EVERY oracle key has a green record — the game is now
 # freshness, stalest first).
-# Round-7 window (VERDICT r6 #1): (a) the four keys whose plans were
-# reworked in r07 after their r06 record go first — llm_dedup_containment
-# (in-operator exact-dup routing, containment_pairs mode="auto") and the
-# three substring-family keys whose shared duplicated_spans step moved
-# from Window.partitionBy(hash) counts to two-phase groupBy aggregates;
-# (b) the 15 r02-stale keys, in CORRECTNESS_r02 record order — after a
-# green r07 no oracle key's latest record is older than r03;
-# (c) the first 30 of the 45-key r03 cohort, in CORRECTNESS_r03 record
-# order. The 15 r03 keys that don't fit (over_value_fns,
-# over_running_sum, over_event_transitions, over_pct_of_total,
-# win_cumulate, win_late_side_output, win_tumble_offset,
-# join_window_tvf, win_session_dynamic, udaf_grouped_pandas,
-# udtf_split_rows, state_new_visitor, state_timeout_alert,
-# cdc_apply_changelog, cdc_scd2_history) lead the r08 refresh pool
-# (count + over_value_fns fixed per ADVICE r7 — the (c) block below
-# holds 30 keys, so 15 spill, matching CLAUDE.md).
+# Round-8 window (VERDICT r7 #3, generated from the CORRECTNESS_r0*.json
+# vintage data — not from the prior round's comment, per ADVICE r7):
+# (a) the one key reworked in r08 after its last record goes first —
+# llm_random_projection gained the `+ 0` negative-zero normalizer on
+# both sides after the vec100 tier's first run caught DuckDB's ROUND
+# keeping -0.0 where Spark's BigDecimal round can't emit it; (b) the 15
+# r03-vintage keys, in CORRECTNESS_r03 record order — after a green r08
+# no oracle key's latest record is older than r04; (c) the first 34 of
+# the remaining 48-key r04 cohort, in CORRECTNESS_r04 record order. The
+# 14 r04 keys that don't fit (llm_centroid_dist, llm_embedding_quantize,
+# llm_media_meta, llm_frame_sample, pipe_split_assign,
+# pipe_mixture_weighted, pipe_pack_sequences, pipe_sample_stratified,
+# llm_curation_pipeline, llm_dedup_semantic, llm_dedup_embcos,
+# llm_dedup_cluster, llm_dedup_two_stage, graph_pagerank) lead the r09
+# refresh pool (llm_centroid_dist and llm_embedding_quantize carry
+# fresh vec100-tier hashes in the meantime).
 _PRIORITY_HEAD = [
-    # (a) reworked in r07 (containment auto-routing; duplicated_spans
-    # two-phase duplicate-gram prune feeds the three substring keys;
-    # the leakage-safe split's pair source moved from banded MinHash to
-    # the exact ngram_jaccard_pairs engine after the grow10 corpus tier
-    # measured a 2% banding recall miss at j≈0.9)
-    "llm_dedup_containment", "llm_dedup_substring",
-    "llm_substring_clean", "llm_top_boilerplate",
-    "pipe_split_leakage_safe",
-    # (b) r02-stale refresh, in CORRECTNESS_r02 order
-    "llm_dup_gram_share", "agg_histogram", "ads_session_stats",
-    "ads_pareto_share", "tpch_q1_pricing", "win_slide", "win_session",
-    "win_late_drop", "win_topn", "win_dedup", "over_lag_lead",
-    "over_moving_avg", "over_time_range", "scalar_math", "scalar_array",
-    # (c) r03 refresh, in CORRECTNESS_r03 order
-    "agg_approx_distinct", "agg_uv_sketch_rollup",
-    "ads_stickiness_dau_wau", "llm_collocation_lift",
-    "llm_dedup_incremental", "llm_dedup_editdist",
-    "scalar_string", "scalar_map", "scalar_json_props", "scalar_bitwise",
-    "scalar_url", "scalar_variant", "scalar_encode",
-    "dwd_clean_route", "dwd_try_safety",
-    "agg_bool_family", "agg_approx_quantile", "agg_funnel_window",
-    "agg_freq_items",
-    "ads_audience_overlap", "ads_new_vs_returning", "ads_time_to_convert",
-    "ads_heatmap_hour_dow", "ads_gap_fill_ffill",
-    "dq_integrity_checks", "dq_gap_detection", "dq_illegal_transitions",
-    "dq_drift_chi2",
-    "over_streak_detection", "over_topn_pergroup",
+    # (a) reworked in r08 (negative-zero normalizer, vec100 find)
+    "llm_random_projection",
+    # (b) r03-vintage refresh, in CORRECTNESS_r03 order
+    "over_value_fns", "over_running_sum", "over_event_transitions",
+    "over_pct_of_total", "win_cumulate", "win_late_side_output",
+    "win_tumble_offset", "join_window_tvf", "win_session_dynamic",
+    "udaf_grouped_pandas", "udtf_split_rows", "state_new_visitor",
+    "state_timeout_alert", "cdc_apply_changelog", "cdc_scd2_history",
+    # (c) r04-cohort refresh, in CORRECTNESS_r04 order
+    "flatmap_explode_outer", "llm_vocab_coverage", "cdc_snapshot_at",
+    "sink_upsert_latest", "tpch_q2_min_cost", "tpch_q4_priority_check",
+    "tpch_q5_local_supplier", "tpch_q7_volume_shipping", "tpch_q9_profit",
+    "tpch_q10_returns", "tpch_q11_important_parts", "tpch_q12_late_lines",
+    "tpch_q14_promo", "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
+    "tpch_q18_large_volume", "tpch_q19_disjunct", "tpch_q22_dormant_rich",
+    "llm_quality_score", "llm_token_count", "llm_token_topk",
+    "llm_lang_id", "llm_doc_fingerprint", "llm_repetition",
+    "llm_chunk_split", "llm_pii_redact", "llm_word_rarity",
+    "llm_doc_keywords", "llm_length_histogram", "llm_dedup_ngram_jaccard",
+    "llm_dedup_simhash", "llm_dedup_simhash_pairs", "llm_decontaminate",
+    "llm_source_overlap",
 ]
 
 # Streaming-executing / estimator-fit keys with rows-only or property

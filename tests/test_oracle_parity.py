@@ -44,12 +44,11 @@ def test_entry_smoke(spark):
 
 def test_driver_window_rotation():
     """The driver checks exactly the FIRST 50 keys of ordered_queries()
-    per round (CLAUDE.md "Driver sampling"). Lock the round-7 contract
-    (VERDICT r6 #1): the keys whose plans were reworked in r07 lead the
-    window, every never-driver-sampled oracle key is inside it, and the
-    remaining slots refresh only the stalest evidence (the 15 r02-vintage
-    records, then the r03 cohort) — no slot is wasted re-sampling fresh
-    records."""
+    per round (CLAUDE.md "Driver sampling"). Lock the round-8 contract
+    (VERDICT r7 #3): the key reworked in r08 leads the window, and the
+    remaining slots refresh only the stalest evidence (the 15 r03-vintage
+    records, then the r04 cohort in record order) — no slot is wasted
+    re-sampling fresh records."""
     import json
     import os
 
@@ -57,8 +56,8 @@ def test_driver_window_rotation():
     latest: dict[str, int] = {}
     # Deliberately pinned to the records the CURRENT rotation was built
     # against — extend this tuple together with each _PRIORITY_HEAD
-    # rotation (next round: add r07 and re-rotate onto the 14 leftover
-    # r03 keys + the r04 cohort).
+    # rotation (next round: add r08 and re-rotate onto the 14 leftover
+    # r04 keys + the r05 cohort).
     for rnd, rec in (
         (1, "CORRECTNESS_r01.json"),
         (2, "CORRECTNESS_r02.json"),
@@ -66,6 +65,7 @@ def test_driver_window_rotation():
         (4, "CORRECTNESS_r04.json"),
         (5, "CORRECTNESS_r05.json"),
         (6, "CORRECTNESS_r06.json"),
+        (7, "CORRECTNESS_r07.json"),
     ):
         path = os.path.join(root, rec)
         if os.path.isfile(path):
@@ -76,28 +76,23 @@ def test_driver_window_rotation():
         pytest.skip("no prior CORRECTNESS records in this checkout")
     ordered = list(registry.ordered_queries())
     window = ordered[:50]
-    # front: plans reworked in r07 after their last record (containment
-    # auto-routing; duplicated_spans two-phase prune under the three
-    # substring keys; the leakage split's exact pair source)
-    assert window[:5] == [
-        "llm_dedup_containment", "llm_dedup_substring",
-        "llm_substring_clean", "llm_top_boilerplate",
-        "pipe_split_leakage_safe",
-    ]
+    # front: the key reworked in r08 after its last record (negative-zero
+    # normalizer on both sides — the vec100 tier's first-run find)
+    assert window[:1] == ["llm_random_projection"]
     # every oracle key with no driver record yet is in the window
     never = [
         k for k in ordered if k not in latest and k in registry.ORACLES
     ]
     assert set(never) <= set(window), sorted(set(never) - set(window))
     # beyond the reworked front, a previously-sampled key may occupy a
-    # slot only to refresh the stalest (r02/r03) evidence
-    stale_ok = [k for k in window[5:] if latest.get(k) not in (None, 2, 3)]
+    # slot only to refresh the stalest (r03/r04) evidence
+    stale_ok = [k for k in window[1:] if latest.get(k) not in (None, 3, 4)]
     assert stale_ok == [], stale_ok
-    # after a green r07 no oracle key's latest record is older than r03:
-    # every r02-vintage key must be inside this window
-    r02_stale = [k for k, r in latest.items() if r == 2]
-    assert set(r02_stale) <= set(window), sorted(
-        set(r02_stale) - set(window)
+    # after a green r08 no oracle key's latest record is older than r04:
+    # every r03-vintage key must be inside this window
+    r03_stale = [k for k, r in latest.items() if r == 3]
+    assert set(r03_stale) <= set(window), sorted(
+        set(r03_stale) - set(window)
     )
 
 
@@ -212,3 +207,37 @@ def test_explode_outer_null_text_oracle_agreement(spark, tmp_path):
     # all three outer paths present: real tokens, empty list, NULL list
     assert set(spark_pdf["doc_id"]) == {1, 2, 3}
     assert_frames_match(spark_pdf, oracle_pdf, "flatmap_explode_outer/null")
+
+
+def test_round_negative_zero_normalized(spark, duck):
+    """vec100 tier find (r08): the engines' ROUND disagree on the sign of
+    zero — DuckDB's IEEE round keeps -0.0, Spark's BigDecimal HALF_UP
+    round has no signed zero — and the driver's repr hash distinguishes
+    '-0.0' from '0.0'. Pin the divergent semantics (so an engine upgrade
+    that changes either side is flagged) and the `+ 0` normalizer that
+    llm_random_projection's proj column (the one rounded output whose
+    domain crosses zero) carries on BOTH sides."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    # the divergence this guards against
+    d_raw = duck.execute("SELECT ROUND(-1e-9, 6)").fetchone()[0]
+    assert d_raw == 0.0 and math.copysign(1.0, d_raw) < 0  # duck: -0.0
+    s_raw = (
+        spark.range(1).select(F.round(F.lit(-1e-9), 6)).collect()[0][0]
+    )
+    assert s_raw == 0.0 and math.copysign(1.0, s_raw) > 0  # spark: +0.0
+    # the normalizer closes it
+    d_norm = duck.execute("SELECT ROUND(-1e-9, 6) + 0").fetchone()[0]
+    assert math.copysign(1.0, d_norm) > 0
+    # and llm_random_projection carries it on both sides
+    registry.load_all()
+    assert "+ 0 AS proj" in registry.ORACLES["llm_random_projection"]
+    sdf = registry.QUERIES["llm_random_projection"](
+        spark, SF_DIR
+    )
+    for r in sdf.collect():
+        assert not (
+            r["proj"] == 0.0 and math.copysign(1.0, r["proj"]) < 0
+        ), f"-0.0 leaked from the Spark side at vec {r['vec_id']}"

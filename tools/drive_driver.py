@@ -158,6 +158,28 @@ DUP10_TIER = [
     "llm_dedup_two_stage",
 ]
 
+# The vec100 EMBEDDINGS tier (r08, VERDICT r7 #4): the vector axis was
+# the one unswept decade — facts have ×10/×100/×1000, documents have
+# grow100/dup10, but the similarity family was hash-checked only at the
+# 2k-vector fixture. 200k distinct 64-dim vectors
+# (`scale_probe.build_vec_embeddings(spark, 100)` — per-replica
+# deterministic dimension scaling, so cosine neighborhoods, centroids
+# and quantization codes all re-roll). Strict hash over every
+# linear-oracle key that reads embeddings. Excluded, with reasons:
+# - llm_dedup_embcos / llm_dedup_semantic — their ORACLES are O(n²)
+#   all-pairs scans (20B pairs at 200k); the operators' tiled-GEMM
+#   shape is covered by the kernel-equivalence and fixture hashes;
+# - llm_knn_ivf / llm_knn_ivf_gemm — KMeans quantizer, no SQL oracle
+#   by design; their recall/scan-fraction property floors re-run at
+#   this N via tools/ann_probe.py instead.
+# Run: python /tmp/drive_driver.py --tier vec100
+#      --sf /tmp/spark_graft_scale/vec100 --mem 24g
+VEC100_TIER = [
+    "llm_knn_cosine", "llm_knn_ivf_hash", "llm_centroid_dist",
+    "llm_embedding_quantize", "llm_random_projection",
+    "scalar_array", "llm_multimodal_join",
+]
+
 
 def canon(v):
     # Mirror a representation-hash: no tolerant numeric coercion. Floats are
@@ -221,10 +243,12 @@ def main() -> int:
                 only.extend(GROW100_TIER)
             elif name == "dup10":
                 only.extend(DUP10_TIER)
+            elif name == "vec100":
+                only.extend(VEC100_TIER)
             else:
                 raise SystemExit(
                     f"unknown tier {name!r} "
-                    "(have: x100, x1000, grow100, dup10)"
+                    "(have: x100, x1000, grow100, dup10, vec100)"
                 )
         else:
             only.append(a)

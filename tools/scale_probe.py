@@ -133,6 +133,55 @@ def build_distinct_docs(spark, k: int) -> str:
     return out
 
 
+def build_vec_embeddings(spark, k: int) -> str:
+    """embeddings grown k× with DISTINCT deterministic vectors (the
+    grow100 pattern on the VECTOR axis — VERDICT r7 #4): replica r of
+    vector v keeps v's label but scales each dimension by a
+    position-and-replica-keyed factor in [0.8, 1.2], so directions (and
+    hence cosine neighborhoods, centroids, quantization codes) all
+    change per replica while magnitudes stay in the fixture's range.
+    Integer-hash-driven (no rand()) and baked into the parquet at build
+    time, so both engines read identical float32 bits — cross-engine
+    arithmetic enters only in the queries, which is what the tier
+    sweeps. k=100 → 200k vectors × 64 dims."""
+    out = f"{WORK}/vec{k}"
+    if os.path.exists(os.path.join(out, "_OK")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    emb = load_table(spark, SRC, "embeddings")
+    n_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+    scaled = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x, i: x
+        * (
+            F.lit(0.8)
+            + F.lit(0.4)
+            * (
+                F.pmod(F.col("rep") * 8191 + i * 127, F.lit(97)).cast(
+                    "double"
+                )
+                / F.lit(96.0)
+            )
+        ),
+    )
+    (
+        emb.crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * n_vec)
+        .withColumn("embedding", scaled.cast("array<float>"))
+        .drop("rep")
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "embeddings.parquet"))
+    )
+    for name in TABLE_NAMES:
+        dst = os.path.join(out, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, f"{name}.parquet"), dst)
+    open(os.path.join(out, "_OK"), "w").close()
+    return out
+
+
 def build_zipf_docs(spark, k: int) -> str:
     """documents REGENERATED (not replicated) with a ZIPFIAN word
     distribution at k× the sf0.1 count — the natural-language df shape the
