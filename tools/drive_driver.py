@@ -104,6 +104,16 @@ X1000_TIER = [
     "win_topn", "dq_anomaly_zscore", "agg_max_by", "tpch_q12_late_lines",
     "agg_retention", "agg_histogram", "ads_retention_cohort", "agg_pivot",
     "tpch_q13_custdist", "ads_pareto_share",
+    # r08 widening (VERDICT r7 #6): nine more bounded-output boards —
+    # verified ≤1441 rows each at sf0.1, and fact replication adds no new
+    # timestamps, event types, or dim members, so the output cardinality
+    # is invariant at ×1000 (win_slide's 1441 = slide windows × event
+    # types; the rest are single-digit-to-80-row cube/stat boards).
+    # ads_session_stats stays OUT: its oracle LAG-sessionizes 100M rows
+    # per-user in one DuckDB window sort — the ×100 tier covers it.
+    "agg_cube", "agg_grouping_sets", "agg_stats", "agg_bool_family",
+    "ads_monthly_yoy", "tpch_q8_market_share", "tpch_q17_small_qty",
+    "ads_stickiness_dau_wau", "win_slide",
 ]
 
 # The grow100 CORPUS tier (r07): the documents-axis analog of ×100 —
