@@ -454,41 +454,60 @@ def running_sum_state_fn(key, pdf_iter, state):
     Exactness: values accumulate as integer 1e-4 units quantized HALF_UP
     per row (the DECIMAL(18,4) per-row cast discipline of exprs.dsum), so
     the running total is accumulation-order-exact and bit-stable across
-    retries; LONG holds ~9e14 value-units of headroom per key."""
+    retries; LONG holds ~9e14 value-units of headroom per key.
+
+    The quantize is VECTORIZED (r08 — the per-row Decimal loop was the
+    bench's hottest Python path at 1M rows): |v|·10⁴ is computed in
+    80-bit longdouble where it is EXACT (53-bit double mantissa + 10
+    bits for the 625 factor ≤ 64-bit ext mantissa), HALF_UP is
+    sign·floor(|x|+0.5), and the one place the exact-binary product can
+    disagree with Spark's cast — which quantizes the SHORTEST REPR
+    (Double.toString), not the binary expansion — is a row whose product
+    sits within a double-ulp of a .5 tie; those rows (frac within
+    spacing(|v|)·2e4 of the tie) fall back to the original
+    Decimal(repr(v)) quantize. Kernel equivalence vs the Decimal loop is
+    pinned in tests (incl. repr-tie values like 0.12345, where the
+    binary product 1234.4999… must still round UP)."""
     import decimal
 
+    import numpy as np
     import pandas as pd
 
     _Q = decimal.Decimal("0.0001")
     n, sum_c4 = (tuple(state.get) if state.exists else (0, 0))
     user_id = key[0]
     for pdf in pdf_iter:
+        if not len(pdf):
+            continue
         pdf = pdf.sort_values("event_id")
-        out_n, out_v = [], []
-        for r in pdf.itertuples(index=False):
-            n += 1
-            # SQL SUM semantics: NULL values don't contribute to the sum
-            # but the row still counts (matches F.count(F.lit(1)) +
-            # F.sum(value) in the batch window). pandas surfaces NULL
-            # doubles as NaN, which Decimal would reject.
-            v = float(r.value)
-            if v == v:  # not NaN
-                sum_c4 += int(
-                    decimal.Decimal(repr(v)).quantize(
-                        _Q, rounding=decimal.ROUND_HALF_UP
-                    ).scaleb(4)
-                )
-            out_n.append(n)
-            out_v.append(sum_c4 / 1e4)
-        if len(pdf):
-            yield pd.DataFrame(
-                {
-                    "event_id": pdf["event_id"].astype("int64").values,
-                    "user_id": pd.Series([user_id] * len(pdf), dtype="int64"),
-                    "run_n": pd.Series(out_n, dtype="int64"),
-                    "run_value": pd.Series(out_v, dtype="float64"),
-                }
+        # SQL SUM semantics: NULL values don't contribute to the sum but
+        # the row still counts (matches F.count(F.lit(1)) + F.sum(value)
+        # in the batch window). pandas surfaces NULL doubles as NaN.
+        v = pdf["value"].astype("float64").to_numpy()
+        x = np.abs(v.astype(np.longdouble)) * 10000
+        nan = np.isnan(v)
+        units_f = np.sign(v) * np.floor(x + 0.5)
+        units_f[nan] = 0
+        units = units_f.astype(np.int64)
+        frac = np.abs(x - np.floor(x) - 0.5).astype(np.float64)
+        sus = np.nonzero(~nan & (frac <= np.spacing(np.abs(v)) * 2e4))[0]
+        for i in sus:
+            units[i] = int(
+                decimal.Decimal(repr(float(v[i])))
+                .quantize(_Q, rounding=decimal.ROUND_HALF_UP)
+                .scaleb(4)
             )
+        run = sum_c4 + np.cumsum(units)
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].astype("int64").to_numpy(),
+                "user_id": np.full(len(pdf), user_id, dtype="int64"),
+                "run_n": np.arange(n + 1, n + len(pdf) + 1, dtype="int64"),
+                "run_value": run.astype("float64") / 1e4,
+            }
+        )
+        n += len(pdf)
+        sum_c4 = int(run[-1])
     state.update((n, sum_c4))
 
 

@@ -182,6 +182,76 @@ def build_vec_embeddings(spark, k: int) -> str:
     return out
 
 
+# The nulls tier's injection spec: per table, the PK columns that seed
+# the deterministic draw, then {column: null-percent}. Every fixture
+# table is 100% non-null (verified r08), so the engines' null semantics
+# — Spark's ASC=NULLS FIRST vs DuckDB's ASC=NULLS LAST sort default,
+# NULL group keys, null-skipping AVG/SUM, null join keys, NULL <=> vs =
+# — had never been hash-swept before this tier. Injection targets are
+# nullable ATTRIBUTES; PKs and event-time stay non-null (id/ts quality
+# is ingest-enforced in a real pipeline, documented trade), FKs get a
+# lighter 2% (null FK rows exercise join drop/outer-null paths).
+NULL_SPEC = {
+    "lineitem": (
+        ["l_orderkey", "l_linenumber"],
+        {
+            "l_quantity": 5, "l_extendedprice": 5, "l_discount": 5,
+            "l_tax": 5, "l_returnflag": 5, "l_linestatus": 5,
+            "l_shipdate": 5,
+        },
+    ),
+    "orders": (
+        ["o_orderkey"],
+        {
+            "o_orderstatus": 5, "o_totalprice": 5, "o_orderdate": 5,
+            "o_orderpriority": 5, "o_custkey": 2,
+        },
+    ),
+    "events": (
+        ["event_id"],
+        {"event_type": 5, "value": 5, "props": 5, "user_id": 2},
+    ),
+    "documents": (
+        ["doc_id"],
+        {"lang": 5, "source": 5, "n_chars": 5, "text": 2},
+    ),
+    "embeddings": (["vec_id"], {"label": 5, "embedding": 2}),
+    "customer": (["c_custkey"], {"c_acctbal": 5, "c_mktsegment": 5}),
+}
+
+
+def build_null_facts(spark) -> str:
+    """sf0.1 tables with DETERMINISTIC NULLs injected per NULL_SPEC:
+    column c of a row nulls out when pmod(xxhash64(pk..., 'c'), 100) <
+    pct — independent per column, reproducible, baked into the parquet
+    so both engines read identical bytes. This is the NULL-SEMANTICS
+    axis (r08): 100 TB of crawl/telemetry data is never fully non-null,
+    and sort/group/agg/join null behavior differs between engines in
+    ways a null-free fixture can never surface."""
+    out = f"{WORK}/nulls"
+    if os.path.exists(os.path.join(out, "_OK")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for name, (pk, cols) in NULL_SPEC.items():
+        df = load_table(spark, SRC, name)
+        for c, pct in cols.items():
+            draw = F.pmod(
+                F.xxhash64(*[F.col(p) for p in pk], F.lit(c)), F.lit(100)
+            )
+            df = df.withColumn(
+                c, F.when(draw < pct, F.lit(None)).otherwise(F.col(c))
+            )
+        df.write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
+        )
+    for name in TABLE_NAMES:
+        dst = os.path.join(out, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, f"{name}.parquet"), dst)
+    open(os.path.join(out, "_OK"), "w").close()
+    return out
+
+
 def build_zipf_docs(spark, k: int) -> str:
     """documents REGENERATED (not replicated) with a ZIPFIAN word
     distribution at k× the sf0.1 count — the natural-language df shape the
