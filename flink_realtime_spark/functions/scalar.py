@@ -243,8 +243,16 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias(
             "n_positive"
         ),
+        # DuckDB list_distinct REMOVES NULL elements; Spark array_distinct
+        # keeps one NULL — a null label made the counts 0 vs 1
+        # (nulls-tier find). Both sides therefore count DISTINCT NON-NULL
+        # (the SQL COUNT(DISTINCT) convention): the filter is a no-op on
+        # non-null labels.
         F.size(
-            F.array_distinct(F.array(lbl % 3, lbl % 5, lbl % 3))
+            F.filter(
+                F.array_distinct(F.array(lbl % 3, lbl % 5, lbl % 3)),
+                lambda x: x.isNotNull(),
+            )
         )
         .cast("long")
         .alias("n_distinct_mods"),
@@ -316,7 +324,15 @@ def scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("k_path"),
         F.from_json("props", "k LONG").getField("k").alias("k_struct"),
         F.try_variant_get(F.parse_json("props"), "$.k", "long").alias("k_variant"),
-        F.to_json(F.struct("user_id", "event_type")).alias("rowjson"),
+        # ignoreNullFields=false: Spark's to_json DROPS null fields by
+        # default while SQL to_json serializes them as `"k":null` — the
+        # payloads diverge the moment a field is nullable (nulls-tier
+        # find). Emitting nulls is also the round-trippable contract a
+        # downstream from_json consumer needs.
+        F.to_json(
+            F.struct("user_id", "event_type"),
+            {"ignoreNullFields": "false"},
+        ).alias("rowjson"),
     )
 
 

@@ -68,7 +68,11 @@ def _median_udaf():
     def median_agg(v: pd.Series) -> float:
         # Grouped-aggregate pandas UDF (Flink AggregateFunction analog).
         # Median is order-insensitive → deterministic across batchings.
-        return float(np.median(v.to_numpy(dtype=np.float64)))
+        # SQL MEDIAN skips NULLs (NaN here) and is NULL on an all-NULL
+        # group — np.median would NaN-poison instead (nulls-tier find).
+        arr = v.to_numpy(dtype=np.float64)
+        arr = arr[~np.isnan(arr)]
+        return float(np.median(arr)) if len(arr) else None
 
     return median_agg
 
@@ -99,6 +103,10 @@ def _split_words_udtf():
         # Table function (Flink TableFunction / LATERAL analog):
         # one input string → N (word, position) rows.
         def eval(self, text: str):
+            # NULL text → no rows, matching unnest(str_split(NULL, ' '))
+            # in SQL (nulls-tier find: .split on None raised).
+            if text is None:
+                return
             for i, w in enumerate(text.split(" "), start=1):
                 if w:
                     yield w, i

@@ -408,8 +408,12 @@ def llm_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
         # session-scoped plan cache for exactly this reason.)
         from flink_realtime_spark.tables import load_table
 
+        # NULL vectors carry no direction: the oracle drops them for free
+        # (cosine(NULL, x) is NULL, never >= threshold) but np.stack on a
+        # None row crashes the GEMM kernel (nulls-tier find).
         return (
             load_table(spark, sf_dir, "embeddings", fresh=True)
+            .filter(F.col("embedding").isNotNull())
             .select(
                 "vec_id", F.col("embedding").cast("array<double>").alias("emb")
             )
@@ -1309,7 +1313,14 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     wh = Warehouse(spark, sf_dir)
-    e = wh.embeddings.select(
+    # A row without a cluster id or without a vector cannot participate
+    # in within-cluster pairing — the oracle drops both for free (null
+    # labels never equi-join; cosine(NULL, x) never passes the
+    # threshold), while Spark's groupBy would form a NULL-label cluster
+    # and np.stack would crash on None vectors (nulls-tier find).
+    e = wh.embeddings.filter(
+        F.col("label").isNotNull() & F.col("embedding").isNotNull()
+    ).select(
         "vec_id",
         bigint(F.col("label")).alias("label"),
         F.col("embedding").cast("array<double>").alias("emb"),
@@ -1353,8 +1364,22 @@ def llm_dedup_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = wh.documents.select(
         "doc_id", "text", F.expr(f"md5({_NORM_SPARK})").alias("h")
     )
-    groups = docs.groupBy("h").agg(F.min("doc_id").alias("rep_exact"))
-    mapped = docs.join(groups, "h").select("doc_id", "rep_exact")
+    # NULL text ⇒ NULL hash: those docs are SINGLETONS (no content, no
+    # shingles, no pairs — the oracle's component seed keeps them as
+    # their own clusters), NOT one big "null clique" — and the plain
+    # equi-join on h would silently DROP them (nulls-tier find: 4882 of
+    # 5000 rows). They skip the collapse with rep_exact = doc_id.
+    hashed = docs.filter(F.col("h").isNotNull())
+    groups = hashed.groupBy("h").agg(F.min("doc_id").alias("rep_exact"))
+    mapped = (
+        hashed.join(groups, "h")
+        .select("doc_id", "rep_exact")
+        .unionByName(
+            docs.filter(F.col("h").isNull()).select(
+                "doc_id", F.col("doc_id").alias("rep_exact")
+            )
+        )
+    )
     mapped = mapped.localCheckpoint(eager=False)  # feeds reps + expansion
     reps = (
         mapped.filter(F.col("doc_id") == F.col("rep_exact"))
@@ -1397,13 +1422,15 @@ def _pagerank_oracle(iters: int = 10, beta: str = "0.85") -> str:
         stages.append(f"""
     c{k} AS MATERIALIZED (
       SELECT e.dst AS id,
-             CAST(SUM(CAST(r.rank / deg.deg AS DECIMAL(28,15))) AS DOUBLE)
+             CAST(SUM(CAST(CAST(r.rank / deg.deg AS STRING)
+                           AS DECIMAL(28,15))) AS DOUBLE)
                AS inflow
       FROM e JOIN {p} r ON e.src = r.id JOIN deg ON deg.src = e.src
       GROUP BY e.dst
     ),
     d{k} AS MATERIALIZED (
-      SELECT CAST(SUM(CAST(r.rank AS DECIMAL(28,15))) AS DOUBLE) AS dm
+      SELECT CAST(SUM(CAST(CAST(r.rank AS STRING) AS DECIMAL(28,15)))
+                  AS DOUBLE) AS dm
       FROM {p} r JOIN dang ON dang.id = r.id
     ),
     r{k} AS MATERIALIZED (
@@ -2130,7 +2157,7 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
              s0 AS ke
       FROM s
       UNION ALL
-      SELECT s.doc_id, MAX(s.e0) AS ks, MIN(dd.n_chars) AS ke
+      SELECT s.doc_id, MAX(s.e0) AS ks, MIN(length(dd.text)) AS ke
       FROM s JOIN documents dd USING (doc_id) GROUP BY s.doc_id
     ),
     ka AS (
@@ -2142,8 +2169,9 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY g.doc_id
     )
     SELECT d.doc_id,
-      CAST(d.n_chars AS BIGINT) AS n_chars,
-      CAST(d.n_chars - COALESCE(ka.kept, d.n_chars) AS BIGINT) AS n_removed,
+      CAST(length(d.text) AS BIGINT) AS n_chars,
+      CAST(COALESCE(length(d.text) - COALESCE(ka.kept, length(d.text)), 0)
+           AS BIGINT) AS n_removed,
       COALESCE(ka.cleaned_text, d.text) AS cleaned_text
     FROM documents d LEFT JOIN ka USING (doc_id)
     """,
@@ -2192,9 +2220,14 @@ def substring_clean(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
     )
     # sp is post-aggregate (underestimated) and grows with the corpus's
     # dup rate — same merge-hint rationale as duplicated_spans' join.
+    # n_chars is DERIVED from the text (both sides), not echoed from the
+    # metadata column: the cleaner's report must describe the corpus it
+    # actually read, and stale/null metadata (nulls-tier find: NULL
+    # n_chars made the oracle's arithmetic NULL while the spans were
+    # real) must not leak into the span arithmetic.
     return docs.join(sp.hint("merge"), "doc_id", "left").select(
         "doc_id",
-        bigint(F.col("n_chars")).alias("n_chars"),
+        bigint(F.length("text")).alias("n_chars"),
         F.when(F.col("sp").isNull(), F.lit(0).cast("long"))
         .otherwise(
             F.aggregate(

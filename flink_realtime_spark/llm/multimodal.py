@@ -109,14 +109,29 @@ def decode_media(real_codec: bool = False):
             )
         for pdf in batches:
             media = pdf["media"]
+            # NULL payloads (a doc with no media bytes) decode to NULL
+            # metadata — .map(len) on None crashed the worker
+            # (nulls-tier find). Nullable Int64 keeps the LONG schema.
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "media_type": pdf["media_type"],
-                    "byte_len": media.map(len).astype("int64"),
-                    "height": media.map(lambda b: b[0]).astype("int64"),
-                    "width": media.map(lambda b: b[1]).astype("int64"),
-                    "channels": media.map(lambda b: b[2] % 4 + 1).astype("int64"),
+                    "byte_len": pd.array(
+                        [len(b) if b is not None else None for b in media],
+                        dtype="Int64",
+                    ),
+                    "height": pd.array(
+                        [b[0] if b is not None else None for b in media],
+                        dtype="Int64",
+                    ),
+                    "width": pd.array(
+                        [b[1] if b is not None else None for b in media],
+                        dtype="Int64",
+                    ),
+                    "channels": pd.array(
+                        [b[2] % 4 + 1 if b is not None else None for b in media],
+                        dtype="Int64",
+                    ),
                 }
             )
 
@@ -130,7 +145,8 @@ def decode_media(real_codec: bool = False):
       doc_id,
       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1]
         AS media_type,
-      CAST(16 AS BIGINT) AS byte_len,
+      CAST(CASE WHEN text IS NULL THEN NULL ELSE 16 END AS BIGINT)
+        AS byte_len,
       CAST(CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) AS BIGINT)
         AS height,
       CAST(CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) AS BIGINT)

@@ -527,7 +527,7 @@ def pipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
       source,
       CAST(n_chars AS BIGINT) AS n_chars,
       CAST(NTILE(4) OVER (
-        PARTITION BY source ORDER BY n_chars ASC, doc_id ASC
+        PARTITION BY source ORDER BY n_chars ASC NULLS LAST, doc_id ASC
       ) AS BIGINT) AS phase
     FROM documents
     """,
@@ -542,8 +542,12 @@ def pipe_curriculum_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = Warehouse(spark, sf_dir)
     from pyspark.sql import Window
 
+    # Explicit NULLS LAST (Spark's bare .asc() is NULLS FIRST, DuckDB's
+    # bare ASC is NULLS LAST — nulls-tier find): unknown-length docs sort
+    # to the end of the curriculum, with the unique doc_id tiebreak
+    # keeping their phase assignment deterministic.
     w = Window.partitionBy("source").orderBy(
-        F.col("n_chars").asc(), F.col("doc_id").asc()
+        F.col("n_chars").asc_nulls_last(), F.col("doc_id").asc()
     )
     return wh.documents.select(
         "doc_id",

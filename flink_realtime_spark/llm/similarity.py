@@ -121,7 +121,10 @@ def ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    vecs = embeddings.select(
+    # NULL vectors cannot be indexed (array_to_vector raises in the JVM
+    # UDF — nulls-tier find) and have no meaningful cell: drop them at
+    # the index boundary, the exact analog of the GEMM kernels' filter.
+    vecs = embeddings.filter(F.col("embedding").isNotNull()).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("emb"),
         array_to_vector(F.col("embedding").cast("array<double>")).alias("fv"),

@@ -778,8 +778,16 @@ pairs AS (
   GROUP BY 1, 2
 )
 SELECT center, context, n,
-       CAST(CAST(CAST(n AS DOUBLE) * t.n_tok
-            / (uc.nw * CAST(ux.nw AS DOUBLE)) AS DECIMAL(28,12)) AS DOUBLE)
+       -- double->DECIMAL routes via STRING, mirroring exprs.dsum_sql's
+       -- decimal->double rule: DuckDB rounds the BINARY double while
+       -- Spark's cast quantizes the SHORTEST REPR (BigDecimal.valueOf),
+       -- and a lift ratio of small integer counts can land its repr
+       -- exactly on a scale-13 tie — nulls-tier find: 636*264130 /
+       -- (8912*8884) reprs as 2.1217348962935, Spark HALF_UP ...94,
+       -- DuckDB binary-round ...93.
+       CAST(CAST(CAST(CAST(n AS DOUBLE) * t.n_tok
+            / (uc.nw * CAST(ux.nw AS DOUBLE)) AS STRING)
+            AS DECIMAL(28,12)) AS DOUBLE)
          AS lift,
        CAST(ROW_NUMBER() OVER (
          ORDER BY CAST(n AS DOUBLE) * t.n_tok / (uc.nw * CAST(ux.nw AS DOUBLE))

@@ -417,18 +417,24 @@ def _cogroup_profile(events_tbl, orders_tbl):
     keeping the result deterministic."""
     import pyarrow as pa
 
-    if events_tbl.num_rows:
-        key = int(events_tbl.column("user_id")[0].as_py())
-    else:
-        key = int(orders_tbl.column("o_custkey")[0].as_py())
-    sv = (
-        round(math.fsum(events_tbl.column("value").to_pylist()), 4)
+    kcol = (
+        events_tbl.column("user_id")
         if events_tbl.num_rows
-        else 0.0
+        else orders_tbl.column("o_custkey")
     )
+    k = kcol[0].as_py()
+    # NULL is a valid cogroup key (grouping semantics: Spark's cogroup
+    # pairs the two sides' null groups, like GROUP BY — the oracle join
+    # is IS NOT DISTINCT FROM for the same reason; nulls-tier find).
+    key = int(k) if k is not None else None
+    # SQL SUM skips NULL values; the row still counts in n_events.
+    vals = [v for v in events_tbl.column("value").to_pylist() if v is not None]
+    sv = round(math.fsum(vals), 4) if vals else 0.0
     return pa.table(
         {
-            "key": [key],
+            # explicit int64: pa.table infers the NULL type from [None]
+            # and Spark's Arrow verifier rejects the schema mismatch
+            "key": pa.array([key], type=pa.int64()),
             "n_events": [events_tbl.num_rows],
             "n_orders": [orders_tbl.num_rows],
             "sum_value": [sv],
@@ -448,7 +454,7 @@ def _cogroup_profile(events_tbl, orders_tbl):
           FROM events GROUP BY user_id) e
     FULL JOIN (SELECT o_custkey AS k, COUNT(*) AS n
                FROM orders GROUP BY o_custkey) o
-      ON e.k = o.k
+      ON e.k IS NOT DISTINCT FROM o.k
     """,
 )
 def cogroup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -924,14 +924,18 @@ def dq_illegal_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     is config data broadcast exactly like state_rule_engine's rules."""
     wh = Warehouse(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    trans = F.concat_ws(
-        ">", F.lag("event_type").over(w), F.col("event_type")
+    # F.concat (not concat_ws) so a NULL event_type on EITHER end makes
+    # the transition NULL, exactly like the oracle's `||` — a null-typed
+    # row is not a legal FSM edge endpoint, and concat_ws would silently
+    # count "prev>" edges into n_transitions (nulls-tier find). The
+    # IS NOT NULL filter then subsumes the old has_prev first-row guard.
+    trans = F.concat(
+        F.lag("event_type").over(w), F.lit(">"), F.col("event_type")
     )
     seq = wh.events.select(
         F.date_trunc("day", "ts").alias("d"),
         trans.alias("trans"),
-        F.lag("event_type").over(w).isNotNull().alias("has_prev"),
-    ).filter(F.col("has_prev"))
+    ).filter(F.col("trans").isNotNull())
     illegal = ~F.col("trans").isin(_FSM_ALLOWED)
     return seq.groupBy("d").agg(
         F.count(F.lit(1)).alias("n_transitions"),

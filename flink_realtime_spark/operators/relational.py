@@ -53,7 +53,12 @@ def proj_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("charge"),
-        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+        # F.concat (not concat_ws): SQL || NULL-PROPAGATES, concat_ws
+        # silently skips null parts — divergent once flags can be null
+        # (nulls-tier find).
+        F.concat("l_returnflag", F.lit("/"), "l_linestatus").alias(
+            "flag_status"
+        ),
         (F.col("l_quantity") >= 25).alias("bulk"),
     )
 
@@ -291,7 +296,8 @@ def sort_nulls_first(spark: SparkSession, sf_dir: str) -> DataFrame:
       o_orderpriority,
       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
       CAST(ROW_NUMBER() OVER (
-        ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+        ORDER BY o_orderpriority ASC NULLS LAST, o_totalprice DESC NULLS LAST,
+                 o_orderkey ASC
       ) AS BIGINT) AS pos
     FROM orders
     WHERE o_totalprice > 350000
@@ -313,11 +319,16 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
+    # Null placement is EXPLICIT on both sides (NULLS LAST): Spark's bare
+    # .asc() is NULLS FIRST while DuckDB's bare ASC is NULLS LAST — the
+    # rank diverges silently the moment a sort column is nullable
+    # (nulls-tier find). The unique-key tiebreak stays bare: o_orderkey
+    # is a PK.
     return ordered_prefix(
         filtered,
         [
-            F.col("o_orderpriority").asc(),
-            F.col("o_totalprice").desc(),
+            F.col("o_orderpriority").asc_nulls_last(),
+            F.col("o_totalprice").desc_nulls_last(),
             F.col("o_orderkey").asc(),
         ],
         pos_col="pos",

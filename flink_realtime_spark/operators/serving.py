@@ -86,8 +86,17 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # The split must PARTITION the relation under three-valued logic: a
+    # NULL o_orderdate satisfies neither `< cutoff` nor `>= cutoff`, so a
+    # naive complement drops those rows from the MV entirely while the
+    # from-scratch recompute keeps them as the null-month group
+    # (nulls-tier find). Null dates ride the delta side.
     base = partial(wh.orders.where(F.col("o_orderdate") < cutoff))
-    delta = partial(wh.orders.where(F.col("o_orderdate") >= cutoff))
+    delta = partial(
+        wh.orders.where(
+            (F.col("o_orderdate") >= cutoff) | F.col("o_orderdate").isNull()
+        )
+    )
     merged = (
         base.unionByName(delta)
         .groupBy("mv_month", "o_orderstatus")
