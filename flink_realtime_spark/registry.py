@@ -59,29 +59,32 @@ _loaded = False
 # freshness, stalest first).
 # Round-8 window (VERDICT r7 #3, generated from the CORRECTNESS_r0*.json
 # vintage data — not from the prior round's comment, per ADVICE r7):
-# (a) the one key reworked in r08 after its last record goes first —
-# llm_random_projection gained the `+ 0` negative-zero normalizer on
-# both sides after the vec100 tier's first run caught DuckDB's ROUND
-# keeping -0.0 where Spark's BigDecimal round can't emit it; (b) the 15
-# r03-vintage keys, in CORRECTNESS_r03 record order — after a green r08
-# no oracle key's latest record is older than r04; (c) the first 34 of
-# the remaining 48-key r04 cohort, in CORRECTNESS_r04 record order. The
-# 14 r04 keys that don't fit (llm_centroid_dist, llm_embedding_quantize,
-# llm_media_meta, llm_frame_sample, pipe_split_assign,
-# pipe_mixture_weighted, pipe_pack_sequences, pipe_sample_stratified,
-# llm_curation_pipeline, llm_dedup_semantic, llm_dedup_embcos,
-# llm_dedup_cluster, llm_dedup_two_stage, graph_pagerank) lead the r09
-# refresh pool (llm_centroid_dist and llm_embedding_quantize carry
-# fresh vec100-tier hashes in the meantime).
+# (a) the 18 oracle keys REWORKED in r08 go first so the driver
+# re-verifies the new plans — llm_random_projection (the vec100 tier's
+# negative-zero `+ 0` normalizer) plus the 17 keys the new nulls tier's
+# first run changed (null guards / NULLS LAST pins / concat alignment /
+# STRING-routed double→DECIMAL oracle casts in lift and pagerank);
+# ordered by (latest record round, position in that record). (b) the 13
+# remaining r03-vintage keys, in CORRECTNESS_r03 record order (the other
+# two r03 keys, udaf_grouped_pandas and udtf_split_rows, were reworked →
+# block a) — after a green r08 no oracle key's latest record is older
+# than r04. (c) the first 19 of the remaining 44-key r04 cohort, in
+# CORRECTNESS_r04 record order. The 24 r04 keys that don't fit (see
+# CLAUDE.md "Driver sampling") lead the r09 refresh pool.
 _PRIORITY_HEAD = [
-    # (a) reworked in r08 (negative-zero normalizer, vec100 find)
-    "llm_random_projection",
+    # (a) reworked in r08, by (latest record, position)
+    "udaf_grouped_pandas", "udtf_split_rows", "llm_random_projection",
+    "llm_media_meta", "llm_dedup_semantic", "llm_dedup_embcos",
+    "llm_dedup_two_stage", "graph_pagerank", "mv_incremental_refresh",
+    "pipe_curriculum_ntile", "proj_compute", "cogroup_apply",
+    "sort_multi_key", "llm_substring_clean", "scalar_array",
+    "llm_collocation_lift", "scalar_json_props", "dq_illegal_transitions",
     # (b) r03-vintage refresh, in CORRECTNESS_r03 order
     "over_value_fns", "over_running_sum", "over_event_transitions",
     "over_pct_of_total", "win_cumulate", "win_late_side_output",
     "win_tumble_offset", "join_window_tvf", "win_session_dynamic",
-    "udaf_grouped_pandas", "udtf_split_rows", "state_new_visitor",
-    "state_timeout_alert", "cdc_apply_changelog", "cdc_scd2_history",
+    "state_new_visitor", "state_timeout_alert", "cdc_apply_changelog",
+    "cdc_scd2_history",
     # (c) r04-cohort refresh, in CORRECTNESS_r04 order
     "flatmap_explode_outer", "llm_vocab_coverage", "cdc_snapshot_at",
     "sink_upsert_latest", "tpch_q2_min_cost", "tpch_q4_priority_check",
@@ -89,12 +92,7 @@ _PRIORITY_HEAD = [
     "tpch_q10_returns", "tpch_q11_important_parts", "tpch_q12_late_lines",
     "tpch_q14_promo", "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
     "tpch_q18_large_volume", "tpch_q19_disjunct", "tpch_q22_dormant_rich",
-    "llm_quality_score", "llm_token_count", "llm_token_topk",
-    "llm_lang_id", "llm_doc_fingerprint", "llm_repetition",
-    "llm_chunk_split", "llm_pii_redact", "llm_word_rarity",
-    "llm_doc_keywords", "llm_length_histogram", "llm_dedup_ngram_jaccard",
-    "llm_dedup_simhash", "llm_dedup_simhash_pairs", "llm_decontaminate",
-    "llm_source_overlap",
+    "llm_quality_score",
 ]
 
 # Streaming-executing / estimator-fit keys with rows-only or property

@@ -56,7 +56,7 @@ def test_driver_window_rotation():
     latest: dict[str, int] = {}
     # Deliberately pinned to the records the CURRENT rotation was built
     # against — extend this tuple together with each _PRIORITY_HEAD
-    # rotation (next round: add r08 and re-rotate onto the 14 leftover
+    # rotation (next round: add r08 and re-rotate onto the 24 leftover
     # r04 keys + the r05 cohort).
     for rnd, rec in (
         (1, "CORRECTNESS_r01.json"),
@@ -76,17 +76,29 @@ def test_driver_window_rotation():
         pytest.skip("no prior CORRECTNESS records in this checkout")
     ordered = list(registry.ordered_queries())
     window = ordered[:50]
-    # front: the key reworked in r08 after its last record (negative-zero
-    # normalizer on both sides — the vec100 tier's first-run find)
-    assert window[:1] == ["llm_random_projection"]
+    # front: every oracle key whose PLAN or ORACLE changed in r08 — the
+    # vec100 negative-zero normalizer plus the 17 nulls-tier reworks —
+    # so the driver re-verifies the new forms first
+    reworked_r08 = {
+        "llm_random_projection", "udaf_grouped_pandas", "udtf_split_rows",
+        "proj_compute", "sort_multi_key", "cogroup_apply",
+        "dq_illegal_transitions", "mv_incremental_refresh", "scalar_array",
+        "scalar_json_props", "llm_dedup_embcos", "llm_dedup_semantic",
+        "llm_dedup_two_stage", "llm_substring_clean",
+        "llm_collocation_lift", "llm_media_meta", "pipe_curriculum_ntile",
+        "graph_pagerank",
+    }
+    assert set(window[:18]) == reworked_r08
     # every oracle key with no driver record yet is in the window
     never = [
         k for k in ordered if k not in latest and k in registry.ORACLES
     ]
     assert set(never) <= set(window), sorted(set(never) - set(window))
-    # beyond the reworked front, a previously-sampled key may occupy a
+    # beyond the reworked block, a previously-sampled key may occupy a
     # slot only to refresh the stalest (r03/r04) evidence
-    stale_ok = [k for k in window[1:] if latest.get(k) not in (None, 3, 4)]
+    stale_ok = [
+        k for k in window[18:] if latest.get(k) not in (None, 3, 4)
+    ]
     assert stale_ok == [], stale_ok
     # after a green r08 no oracle key's latest record is older than r04:
     # every r03-vintage key must be inside this window
