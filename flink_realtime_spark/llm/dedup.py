@@ -356,14 +356,25 @@ def ngram_jaccard_pairs(docs: DataFrame, mode: str = "auto") -> DataFrame:
 
 _COS_SPARK = """
   aggregate(zip_with(__A, __B, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)
-  / (sqrt(aggregate(transform(__A, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x))
-     * sqrt(aggregate(transform(__B, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x)))
+  / nullif(
+      sqrt(aggregate(transform(__A, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x))
+      * sqrt(aggregate(transform(__B, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x)),
+      CAST(0 AS DOUBLE))
 """
 
 
 def cosine_expr(a: str, b: str) -> F.Column:
     """Cosine similarity between two array<double> columns, fully JVM-side
-    (zip_with + aggregate — no UDF, stays in codegen)."""
+    (zip_with + aggregate — no UDF, stays in codegen).
+
+    Zero-norm contract (r08): a zero vector has no direction, so its
+    similarity to anything is NULL (the nullif guard) — excluded by
+    every threshold and ranked last by desc ordering, the same
+    treatment NULL vectors get. Without the guard one zero-norm row (a
+    failed encode, an all-zero padding vector) raises ANSI
+    DIVIDE_BY_ZERO on a driver-built session and kills the whole query;
+    DuckDB's list_cosine_similarity "answers" -1.0 there, which is just
+    as wrong — a directionless vector is not anti-parallel."""
     return F.expr(_COS_SPARK.replace("__A", a).replace("__B", b))
 
 
@@ -446,8 +457,14 @@ def llm_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
         rid = rpdf["vec_id"].to_numpy()
         lm = np.stack(lpdf["emb"].to_numpy())
         rm = np.stack(rpdf["emb"].to_numpy())
-        lm = lm / np.linalg.norm(lm, axis=1, keepdims=True)
-        rm = rm / np.linalg.norm(rm, axis=1, keepdims=True)
+        # zero-norm → NaN (not a 0-division warning): NaN sims fail the
+        # threshold, mirroring cosine_expr's NULLIF contract
+        ln = np.linalg.norm(lm, axis=1, keepdims=True)
+        rn = np.linalg.norm(rm, axis=1, keepdims=True)
+        ln[ln == 0] = np.nan
+        rn[rn == 0] = np.nan
+        lm = lm / ln
+        rm = rm / rn
         sims = lm @ rm.T
         if diagonal:
             keep = (lid[:, None] < rid[None, :]) & (sims >= 0.3)
@@ -1331,7 +1348,10 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         order = np.argsort(ids)
         ids = ids[order]
         mat = np.stack(pdf["emb"].to_numpy())[order]
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        # zero-norm → NaN, same contract as cosine_expr's NULLIF
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = np.nan
+        mat = mat / nrm
         sims = mat @ mat.T
         keep = np.triu(sims >= 0.3, k=1)
         ai, bj = np.nonzero(keep)

@@ -97,7 +97,12 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "neighbor_id",
         )
-        .withColumn("sim", F.col("dot") / (F.col("qn") * F.col("nn")))
+        # nullif: zero-norm vectors have NULL similarity (cosine_expr's
+        # r08 contract) instead of raising ANSI DIVIDE_BY_ZERO
+        .withColumn(
+            "sim",
+            F.col("dot") / F.nullif(F.col("qn") * F.col("nn"), F.lit(0.0)),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -406,8 +411,14 @@ def ivf_topk_gemm(
             ).astype({"query_id": "int64", "neighbor_id": "int64", "sim": "float64"})
         qm = np.stack(qpdf["qe"].to_numpy())
         nm = np.stack(mpdf["ne"].to_numpy())
-        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-        nn = nm / np.linalg.norm(nm, axis=1, keepdims=True)
+        # zero-norm → NaN sims (cosine_expr's r08 NULLIF contract); the
+        # per-cell top-k never promotes NaN over a real similarity
+        qd = np.linalg.norm(qm, axis=1, keepdims=True)
+        nd = np.linalg.norm(nm, axis=1, keepdims=True)
+        qd[qd == 0] = np.nan
+        nd[nd == 0] = np.nan
+        qn = qm / qd
+        nn = nm / nd
         sims = qn @ nn.T
         qids = qpdf["query_id"].to_numpy()
         nids = mpdf["neighbor_id"].to_numpy()

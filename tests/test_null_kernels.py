@@ -78,3 +78,68 @@ def test_split_words_udtf_null_text():
     inst = _split_words_udtf().func()
     assert list(inst.eval(None)) == []
     assert list(inst.eval("a  b")) == [("a", 1), ("b", 3)]
+
+
+def test_cosine_expr_zero_norm_is_null(spark):
+    """Zero-norm contract (r08): a directionless vector's similarity is
+    NULL — not an ANSI DIVIDE_BY_ZERO kill (Spark without the NULLIF
+    guard), not -1.0 (DuckDB's list_cosine_similarity answer). Real
+    pairs are untouched."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_spark.llm.dedup import cosine_expr
+
+    df = spark.createDataFrame(
+        [
+            ([0.0, 0.0], [1.0, 2.0]),
+            ([3.0, 4.0], [3.0, 4.0]),
+            ([1.0, 0.0], [0.0, 2.0]),
+        ],
+        "a array<double>, b array<double>",
+    )
+    got = [r[0] for r in df.select(cosine_expr("a", "b")).collect()]
+    assert got[0] is None
+    assert abs(got[1] - 1.0) < 1e-12
+    assert abs(got[2] - 0.0) < 1e-12
+
+
+def test_gemm_kernels_skip_zero_norm_rows(spark, tmp_path):
+    """END-TO-END zero-vector robustness: a zero-norm embedding in the
+    corpus must not crash or pair in the REGISTERED operators — the
+    per-cluster GEMM (llm_dedup_semantic), the tiled GEMM
+    (llm_dedup_embcos), and the codegen join (llm_knn_cosine, which
+    raised ANSI DIVIDE_BY_ZERO before cosine_expr's NULLIF guard)."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_realtime_spark import registry
+
+    registry.load_all()
+    emb = pd.DataFrame(
+        {
+            "vec_id": pd.Series([0, 1, 2, 3], dtype="int64"),
+            "embedding": [
+                np.array([1.0, 0.0], dtype=np.float32),
+                np.array([0.0, 0.0], dtype=np.float32),  # zero norm
+                np.array([0.9, 0.1], dtype=np.float32),
+                np.array([-1.0, 0.0], dtype=np.float32),
+            ],
+            "label": pd.Series([5, 5, 5, 5], dtype="int32"),
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(emb).write.parquet(f"{sf}/embeddings.parquet")
+
+    sem = registry.QUERIES["llm_dedup_semantic"](spark, sf).collect()
+    assert {(r.vec_a, r.vec_b) for r in sem} == {(0, 2)}
+
+    cos = registry.QUERIES["llm_dedup_embcos"](spark, sf).collect()
+    assert {(r.vec_a, r.vec_b) for r in cos} == {(0, 2)}
+
+    knn = registry.QUERIES["llm_knn_cosine"](spark, sf).collect()
+    # every query ranks real neighbors first; the zero vector never has
+    # a non-null similarity (it may appear as a trailing null-sim row)
+    best = {r.query_id: r.neighbor_id for r in knn if r.rank == 1}
+    assert best[0] == 2 and best[2] == 0
+    assert all(r.cos_sim is None for r in knn if r.neighbor_id == 1)
+    assert all(r.cos_sim is None for r in knn if r.query_id == 1)
