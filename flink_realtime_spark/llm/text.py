@@ -171,7 +171,7 @@ def llm_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT word, lang AS top_lang FROM (
         SELECT word, lang,
           ROW_NUMBER() OVER (
-            PARTITION BY word ORDER BY n DESC, lang ASC
+            PARTITION BY word ORDER BY n DESC, lang ASC NULLS FIRST
           ) AS rn
         FROM word_lang
       ) WHERE rn = 1
@@ -185,7 +185,7 @@ def llm_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(lang = top_lang AS BOOLEAN) AS correct
     FROM (
       SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY doc_id ORDER BY v DESC, top_lang ASC
+        PARTITION BY doc_id ORDER BY v DESC, top_lang ASC NULLS FIRST
       ) AS rn FROM votes
     ) WHERE rn = 1
     """,
@@ -204,7 +204,11 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     word_lang = doc_tokens.groupBy("word", "lang").agg(
         F.count(F.lit(1)).alias("n")
     )
-    w1 = Window.partitionBy("word").orderBy(F.col("n").desc(), F.col("lang").asc())
+    # lang is nullable metadata: tiebreak placement pinned both sides
+    # (r08 nulls-tier class)
+    w1 = Window.partitionBy("word").orderBy(
+        F.col("n").desc(), F.col("lang").asc_nulls_first()
+    )
     word_top = (
         word_lang.withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") == 1)
@@ -216,7 +220,7 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("v"))
     )
     w2 = Window.partitionBy("doc_id").orderBy(
-        F.col("v").desc(), F.col("top_lang").asc()
+        F.col("v").desc(), F.col("top_lang").asc_nulls_first()
     )
     return (
         votes.withColumn("rn", F.row_number().over(w2))

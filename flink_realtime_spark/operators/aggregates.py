@@ -708,10 +708,13 @@ def ads_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
       AS DOUBLE) AS gmv_7d_avg,
       CAST(ROW_NUMBER() OVER (
         PARTITION BY date_trunc('month', day)
-        ORDER BY gmv DESC, day
+        ORDER BY gmv DESC NULLS LAST, day
       ) AS BIGINT) AS rank_in_month
     FROM daily
-    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    -- IS NOT DISTINCT FROM NULL: DuckDB 1.0 misfolds IS NULL to FALSE
+    -- on a GROUP-BY-computed key (see ads_monthly_yoy)
+    WINDOW w AS (PARTITION BY day IS NOT DISTINCT FROM NULL
+                 ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
 )
 def ads_gmv_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,12 +725,12 @@ def ads_gmv_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     7 years), never by raw order volume: the global ORDER BY day frame is
     safe at any scale because its input is days, not orders. row_number
     tiebreaks on day for a deterministic rank under GMV ties. The 7-day
-    frame partitions by plans/ordered.single_bucket (constant zero) so the
-    declared-single-bucket intent survives constant folding instead of
-    degrading to an empty partition spec."""
+    frame partitions by day-nullness: a populated, 2-bounded spec (so the
+    single-bucket intent survives constant folding) that ALSO gives an
+    unknown-date row its own partition instead of letting it slide into a
+    real day's trailing average (r08 nulls-tier class; DuckDB's default
+    null placement in window sorts is not even run-to-run stable)."""
     from pyspark.sql import Window
-
-    from flink_realtime_spark.plans.ordered import single_bucket
 
     wh = Warehouse(spark, sf_dir)
     daily = wh.orders.groupBy(
@@ -736,13 +739,18 @@ def ads_gmv_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("o_totalprice")).alias("gmv"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+    # The trailing frame PARTITIONS BY day-nullness (r08 nulls-tier
+    # class): an unknown-date row must not slide into any real day's
+    # 7-day average, and DuckDB's DEFAULT null placement in a window
+    # sort is not run-to-run stable, so the null row gets its own
+    # 1-row partition on BOTH sides. Rank ties pin NULLS LAST.
     w7 = (
-        Window.partitionBy(single_bucket(F.col("day")))
+        Window.partitionBy(F.col("day").isNull())
         .orderBy("day")
         .rowsBetween(-6, Window.currentRow)
     )
     wm = Window.partitionBy(F.date_trunc("month", "day")).orderBy(
-        F.col("gmv").desc(), F.col("day")
+        F.col("gmv").desc_nulls_last(), F.col("day")
     )
     return daily.select(
         "day",

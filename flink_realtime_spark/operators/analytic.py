@@ -22,7 +22,11 @@ from flink_realtime_spark.exprs import dsum
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse
 
-_RANK_ORDER = "ORDER BY o_totalprice DESC, o_orderkey ASC"
+# Explicit NULLS LAST: DuckDB's default null placement is not
+# run-to-run stable under parallel sort (r08 nulls-tier find) and
+# over_topn_pergroup ranks the UNFILTERED orders relation, where
+# o_totalprice can be null. Matches Spark's desc_nulls_last.
+_RANK_ORDER = "ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC"
 
 
 @query(
@@ -46,7 +50,7 @@ def over_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     PERCENT_RANK/CUME_DIST per priority partition with a unique tiebreak."""
     wh = Warehouse(spark, sf_dir)
     w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc()
     )
     return wh.orders.filter(F.col("o_totalprice") > 300000).select(
         "o_orderkey",
@@ -78,7 +82,7 @@ def over_topn_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     task ships at most 3 rows per group — the 100 TB-safe formulation."""
     wh = Warehouse(spark, sf_dir)
     w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc()
     )
     return (
         wh.orders.withColumn("rn", F.row_number().over(w).cast("long"))

@@ -559,10 +559,13 @@ def dq_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
       SELECT o_custkey, rev,
-        CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS BIGINT)
+        CAST(ROW_NUMBER() OVER (
+          ORDER BY rev DESC NULLS LAST, o_custkey NULLS FIRST
+        ) AS BIGINT)
           AS rnk,
         CAST(CAST(SUM(CAST(rev AS DECIMAL(18,4))) OVER (
-          ORDER BY rev DESC, o_custkey ROWS UNBOUNDED PRECEDING
+          ORDER BY rev DESC NULLS LAST, o_custkey NULLS FIRST
+          ROWS UNBOUNDED PRECEDING
         ) AS STRING) AS DOUBLE) AS cum_rev,
         CAST(CAST(SUM(CAST(rev AS DECIMAL(18,4))) OVER () AS STRING)
           AS DOUBLE) AS total_rev
@@ -596,7 +599,7 @@ def ads_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (
         ordered_prefix(
             cust,
-            [F.col("rev").desc(), F.col("o_custkey")],
+            [F.col("rev").desc_nulls_last(), F.col("o_custkey").asc_nulls_first()],
             prefixes=[Prefix("__cum_d", dec, "sum")],
             pos_col="rnk",
         )
@@ -635,12 +638,19 @@ def ads_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       month,
       gmv,
       n_orders,
-      CAST(COALESCE(LAG(gmv, 12) OVER (ORDER BY month), -1.0) AS DOUBLE)
+      CAST(COALESCE(LAG(gmv, 12) OVER w, -1.0) AS DOUBLE)
         AS gmv_last_year,
-      CAST(CASE WHEN LAG(gmv, 12) OVER (ORDER BY month) IS NULL THEN -1.0
-           ELSE gmv / LAG(gmv, 12) OVER (ORDER BY month) - 1.0
+      CAST(CASE WHEN LAG(gmv, 12) OVER w IS NULL THEN -1.0
+           ELSE gmv / LAG(gmv, 12) OVER w - 1.0
            END AS DOUBLE) AS yoy_growth
     FROM monthly
+    -- IS NOT DISTINCT FROM NULL, not IS NULL: DuckDB 1.0 misfolds
+    -- IS NULL to FALSE on a GROUP-BY-computed key (broken null-stats
+    -- propagation through the aggregate — the same broken reasoning
+    -- makes the null row's SORT placement run-to-run unstable, the
+    -- original r08 flake on this key)
+    WINDOW w AS (PARTITION BY month IS NOT DISTINCT FROM NULL
+                 ORDER BY month)
     """,
 )
 def ads_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,11 +659,14 @@ def ads_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets are dense in the fixture; production guards gaps by joining
     on month - INTERVAL 1 YEAR instead). Missing baselines coalesce to a
     -1 sentinel for engine-stable types. The LAG window runs over the
-    calendar-bounded monthly aggregate, partitioned by
-    plans/ordered.single_bucket (constant zero) so the single-bucket
-    intent stays declared in the plan."""
-    from flink_realtime_spark.plans.ordered import single_bucket
-
+    calendar-bounded monthly aggregate, partitioned by MONTH-NULLNESS
+    (r08 nulls-tier find): an unknown-month row must not shift every
+    real month's LAG-12 baseline off by one — and DuckDB's DEFAULT null
+    placement in a window sort is not even run-to-run stable (observed
+    1-in-6 flipping on this key: the oracle's null row sometimes drew
+    the 69th month's gmv as its "year ago"). The nullness partition is
+    a populated, 2-bounded spec, so the single-bucket plan-audit intent
+    is preserved too."""
     wh = Warehouse(spark, sf_dir)
     monthly = (
         wh.orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
@@ -662,7 +675,7 @@ def ads_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
-    w = Window.partitionBy(single_bucket(F.col("month"))).orderBy("month")
+    w = Window.partitionBy(F.col("month").isNull()).orderBy("month")
     ly = F.lag("gmv", 12).over(w)
     return monthly.select(
         "month",

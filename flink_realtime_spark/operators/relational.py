@@ -340,20 +340,26 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
     FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
+    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC
     LIMIT 100
     """,
 )
 def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k of a global sort (Flink SQL LIMIT). Spark plans
     TakeOrderedAndProject — per-partition heaps, no full sort/shuffle; the
-    unique o_orderkey tiebreak keeps the selected set deterministic."""
+    unique o_orderkey tiebreak keeps the selected set deterministic.
+    Null placement is explicit on BOTH sides: DuckDB's DEFAULT placement
+    is not even run-to-run stable under its parallel sort (r08 nulls-tier
+    find on ads_monthly_yoy), so every sort over a nullable key pins
+    NULLS FIRST/LAST."""
     wh = Warehouse(spark, sf_dir)
     return (
         wh.orders.select(
             "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
         )
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .orderBy(
+            F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc()
+        )
         .limit(100)
     )
 

@@ -175,7 +175,7 @@ LATERAL (
   SELECT o.o_orderkey, o.o_totalprice
   FROM orders o
   WHERE o.o_custkey = c.c_custkey
-  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  ORDER BY o.o_totalprice DESC NULLS LAST, o.o_orderkey
   LIMIT 2
 ) t
 """

@@ -763,7 +763,7 @@ SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
 FROM big b
 JOIN orders o ON o.o_orderkey = b.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
-ORDER BY o.o_totalprice DESC, o.o_orderkey
+ORDER BY o.o_totalprice DESC NULLS LAST, o.o_orderkey
 LIMIT 100
 """
 
@@ -790,7 +790,9 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
             "o_totalprice", "sum_qty",
         )
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .orderBy(
+            F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey")
+        )
         .limit(100)
     )
 

@@ -500,7 +500,7 @@ def join_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT *, ROW_NUMBER() OVER (
                PARTITION BY win_start
-               ORDER BY n_events DESC, user_id) AS rn
+               ORDER BY n_events DESC, user_id NULLS FIRST) AS rn
       FROM agg
     )
     WHERE rn <= 3
@@ -521,8 +521,11 @@ def win_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("win_start"), "user_id", "n_events")
     )
+    # user_id is a nullable tiebreak (the null-user event group is one
+    # row per window): placement pinned on both sides, r08 nulls-tier
+    # class (DuckDB's default placement is not run-to-run stable).
     w = Window.partitionBy("win_start").orderBy(
-        F.col("n_events").desc(), F.col("user_id")
+        F.col("n_events").desc(), F.col("user_id").asc_nulls_first()
     )
     return (
         agg.withColumn("rn", F.row_number().over(w))
