@@ -26,19 +26,25 @@ N_QUERIES = 20
 @query(
     "llm_knn_cosine",
     f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+    )
     SELECT
       a.vec_id AS query_id,
       b.vec_id AS neighbor_id,
       CAST(ROW_NUMBER() OVER (
         PARTITION BY a.vec_id
-        ORDER BY list_cosine_similarity(
-          CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+        ORDER BY list_inner_product(a.emb, b.emb)
+                   / NULLIF(a.nrm * b.nrm, 0) DESC NULLS LAST,
         b.vec_id ASC
       ) AS BIGINT) AS "rank",
-      ROUND(list_cosine_similarity(
-        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
-        AS cos_sim
-    FROM embeddings a, embeddings b
+      ROUND(list_inner_product(a.emb, b.emb)
+              / NULLIF(a.nrm * b.nrm, 0), 6) AS cos_sim
+    FROM base a, base b
     WHERE a.vec_id < {N_QUERIES} AND a.vec_id != b.vec_id
     QUALIFY "rank" <= {K}
     """,
@@ -47,7 +53,16 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k (k=5) for the first 20 query vectors, no UDF:
     exploded dot-product join with per-query rank and a deterministic
     neighbor_id tie-break. This is the correctness baseline llm_knn_ivf's
-    recall is measured against."""
+    recall is measured against.
+
+    NULL / zero-norm contract (ADVICE r8): NULL embeddings are filtered at
+    the base on BOTH sides (the Spark posexplode silently drops them, so
+    the oracle must too — matching ivf_index's r08 filter), and the oracle
+    mirrors the Spark side's dot/NULLIF zero-norm guard instead of DuckDB's
+    raw list_cosine_similarity (which returns -1.0 for a zero vector — a
+    value, not a NULL, so it would rank). Sim ordering pins NULLS LAST on
+    both engines (Spark .desc() is already NULLS LAST; DuckDB's is pinned
+    explicitly per the r08 rule)."""
     wh = Warehouse(spark, sf_dir)
     # Codegen formulation: posexplode both sides, broadcast the (tiny)
     # query side, equi-join on the dimension index, hash-aggregate the dot
@@ -60,9 +75,12 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The dot-product join fans each corpus vector out |queries| times —
     # compute-dense relative to the byte-small scan, so rebalance the
     # corpus to core parallelism first (no-op once the scan is wide).
-    base = rebalance(wh.embeddings, "vec_id").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    # NULL embeddings carry no similarity signal: drop them at the base on
+    # both sides (matching ivf_index's r08 contract) so a null query vector
+    # can't diverge the engines (posexplode drops it, a raw oracle keeps it).
+    base = rebalance(
+        wh.embeddings.filter(F.col("embedding").isNotNull()), "vec_id"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     x = base.select(
         "vec_id", F.posexplode("emb").alias("pos", "v")
     )
@@ -105,7 +123,7 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
+        F.col("sim").desc_nulls_last(), F.col("neighbor_id").asc()
     )
     return (
         sims.withColumn("rank", F.row_number().over(w).cast("long"))

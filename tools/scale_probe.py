@@ -219,6 +219,18 @@ NULL_SPEC = {
     "customer": (["c_custkey"], {"c_acctbal": 5, "c_mktsegment": 5}),
 }
 
+# Hash draws are blind to operator-level "magic" row ranges: the r08 run
+# happened to null NO embedding with vec_id < 20, so the knn keys' QUERY
+# vectors (vec_id < N_QUERIES = 20) never went null and the
+# null-query-vector path in llm_knn_* was never tier-exercised (ADVICE
+# r8). Force specific pk values null per column so the interesting rows
+# are guaranteed, independent of the draw: vec_id 7 (a knn query vector)
+# and 3 low doc_ids (inside every llm_* doc-range filter).
+FORCE_NULL = {
+    "embeddings": {"embedding": [7]},
+    "documents": {"text": [11, 205, 1003]},
+}
+
 
 def build_null_facts(spark) -> str:
     """sf0.1 tables with DETERMINISTIC NULLs injected per NULL_SPEC:
@@ -234,12 +246,16 @@ def build_null_facts(spark) -> str:
     os.makedirs(out, exist_ok=True)
     for name, (pk, cols) in NULL_SPEC.items():
         df = load_table(spark, SRC, name)
+        forced = FORCE_NULL.get(name, {})
         for c, pct in cols.items():
             draw = F.pmod(
                 F.xxhash64(*[F.col(p) for p in pk], F.lit(c)), F.lit(100)
             )
+            cond = draw < pct
+            if c in forced:
+                cond = cond | F.col(pk[0]).isin(forced[c])
             df = df.withColumn(
-                c, F.when(draw < pct, F.lit(None)).otherwise(F.col(c))
+                c, F.when(cond, F.lit(None)).otherwise(F.col(c))
             )
         df.write.mode("overwrite").parquet(
             os.path.join(out, f"{name}.parquet")
