@@ -55,6 +55,36 @@ def davg_sql(expr: str, scale: int = 4) -> str:
     )
 
 
+# Portable text normalizer (uni-tier find, r09): whitespace collapse +
+# lowercase, with the two cross-engine CASE-MAPPING mines canonicalized.
+# Java (Spark) lowercases with FULL Unicode casing — İ (U+0130) becomes
+# 'i' + combining-dot (1:2 expansion) and word-final Σ becomes ς
+# (context-sensitive SpecialCasing) — while DuckDB's utf8proc applies
+# SIMPLE 1:1 mappings (İ → i, Σ → σ always). The engine therefore defines
+# its normalizer as the portable simple fold: pre-map İ → i BEFORE lower
+# (so Java's special case never fires) and canonicalize ς → σ AFTER
+# (both engines keep an input ς as ς through lower, and the substitution
+# also erases Java's context-generated finals). These are the only two
+# divergent LOWERCASE mappings under Locale.ROOT (the remaining
+# SpecialCasing rules are locale-gated or upper-only); ASCII text is
+# untouched, so every pre-r09 tier hash is unchanged.
+NORM_TEXT_SPARK = (
+    "replace(lower(trim(regexp_replace(replace(text, 'İ', 'i'), "
+    "'\\\\s+', ' '))), 'ς', 'σ')"
+)
+NORM_TEXT_DUCK = (
+    "replace(lower(trim(regexp_replace(replace(text, 'İ', 'i'), "
+    "'\\s+', ' ', 'g'))), 'ς', 'σ')"
+)
+
+
+def norm_text(col: str = "text") -> Column:
+    """Column form of NORM_TEXT_SPARK (same fold, same order)."""
+    c = F.replace(F.col(col), F.lit("İ"), F.lit("i"))
+    c = F.lower(F.trim(F.regexp_replace(c, "\\s+", " ")))
+    return F.replace(c, F.lit("ς"), F.lit("σ"))
+
+
 def bigint(col: Column) -> Column:
     """Spark's year()/month()/... return int32; DuckDB's return int64.
     Normalize every computed integer column to BIGINT on both sides."""

@@ -377,7 +377,10 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       doc_id,
-      regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+      CASE WHEN regexp_full_match(
+             regexp_extract(url, 'https://([^/]+)/', 1), '[A-Za-z0-9.-]*')
+           THEN regexp_extract(url, 'https://([^/]+)/', 1)
+      END AS host,
       regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
       regexp_extract(url, 'lang=([^&]+)', 1) AS lang_param
     FROM u
@@ -386,7 +389,15 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL function family (Flink SQL PARSE_URL): host/path/query-param
     extraction via Spark's parse_url — the oracle re-derives the parts
-    with regexes for engine independence. Narrow map, scan speed."""
+    with regexes for engine independence. Narrow map, scan speed.
+
+    HOST contract (uni-tier find, r09): Spark's parse_url is
+    java.net.URI-backed, and URI's server-based authority parsing yields a
+    NULL host for any authority outside RFC-2396 hostname characters
+    (alphanumerics, '-', '.') — a raw-IRI host like 'srç….example.com' is
+    NOT parsed (real engines punycode hosts before this point). PATH and
+    QUERY still parse (they're regex-extracted past the authority). The
+    oracle mirrors the hostname-charset gate explicitly."""
     wh = Warehouse(spark, sf_dir)
     url = F.concat(
         F.lit("https://"),
@@ -495,7 +506,8 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
       decode(from_base64(to_base64(encode(source)))) AS b64_roundtrip,
       to_hex(CAST(doc_id AS BIGINT)) AS id_hex,
       regexp_replace(regexp_replace(regexp_replace(
-        source, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        source, '\\p{Lu}', 'X', 'g'), '\\p{Ll}', 'x', 'g'),
+        '\\p{Nd}', 'n', 'g')
         AS masked
     FROM documents
     """,
@@ -504,7 +516,12 @@ def scalar_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding/masking family (Flink SQL TO_BASE64/HEX + data masking):
     base64 roundtrip, hex rendering, and character-class masking. Spark's
     mask() and DuckDB's regexp cascade express the same masking rule;
-    hex output is normalized to Spark's uppercase."""
+    hex output is normalized to Spark's uppercase. The mask classes are
+    UNICODE-aware on both sides (uni-tier, r09): Spark's mask() uses Java
+    Character.isUpperCase/isLowerCase/isDigit, which the oracle mirrors
+    with RE2's \\p{Lu}/\\p{Ll}/\\p{Nd} — ASCII-only [A-Z] classes
+    left a non-ASCII 'ç' unmasked where mask() masks it. (Titlecase ǅ and
+    Other_Uppercase Ⅸ are 'other' on both sides — probed.)"""
     wh = Warehouse(spark, sf_dir)
     return wh.documents.select(
         "doc_id",

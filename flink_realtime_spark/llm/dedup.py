@@ -28,23 +28,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_realtime_spark.exprs import bigint
+from flink_realtime_spark.exprs import (
+    NORM_TEXT_DUCK,
+    NORM_TEXT_SPARK,
+    bigint,
+    norm_text,
+)
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse, rebalance
 
-# Normalized text: lowercase, collapsed whitespace, trimmed.
-_NORM_SPARK = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
-_NORM_DUCK = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+# Normalized text: lowercase, collapsed whitespace, trimmed, with the
+# cross-engine case-mapping mines canonicalized (exprs.py — uni-tier r09).
+_NORM_SPARK = NORM_TEXT_SPARK
+_NORM_DUCK = NORM_TEXT_DUCK
 
 # Oracle-side shingle relation with the word split hoisted into a
 # MATERIALIZED CTE: without it DuckDB re-evaluates str_split(normalize(..))
 # for every lambda element (the same O(len²)-per-row trap as Spark's
 # CollapseProject re-inlining — SCALE.md Lessons), which made the original
 # all-pairs oracles eat ~10-35 s EACH of the driver's correctness window.
-_SHINGLE_CTE_DUCK = """
+_SHINGLE_CTE_DUCK = f"""
     ws AS MATERIALIZED (
       SELECT doc_id,
-             str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+             str_split({_NORM_DUCK}, ' ')
                AS w
       FROM documents
     ),
@@ -105,7 +111,7 @@ def _with_shingles(df):
     predicate pushes through the rebalance exchange and re-evaluates the
     full shingle expression single-threaded in the scan (measured: it
     erased the entire rebalance win)."""
-    ws = F.split(F.lower(F.trim(F.regexp_replace("text", "\\s+", " "))), " ")
+    ws = F.split(norm_text("text"), " ")
     df = rebalance(df.filter(F.size(ws) >= 3), "doc_id")
     n = F.size(ws)
     ln = F.greatest(n - 2, F.lit(0))
@@ -528,8 +534,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs sit at small Hamming distance while random pairs don't."""
     wh = Warehouse(spark, sf_dir)
     hashes = F.expr(
-        "transform(array_distinct(split(lower(trim(regexp_replace("
-        "text, '\\\\s+', ' '))), ' ')), "
+        f"transform(array_distinct(split({_NORM_SPARK}, ' ')), "
         "w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT))"
     )
     sig = F.expr(
@@ -773,12 +778,12 @@ _EDIT_ORACLE = f"""
       p.doc_b,
       CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS edit_dist,
       CAST(1.0 - CAST(levenshtein(a.norm, b.norm) AS DOUBLE)
-           / greatest(len(a.norm), len(b.norm)) AS DOUBLE) AS edit_sim
+           / greatest(strlen(a.norm), strlen(b.norm)) AS DOUBLE) AS edit_sim
     FROM pairs p
     JOIN nt a ON a.doc_id = p.doc_a
     JOIN nt b ON b.doc_id = p.doc_b
     WHERE levenshtein(a.norm, b.norm)
-          <= 0.5 * greatest(len(a.norm), len(b.norm))
+          <= 0.5 * greatest(strlen(a.norm), strlen(b.norm))
 """
 
 
@@ -791,11 +796,24 @@ def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH stage surfaced — never all-pairs — which is the production
     ordering for fuzzy dedup (set-similarity prefilter, edit-distance
     confirm). Distances are exact integers in both engines, so the score
-    (one division + subtraction) is hash-stable."""
+    (one division + subtraction) is hash-stable.
+
+    UNIT CONTRACT (uni-tier find, r09): the distance is UTF-8 BYTE-level
+    Levenshtein — DuckDB's levenshtein counts bytes while Spark's counts
+    code points, so the portable definition both engines share is bytes.
+    The Spark side gets byte semantics by round-tripping the normalized
+    text through ISO-8859-1 (each UTF-8 byte becomes exactly one
+    code point — a bijection, so Spark's code-point DP runs over the byte
+    string); the oracle normalizes its denominator to strlen() (bytes).
+    On ASCII text byte == character level, so pre-r09 hashes and the
+    brute-force model test are unchanged."""
     wh = Warehouse(spark, sf_dir)
     pairs = minhash_pairs(wh).select("doc_a", "doc_b")
     norm = wh.documents.select(
-        "doc_id", F.expr(_NORM_SPARK).alias("norm")
+        "doc_id",
+        F.decode(
+            F.encode(F.expr(_NORM_SPARK), "UTF-8"), "ISO-8859-1"
+        ).alias("norm"),
     )
     scored = pairs.join(
         norm.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("na")),

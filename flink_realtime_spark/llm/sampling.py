@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_realtime_spark.exprs import NORM_TEXT_DUCK, norm_text
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse
 
@@ -320,8 +321,7 @@ _CUR_LANGS_SQL = ", ".join(f"'{l}'" for l in _CUR_LANGS)
     WITH norm AS (
       SELECT doc_id, lang, source,
              len(string_split(text, ' ')) AS n_words,
-             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-               AS text_hash
+             md5({NORM_TEXT_DUCK}) AS text_hash
       FROM documents
       WHERE lang IN ({_CUR_LANGS_SQL})
         AND len(string_split(text, ' ')) >= {_CUR_MIN_WORDS}
@@ -360,9 +360,7 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "source",
             F.size(F.split("text", " ")).cast("long").alias("n_words"),
-            F.md5(
-                F.lower(F.trim(F.regexp_replace("text", "\\s+", " ")))
-            ).alias("text_hash"),
+            F.md5(norm_text("text")).alias("text_hash"),
         )
         .filter(F.col("n_words") >= _CUR_MIN_WORDS)
     )

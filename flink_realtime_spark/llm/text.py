@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_realtime_spark.exprs import NORM_TEXT_DUCK
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse, rebalance
 
@@ -236,10 +237,10 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_doc_fingerprint",
-    """
+    f"""
     WITH ws AS MATERIALIZED (
       SELECT doc_id,
-             str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+             str_split({NORM_TEXT_DUCK}, ' ')
                AS w
       FROM documents
     )

@@ -190,6 +190,43 @@ VEC100_TIER = [
     "scalar_array", "llm_multimodal_join",
 ]
 
+# The uni UNICODE/MULTILINGUAL tier (r09, VERDICT r8 #1): every fixture
+# string is 100% ASCII, so no prior strict hash ever executed either
+# engine's non-ASCII paths — case folding (Java full casing vs DuckDB
+# utf8proc 1:1), regex character classes over multi-byte input, code-point
+# vs byte offsets, CJK no-whitespace tokenization, NFC-vs-NFD, astral
+# (surrogate-pair) handling, JSON unicode serialization. Fixture:
+# `scale_probe.build_unicode_docs(spark)` — sf0.1 documents with ~25% of
+# docs' body words swapped for multilingual forms + segment frames, ~3%
+# CJK-joined no-whitespace docs, ~10% unicode sources (non-ASCII GROUP
+# keys), ~10% of events.props with unicode JSON values. Key list = every
+# oracle key whose oracle SQL references `documents` or `props` (the only
+# columns the rewrite touches; all other keys read symlinked sf0.1 tables
+# identical to the step-5 sweep), generated from registry.ORACLES.
+# Run: python /tmp/drive_driver.py --tier uni
+#      --sf /tmp/spark_graft_scale/uni --mem 24g
+UNI_TIER = [
+    "udtf_split_rows", "llm_media_meta", "llm_dedup_two_stage",
+    "graph_pagerank", "pipe_curriculum_ntile", "llm_substring_clean",
+    "llm_collocation_lift", "scalar_json_props", "flatmap_explode_outer",
+    "llm_vocab_coverage", "llm_quality_score", "flatmap_explode",
+    "ads_layered_pipeline", "scalar_url", "dwd_clean_route",
+    "scalar_variant", "scalar_encode", "dwd_try_safety", "llm_dedup_exact",
+    "llm_dedup_ngram_jaccard", "llm_dedup_simhash", "llm_dedup_minhash",
+    "llm_dedup_incremental", "llm_dedup_editdist", "llm_dedup_cluster",
+    "llm_decontaminate", "llm_dup_gram_share", "llm_dedup_simhash_pairs",
+    "llm_source_overlap", "llm_dedup_containment", "llm_line_dedup",
+    "llm_dedup_substring", "llm_top_boilerplate", "llm_text_stats",
+    "llm_token_count", "llm_token_topk", "llm_lang_id",
+    "llm_doc_fingerprint", "llm_repetition", "llm_chunk_split",
+    "llm_pii_redact", "llm_word_rarity", "llm_doc_keywords",
+    "llm_length_histogram", "llm_bpe_pair_freq", "llm_cooccurrence",
+    "llm_multimodal_join", "llm_frame_sample", "pipe_sample_hash",
+    "pipe_split_assign", "pipe_split_leakage_safe", "pipe_mixture_weighted",
+    "pipe_pack_sequences", "pipe_sample_stratified", "llm_curation_pipeline",
+    "pipe_shuffle_shard", "pipe_dataset_card", "pipe_token_budget",
+]
+
 
 def canon(v):
     # Mirror a representation-hash: no tolerant numeric coercion. Floats are
@@ -255,10 +292,12 @@ def main() -> int:
                 only.extend(DUP10_TIER)
             elif name == "vec100":
                 only.extend(VEC100_TIER)
+            elif name == "uni":
+                only.extend(UNI_TIER)
             else:
                 raise SystemExit(
                     f"unknown tier {name!r} "
-                    "(have: x100, x1000, grow100, dup10, vec100)"
+                    "(have: x100, x1000, grow100, dup10, vec100, uni)"
                 )
         else:
             only.append(a)

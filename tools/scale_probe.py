@@ -268,6 +268,222 @@ def build_null_facts(spark) -> str:
     return out
 
 
+# The uni tier's injection spec (r09, VERDICT r8 #1): every fixture string
+# is 100% ASCII, so eight rounds of strict hashes never executed either
+# engine's non-ASCII paths — case folding, regex character classes,
+# multi-byte code-point offsets, CJK no-whitespace tokenization, NFC/NFD,
+# astral-plane (surrogate-pair) handling, JSON unicode serialization.
+# Deterministic per-doc rewrite, baked into parquet, so both engines read
+# identical bytes. Body words are REPLACED (not just framed) so the
+# unicode flows through shingles, token counts, case folds and regexes —
+# each replacement mines a known engine-divergence shaft:
+UNI_WORD_MAP = [
+    ("value", "valüé"),          # accented Latin, NFC
+    ("table", "táble"),    # combining mark (NFD 'á') — NFC/NFD pair
+    ("spark", "Σπαρκ"),          # Greek, mixed case (final-sigma rules)
+    ("query", "ЗАПРОС"),         # Cyrillic UPPERCASE (lower() path)
+    ("window", "ウィンドウ"),      # Katakana
+    ("stream", "流水線"),          # CJK, no internal whitespace
+    ("batch", "Straße"),         # sharp-s (upper() 1:1-vs-full casing)
+    ("filter", "🚀🧪"),           # astral-plane emoji (surrogate pairs)
+]
+UNI_SEGMENTS = [
+    "İstanbul ŉgram ǅungla ﬁnal",   # dotted İ, U+0149, titlecase ǅ, fi ligature
+    "Ἀθῆναι ᾈσμα σίγμα τέλοΣ ς",    # polytonic Greek, final/medial sigma
+    "العربية نصّ مُرَكَّب",           # RTL Arabic with harakat
+    "한국어 텍스트 처리 규칙",          # Hangul
+    "ẞß SS ss İ ı I i",             # the full Turkic/German casing mine
+    "👩‍👩‍👧‍👦 🇺🇸 🇦🇶 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𠀀𠀁",   # ZWJ family, flags, math alphanumerics
+    "été été",          # same word NFD vs NFC
+    "ΜΆΪΟΣ μάϊος Ǆǅǆ",              # dialytika+tonos, tri-case digraph
+]
+# The NFD forms are source-encoded as raw combining marks; guard them
+# against a future editor/formatter silently NFC-normalizing the file.
+assert "́" in UNI_WORD_MAP[1][1], "NFD 'table' repl was normalized"
+assert UNI_SEGMENTS[6].count("́") == 2, "NFD segment was normalized"
+
+
+def build_unicode_docs(spark) -> str:
+    """sf0.1 tables with DETERMINISTIC multilingual text injected: ~25% of
+    documents get their common body words swapped for the UNI_WORD_MAP
+    forms plus a UNI_SEGMENTS frame (picked by doc_id hash), ~3% become
+    CJK-punctuated no-whitespace strings (the tokenizer edge), ~10% of
+    sources gain a unicode prefix (non-ASCII GROUP/sort keys), and ~10% of
+    events.props gain a unicode key/value pair (JSON parse/serialize over
+    non-ASCII). This is the UNICODE axis: 100 TB of crawl data is never
+    pure ASCII, and casing/regex/code-point-offset behavior differs
+    between engines in ways an ASCII fixture can never surface."""
+    out = f"{WORK}/uni"
+    if os.path.exists(os.path.join(out, "_OK")):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    # PAIR-COHERENT rewrite draws: the fixture's LSH-vs-exact-oracle
+    # equality rests on every near-dup pair sitting at jaccard >= 0.8
+    # (llm/dedup.py FIXTURE DEPENDENCY). An independent per-doc draw
+    # rewrites ONE member of ~37% of pairs, dropping their jaccard into
+    # the no-recall-guarantee zone [0.5, 0.8) — the first uni sweep
+    # measured 4 such LSH-missed pairs. So members of a near-dup
+    # component must transform IDENTICALLY: compute the base corpus's
+    # exact trigram-jaccard pairs at a conservative 0.25 threshold
+    # (the base corpus is margin-gapped — measured 256 pairs, all
+    # >= 0.8, none in [0.25, 0.8)), union-find them into components,
+    # and key every text draw off the component ANCHOR (min doc_id).
+    # Identical word-maps + identical frames keep intra-pair jaccard at
+    # its base margin; cross-component docs sharing a frame gain ~3 of
+    # ~40+ shingles (j ~ 0.04), far below threshold.
+    import duckdb as _duckdb
+
+    _con = _duckdb.connect()
+    _pairs = _con.sql(
+        r"""
+        WITH ws AS MATERIALIZED (
+          SELECT doc_id,
+                 str_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM read_parquet('"""
+        + SRC
+        + r"""/documents.parquet')
+        ),
+        s AS MATERIALIZED (
+          SELECT doc_id,
+            CASE WHEN len(w) >= 3 THEN
+              list_distinct(list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+            ELSE [] END AS sh
+          FROM ws
+        ),
+        u AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        shr AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+          FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        sz AS (SELECT doc_id, len(sh) AS n FROM s WHERE len(sh) > 0)
+        SELECT c.doc_a, c.doc_b
+        FROM shr c JOIN sz sa ON sa.doc_id = c.doc_a
+                   JOIN sz sb ON sb.doc_id = c.doc_b
+        WHERE c.shared >= 0.25 * (sa.n + sb.n - c.shared)
+        """
+    ).fetchall()
+    parent: dict = {}
+
+    def _find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    members: set = set()
+    for a, b in _pairs:
+        members.update((a, b))
+        ra, rb = _find(a), _find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    anchor_rows = [(d, _find(d)) for d in members]
+    anchors = spark.createDataFrame(
+        anchor_rows or [(-1, -1)], "doc_id BIGINT, anchor BIGINT"
+    )
+
+    # Paired docs keep a NULL-able anchor flag: the word map alone is a
+    # token bijection (trigram-shingle bijection → jaccard EXACTLY
+    # preserved), while the segment frame adds unshared end-boundary
+    # shingles to truncation-style near-dups (measured: an 0.80-margin
+    # pair slides to ~0.78, back under the LSH guarantee). So paired docs
+    # get word maps only; frames and the CJK no-whitespace treatment
+    # apply to singletons.
+    docs = (
+        load_table(spark, SRC, "documents")
+        .join(F.broadcast(anchors), "doc_id", "left")
+    )
+    paired = F.col("anchor").isNotNull()
+    akey = F.coalesce("anchor", F.col("doc_id"))
+    draw = F.pmod(F.xxhash64(akey, F.lit("uni")), F.lit(100))
+    body = F.col("text")
+    for word, repl in UNI_WORD_MAP:
+        body = F.replace(body, F.lit(word), F.lit(repl))
+    seg = F.element_at(
+        F.array(*[F.lit(s) for s in UNI_SEGMENTS]),
+        (F.pmod(F.xxhash64(akey, F.lit("uniseg")), F.lit(8)) + 1).cast(
+            "int"
+        ),
+    )
+    docs = docs.withColumn(
+        "text",
+        F.when(draw < 25, F.when(paired, body).otherwise(
+            F.concat(seg, F.lit(" "), body, F.lit(" "), seg)
+        ))
+        .when(
+            (draw >= 25) & (draw < 28) & ~paired,
+            F.replace(F.col("text"), F.lit(" "), F.lit("、")),
+        )
+        .otherwise(F.col("text")),
+    ).drop("anchor").withColumn(
+        "source",
+        F.when(
+            F.pmod(F.xxhash64("doc_id", F.lit("unisource")), F.lit(100)) < 10,
+            F.concat(F.lit("srç№"), F.col("source")),
+        ).otherwise(F.col("source")),
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    ev = load_table(spark, SRC, "events")
+    edraw = F.pmod(F.xxhash64("event_id", F.lit("uni")), F.lit(100))
+    ev = ev.withColumn(
+        "props",
+        F.when(
+            edraw < 10,
+            F.concat(
+                F.substring(
+                    F.col("props"), F.lit(1), F.length("props") - F.lit(1)
+                ),
+                F.lit(', "étiqueta": "día 🌞"}'),
+            ),
+        ).otherwise(F.col("props")),
+    )
+    ev.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+
+    for name in TABLE_NAMES:
+        dst = os.path.join(out, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, f"{name}.parquet"), dst)
+    open(os.path.join(out, "_OK"), "w").close()
+    return out
+
+
+DEGENERATE_PK = {
+    "region": "r_regionkey", "nation": "n_nationkey",
+    "customer": "c_custkey", "supplier": "s_suppkey", "part": "p_partkey",
+    "orders": "o_orderkey", "lineitem": "l_orderkey",
+    "events": "event_id", "documents": "doc_id", "embeddings": "vec_id",
+}
+
+
+def build_degenerate(spark, kind: str) -> str:
+    """Degenerate-shape fixtures (r09, VERDICT r8 #4): the classic hiding
+    places for reduce-on-empty, schema-of-empty and percentile-on-one-row
+    divergences. ``kind='empty'`` writes every table with ZERO rows (same
+    schema — Spark still emits a schema-bearing part file, so both
+    engines' scans agree); ``kind='one'`` keeps exactly the min-pk row of
+    each table (deterministic; FKs may dangle — that's the point, joins
+    must degrade to empty not crash)."""
+    assert kind in ("empty", "one")
+    out = f"{WORK}/{kind}"
+    if os.path.exists(os.path.join(out, "_OK")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for name in TABLE_NAMES:
+        df = load_table(spark, "/root/testdata/sf0.001", name)
+        if kind == "empty":
+            df = df.limit(0)
+        else:
+            df = df.orderBy(DEGENERATE_PK[name]).limit(1)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
+        )
+    open(os.path.join(out, "_OK"), "w").close()
+    return out
+
+
 def build_zipf_docs(spark, k: int) -> str:
     """documents REGENERATED (not replicated) with a ZIPFIAN word
     distribution at k× the sf0.1 count — the natural-language df shape the
