@@ -165,7 +165,34 @@ def ivf_index(
     # assign the full corpus in one transform pass). ~4× less fit work at
     # any scale; recall is property-checked against the exact top-k.
     train = vecs.filter(F.xxhash64("vec_id") % 4 == 0)
-    model = km.fit(train if train.limit(n_cells * 4).count() >= n_cells else vecs)
+    if train.limit(n_cells * 4).count() < n_cells:
+        train = vecs
+        n_avail = train.limit(n_cells).count()
+        if n_avail == 0:
+            # KMeans.fit throws on an empty dataset ("Nothing has been
+            # added to this summarizer") — an empty corpus has an empty
+            # index, not a crashed one (empty-shape probe find, r09).
+            spark = vecs.sparkSession
+            return (
+                vecs.select("vec_id", "emb", F.lit(0).alias("cell")).limit(0),
+                spark.createDataFrame([], "cell INT, centroid ARRAY<DOUBLE>"),
+            )
+        if n_avail == 1:
+            # One vector: MLlib rejects k=1 outright (param validator) —
+            # the index degenerates to a single cell holding the corpus
+            # (single-row probe find, r09).
+            assigned = vecs.select("vec_id", "emb", F.lit(0).alias("cell"))
+            centroids = vecs.select(
+                F.lit(0).alias("cell"), F.col("emb").alias("centroid")
+            )
+            return assigned, centroids
+        if n_avail < n_cells:
+            # Fewer vectors than cells (degenerate corpus): MLlib's
+            # kmeans|| init throws when k exceeds the point count — a
+            # quantizer can have at most one cell per vector
+            # (single-row probe find, r09).
+            km.setK(n_avail)
+    model = km.fit(train)
     assigned = model.transform(vecs).select("vec_id", "emb", "cell")
     centroids = vecs.sparkSession.createDataFrame(
         [(i, c.tolist()) for i, c in enumerate(model.clusterCenters())],

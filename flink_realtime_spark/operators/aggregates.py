@@ -220,11 +220,20 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
       {dsum_sql('o_totalprice')} AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP multi-granularity aggregates — the ADS-layer pattern (daily /
-    daily+status / grand-total in one pass via a single Expand)."""
+    daily+status / grand-total in one pass via a single Expand).
+
+    Empty-input contract (empty-shape probe find, r09): Spark lowers
+    ROLLUP/CUBE/GROUPING SETS through Expand + group-by-grouping-id, so an
+    EMPTY input yields zero groups — including the () grand-total set —
+    while the SQL standard (and DuckDB) emits one grand-total row over
+    empty input. The engine documents Spark's Expand semantics; the oracle
+    mirrors it with HAVING COUNT(*) > 0, which is vacuous on any non-empty
+    input (every real group has >= 1 row)."""
     wh = Warehouse(spark, sf_dir)
     return (
         wh.orders.rollup("o_orderstatus", "o_orderpriority")
@@ -257,6 +266,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,6 +369,7 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       {dsum_sql('o_totalprice')} AS total_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -588,7 +588,11 @@ def dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.sum("rev_dec").cast("double") / F.count(F.lit(1)))
         ).alias("std_rev"),
     )
-    z = (rev - F.col("mean_rev")) / F.col("std_rev")
+    # nullif: a zero-variance series (every day identical — e.g. a
+    # single-day corpus) has an UNDEFINED z-score, not a crashed one:
+    # Spark ANSI throws on /0 where DuckDB's x/0 is already NULL
+    # (single-row probe find, r09).
+    z = (rev - F.col("mean_rev")) / F.nullif(F.col("std_rev"), F.lit(0.0))
     return daily.crossJoin(F.broadcast(stats)).select(
         "d",
         rev.alias("revenue"),
@@ -776,8 +780,16 @@ def dq_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
     )
     j = counts.join(F.broadcast(tot), "event_type")
-    p_ref = F.col("n_ref").cast("double") / F.col("t_ref")
-    p_cur = F.col("n_cur").cast("double") / F.col("t_cur")
+    # nullif: a window with ZERO rows (e.g. a corpus entirely inside one
+    # half-month) makes its proportion 0/0 — Spark ANSI throws where
+    # DuckDB's x/0 is NULL; the chi2 of a missing window is NULL on both
+    # sides (single-row probe find, r09).
+    p_ref = F.col("n_ref").cast("double") / F.nullif(
+        F.col("t_ref"), F.lit(0)
+    )
+    p_cur = F.col("n_cur").cast("double") / F.nullif(
+        F.col("t_cur"), F.lit(0)
+    )
     term = F.when(
         F.col("n_ref") > 0, (p_cur - p_ref) * (p_cur - p_ref) / p_ref
     ).otherwise(F.lit(0.0))

@@ -41,6 +41,11 @@ def pagerank(
     graphs). Dangling nodes redistribute uniformly. Returns (id, rank),
     ranks summing to 1."""
     n = nodes.count()
+    if n == 0:
+        # Rank of an empty graph is the empty relation — the 1/n seed and
+        # the (1-beta)/n teleport below would both divide by zero
+        # (empty-shape probe find, r09).
+        return nodes.select("id", F.lit(0.0).alias("rank"))
     out_deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).alias("deg")
     ).localCheckpoint(eager=False)
