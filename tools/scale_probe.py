@@ -295,7 +295,10 @@ UNI_SEGMENTS = [
     "ẞß SS ss İ ı I i",             # the full Turkic/German casing mine
     "👩‍👩‍👧‍👦 🇺🇸 🇦🇶 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𠀀𠀁",   # ZWJ family, flags, math alphanumerics
     "été été",          # same word NFD vs NFC
-    "ΜΆΪΟΣ μάϊος Ǆǅǆ",              # dialytika+tonos, tri-case digraph
+    "ΜΆΪΟΣ μάϊος Ǆǅǆ non breaking zero​width",  # + NBSP/ZWSP-glued tokens:
+    # U+00A0 and U+200B are NOT \s in Java or RE2 (both ASCII-only), so
+    # whitespace collapse and word splits must treat each glued pair as
+    # ONE token on both engines — never executed before this tier.
 ]
 # The NFD forms are source-encoded as raw combining marks; guard them
 # against a future editor/formatter silently NFC-normalizing the file.
