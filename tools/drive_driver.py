@@ -114,6 +114,16 @@ X1000_TIER = [
     "agg_cube", "agg_grouping_sets", "agg_stats", "agg_bool_family",
     "ads_monthly_yoy", "tpch_q8_market_share", "tpch_q17_small_qty",
     "ads_stickiness_dau_wau", "win_slide",
+    # r09 widening (VERDICT r8 #7): four more bounded-output boards with
+    # linear oracles — dq_drift_chi2's constant types×buckets grid (its
+    # proportion divisions were nullif-hardened this round),
+    # ads_new_vs_returning's day-bounded split, dq_integrity_checks's
+    # five-row battery, ads_audience_overlap's type-pair matrix (the
+    # self-join rides the DISTINCT (user,type) relation, which fact
+    # replication leaves fixed). scalar_calendar_dow stays OUT: its
+    # output is per-event (100M-row collect at this tier).
+    "dq_drift_chi2", "ads_new_vs_returning", "dq_integrity_checks",
+    "ads_audience_overlap",
 ]
 
 # The grow100 CORPUS tier (r07): the documents-axis analog of ×100 —
