@@ -57,42 +57,44 @@ _loaded = False
 # round's first 50 rotates to keys no prior CORRECTNESS_r*.json sampled
 # (after r05, EVERY oracle key has a green record — the game is now
 # freshness, stalest first).
-# Round-8 window (VERDICT r7 #3, generated from the CORRECTNESS_r0*.json
-# vintage data — not from the prior round's comment, per ADVICE r7):
-# (a) the 18 oracle keys REWORKED in r08 go first so the driver
-# re-verifies the new plans — llm_random_projection (the vec100 tier's
-# negative-zero `+ 0` normalizer) plus the 17 keys the new nulls tier's
-# first run changed (null guards / NULLS LAST pins / concat alignment /
-# STRING-routed double→DECIMAL oracle casts in lift and pagerank);
-# ordered by (latest record round, position in that record). (b) the 13
-# remaining r03-vintage keys, in CORRECTNESS_r03 record order (the other
-# two r03 keys, udaf_grouped_pandas and udtf_split_rows, were reworked →
-# block a) — after a green r08 no oracle key's latest record is older
-# than r04. (c) the first 19 of the remaining 44-key r04 cohort, in
-# CORRECTNESS_r04 record order. The 24 r04 keys that don't fit (see
-# CLAUDE.md "Driver sampling") lead the r09 refresh pool.
+# Round-9 window (VERDICT r8 #2 + ADVICE r8 #3, generated from the
+# CORRECTNESS_r0*.json vintage data — not from the prior round's comment):
+# (a) the 22 oracle keys REWORKED in r09 go first so the driver
+# re-verifies the new plans/oracles — the uni tier's case-mapping
+# normalizer unified 14 dedup-family oracles (the 'İ'-marked set),
+# llm_knn_cosine's NULL/zero-norm contract (ADVICE r8), scalar_url /
+# scalar_encode's unicode mirrors, the three grouping oracles' empty-input
+# HAVING pins, and the two dq keys' nullif divisors; ordered by (latest
+# record round, position in that record). (b) the 11 remaining keys whose
+# plans commits 5c51dfc/0542353 changed AFTER the r08 window was pinned
+# (ADVICE r8 #3 — the r08 block predates those fixes), same ordering.
+# (c) the 16 remaining r04-vintage keys, in CORRECTNESS_r04 record order
+# (the other 8 of CLAUDE.md's 24-key r04 cohort were reworked or are in
+# block b). (d) one r05-cohort key fills to 50; the 38-key r05 spill
+# (named in CLAUDE.md) leads the r10 refresh pool.
 _PRIORITY_HEAD = [
-    # (a) reworked in r08, by (latest record, position)
-    "udaf_grouped_pandas", "udtf_split_rows", "llm_random_projection",
-    "llm_media_meta", "llm_dedup_semantic", "llm_dedup_embcos",
-    "llm_dedup_two_stage", "graph_pagerank", "mv_incremental_refresh",
-    "pipe_curriculum_ntile", "proj_compute", "cogroup_apply",
-    "sort_multi_key", "llm_substring_clean", "scalar_array",
-    "llm_collocation_lift", "scalar_json_props", "dq_illegal_transitions",
-    # (b) r03-vintage refresh, in CORRECTNESS_r03 order
-    "over_value_fns", "over_running_sum", "over_event_transitions",
-    "over_pct_of_total", "win_cumulate", "win_late_side_output",
-    "win_tumble_offset", "join_window_tvf", "win_session_dynamic",
-    "state_new_visitor", "state_timeout_alert", "cdc_apply_changelog",
-    "cdc_scd2_history",
+    # (a) reworked in r09, by (latest record, position)
+    "llm_doc_fingerprint", "llm_dedup_ngram_jaccard", "llm_dedup_simhash",
+    "llm_dedup_simhash_pairs", "llm_curation_pipeline", "llm_dedup_cluster",
+    "llm_dedup_minhash", "agg_cube", "agg_grouping_sets", "agg_rollup",
+    "llm_dedup_exact", "llm_knn_cosine", "dq_anomaly_zscore",
+    "llm_dedup_containment", "pipe_split_leakage_safe",
+    "llm_dedup_incremental", "llm_dedup_editdist", "scalar_url",
+    "scalar_encode", "dq_drift_chi2", "llm_dedup_two_stage",
+    "graph_pagerank",
+    # (b) post-pin r08 rework refresh (ADVICE r8 #3)
+    "llm_token_topk", "llm_lang_id", "ads_gmv_dashboard", "ads_monthly_yoy",
+    "sort_topk", "subq_lateral_topn", "over_ranking", "ads_pareto_share",
+    "win_topn", "over_topn_pergroup", "tpch_q18_large_volume",
     # (c) r04-cohort refresh, in CORRECTNESS_r04 order
-    "flatmap_explode_outer", "llm_vocab_coverage", "cdc_snapshot_at",
-    "sink_upsert_latest", "tpch_q2_min_cost", "tpch_q4_priority_check",
-    "tpch_q5_local_supplier", "tpch_q7_volume_shipping", "tpch_q9_profit",
-    "tpch_q10_returns", "tpch_q11_important_parts", "tpch_q12_late_lines",
-    "tpch_q14_promo", "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
-    "tpch_q18_large_volume", "tpch_q19_disjunct", "tpch_q22_dormant_rich",
-    "llm_quality_score",
+    "llm_token_count", "llm_repetition", "llm_chunk_split",
+    "llm_pii_redact", "llm_word_rarity", "llm_doc_keywords",
+    "llm_length_histogram", "llm_decontaminate", "llm_source_overlap",
+    "llm_centroid_dist", "llm_embedding_quantize", "llm_frame_sample",
+    "pipe_split_assign", "pipe_mixture_weighted", "pipe_pack_sequences",
+    "pipe_sample_stratified",
+    # (d) r05-cohort fill
+    "llm_cooccurrence",
 ]
 
 # Streaming-executing / estimator-fit keys with rows-only or property

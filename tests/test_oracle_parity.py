@@ -44,11 +44,11 @@ def test_entry_smoke(spark):
 
 def test_driver_window_rotation():
     """The driver checks exactly the FIRST 50 keys of ordered_queries()
-    per round (CLAUDE.md "Driver sampling"). Lock the round-8 contract
-    (VERDICT r7 #3): the key reworked in r08 leads the window, and the
-    remaining slots refresh only the stalest evidence (the 15 r03-vintage
-    records, then the r04 cohort in record order) — no slot is wasted
-    re-sampling fresh records."""
+    per round (CLAUDE.md "Driver sampling"). Lock the round-9 contract
+    (VERDICT r8 #2 + ADVICE r8 #3): the 22 keys reworked in r09 lead, the
+    11 post-pin r08 reworks follow (the r08 window predates commits
+    5c51dfc/0542353), and the remaining slots refresh only the stalest
+    (r04, then r05-cohort) evidence — no slot re-samples fresh records."""
     import json
     import os
 
@@ -56,8 +56,8 @@ def test_driver_window_rotation():
     latest: dict[str, int] = {}
     # Deliberately pinned to the records the CURRENT rotation was built
     # against — extend this tuple together with each _PRIORITY_HEAD
-    # rotation (next round: add r08 and re-rotate onto the 24 leftover
-    # r04 keys + the r05 cohort).
+    # rotation (next round: add r09 and re-rotate onto the 38-key r05
+    # spill named in CLAUDE.md).
     for rnd, rec in (
         (1, "CORRECTNESS_r01.json"),
         (2, "CORRECTNESS_r02.json"),
@@ -66,6 +66,7 @@ def test_driver_window_rotation():
         (5, "CORRECTNESS_r05.json"),
         (6, "CORRECTNESS_r06.json"),
         (7, "CORRECTNESS_r07.json"),
+        (8, "CORRECTNESS_r08.json"),
     ):
         path = os.path.join(root, rec)
         if os.path.isfile(path):
@@ -76,35 +77,53 @@ def test_driver_window_rotation():
         pytest.skip("no prior CORRECTNESS records in this checkout")
     ordered = list(registry.ordered_queries())
     window = ordered[:50]
-    # front: every oracle key whose PLAN or ORACLE changed in r08 — the
-    # vec100 negative-zero normalizer plus the 17 nulls-tier reworks —
-    # so the driver re-verifies the new forms first
-    reworked_r08 = {
-        "llm_random_projection", "udaf_grouped_pandas", "udtf_split_rows",
-        "proj_compute", "sort_multi_key", "cogroup_apply",
-        "dq_illegal_transitions", "mv_incremental_refresh", "scalar_array",
-        "scalar_json_props", "llm_dedup_embcos", "llm_dedup_semantic",
-        "llm_dedup_two_stage", "llm_substring_clean",
-        "llm_collocation_lift", "llm_media_meta", "pipe_curriculum_ntile",
-        "graph_pagerank",
+    # front: every oracle key whose PLAN or ORACLE changed in r09 — the
+    # uni-tier case-mapping normalizer (the 'İ'-marked oracles), the
+    # knn_cosine NULL/zero-norm contract, the unicode scalar mirrors, the
+    # grouping empty-input HAVING pins, the dq nullif divisors — so the
+    # driver re-verifies the new forms first
+    reworked_r09 = {
+        "llm_knn_cosine", "scalar_url", "scalar_encode", "agg_rollup",
+        "agg_cube", "agg_grouping_sets", "dq_anomaly_zscore",
+        "dq_drift_chi2", "graph_pagerank", "llm_curation_pipeline",
+        "llm_dedup_cluster", "llm_dedup_containment", "llm_dedup_editdist",
+        "llm_dedup_exact", "llm_dedup_incremental", "llm_dedup_minhash",
+        "llm_dedup_ngram_jaccard", "llm_dedup_simhash",
+        "llm_dedup_simhash_pairs", "llm_dedup_two_stage",
+        "llm_doc_fingerprint", "pipe_split_leakage_safe",
     }
-    assert set(window[:18]) == reworked_r08
+    assert set(window[:22]) == reworked_r09
+    # the r09 normalizer-rework block is self-checking: every oracle that
+    # embeds the case-mapping canonicalization must be in the front block
+    norm_marked = {
+        k for k, sql in registry.ORACLES.items() if sql and "İ" in sql
+    }
+    assert norm_marked <= reworked_r09, sorted(norm_marked - reworked_r09)
+    # next: the post-pin r08 rework refresh (ADVICE r8 #3)
+    post_pin = {
+        "sort_topk", "subq_lateral_topn", "tpch_q18_large_volume",
+        "over_ranking", "over_topn_pergroup", "win_topn", "llm_lang_id",
+        "llm_token_topk", "ads_pareto_share", "ads_monthly_yoy",
+        "ads_gmv_dashboard",
+    }
+    assert set(window[22:33]) == post_pin
     # every oracle key with no driver record yet is in the window
     never = [
         k for k in ordered if k not in latest and k in registry.ORACLES
     ]
     assert set(never) <= set(window), sorted(set(never) - set(window))
-    # beyond the reworked block, a previously-sampled key may occupy a
-    # slot only to refresh the stalest (r03/r04) evidence
+    # beyond the reworked/post-pin blocks, a previously-sampled key may
+    # occupy a slot only to refresh the stalest (r04/r05) evidence
     stale_ok = [
-        k for k in window[18:] if latest.get(k) not in (None, 3, 4)
+        k for k in window[33:] if latest.get(k) not in (None, 4, 5)
     ]
     assert stale_ok == [], stale_ok
-    # after a green r08 no oracle key's latest record is older than r04:
-    # every r03-vintage key must be inside this window
-    r03_stale = [k for k, r in latest.items() if r == 3]
-    assert set(r03_stale) <= set(window), sorted(
-        set(r03_stale) - set(window)
+    # after a green r09 no oracle key's latest record is older than r05
+    # except the named r05 spill: every r04-vintage key must be inside
+    # this window or the r09 reworked/post-pin blocks
+    r04_stale = [k for k, r in latest.items() if r == 4]
+    assert set(r04_stale) <= set(window), sorted(
+        set(r04_stale) - set(window)
     )
 
 
