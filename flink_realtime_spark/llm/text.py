@@ -23,6 +23,39 @@ _TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
 @query(
+    "llm_text_normalize",
+    f"""
+    SELECT
+      doc_id,
+      {NORM_TEXT_DUCK} AS norm_text,
+      CAST(len({NORM_TEXT_DUCK}) AS BIGINT) AS n_chars_norm,
+      CAST(strlen({NORM_TEXT_DUCK}) AS BIGINT) AS n_bytes_norm
+    FROM documents
+    """,
+)
+def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's text normalizer as a first-class operator: whitespace
+    collapse + the PORTABLE simple case fold (exprs.NORM_TEXT_* — the
+    r09 uni-tier contract: İ pre-mapped, final-sigma canonicalized, so
+    Java full casing and utf8proc 1:1 casing agree), plus code-point and
+    UTF-8 byte lengths of the result — the two length units the uni tier
+    proved engines disagree on when conflated. Every dedup/curation key
+    builds on this fold; registering it directly gives the contract its
+    own driver hash, including over multilingual corpora (UNI_TIER).
+    Narrow map, zero shuffles, scan speed at any corpus size."""
+    wh = Warehouse(spark, sf_dir)
+    from flink_realtime_spark.exprs import norm_text
+
+    n = norm_text("text")
+    return wh.documents.select(
+        "doc_id",
+        n.alias("norm_text"),
+        F.length(n).cast("long").alias("n_chars_norm"),
+        F.octet_length(n).cast("long").alias("n_bytes_norm"),
+    )
+
+
+@query(
     "llm_text_stats",
     f"""
     SELECT

@@ -82,6 +82,9 @@ _PRIORITY_HEAD = [
     "llm_dedup_incremental", "llm_dedup_editdist", "scalar_url",
     "scalar_encode", "dq_drift_chi2", "llm_dedup_two_stage",
     "graph_pagerank",
+    # (a2) NEW key in r09: the normalizer contract as a first-class
+    # operator — never sampled, must sit inside the window
+    "llm_text_normalize",
     # (b) post-pin r08 rework refresh (ADVICE r8 #3)
     "llm_token_topk", "llm_lang_id", "ads_gmv_dashboard", "ads_monthly_yoy",
     "sort_topk", "subq_lateral_topn", "over_ranking", "ads_pareto_share",
@@ -93,8 +96,6 @@ _PRIORITY_HEAD = [
     "llm_centroid_dist", "llm_embedding_quantize", "llm_frame_sample",
     "pipe_split_assign", "pipe_mixture_weighted", "pipe_pack_sequences",
     "pipe_sample_stratified",
-    # (d) r05-cohort fill
-    "llm_cooccurrence",
 ]
 
 # Streaming-executing / estimator-fit keys with rows-only or property

@@ -95,10 +95,15 @@ def test_driver_window_rotation():
     assert set(window[:22]) == reworked_r09
     # the r09 normalizer-rework block is self-checking: every oracle that
     # embeds the case-mapping canonicalization must be in the front block
+    # (or be the NEW key registering that very contract)
     norm_marked = {
         k for k, sql in registry.ORACLES.items() if sql and "İ" in sql
     }
-    assert norm_marked <= reworked_r09, sorted(norm_marked - reworked_r09)
+    assert norm_marked <= reworked_r09 | {"llm_text_normalize"}, sorted(
+        norm_marked - reworked_r09 - {"llm_text_normalize"}
+    )
+    # new-in-r09 key right after the reworked block
+    assert window[22] == "llm_text_normalize"
     # next: the post-pin r08 rework refresh (ADVICE r8 #3)
     post_pin = {
         "sort_topk", "subq_lateral_topn", "tpch_q18_large_volume",
@@ -106,16 +111,16 @@ def test_driver_window_rotation():
         "llm_token_topk", "ads_pareto_share", "ads_monthly_yoy",
         "ads_gmv_dashboard",
     }
-    assert set(window[22:33]) == post_pin
+    assert set(window[23:34]) == post_pin
     # every oracle key with no driver record yet is in the window
     never = [
         k for k in ordered if k not in latest and k in registry.ORACLES
     ]
     assert set(never) <= set(window), sorted(set(never) - set(window))
-    # beyond the reworked/post-pin blocks, a previously-sampled key may
-    # occupy a slot only to refresh the stalest (r04/r05) evidence
+    # beyond the reworked/new/post-pin blocks, a previously-sampled key
+    # may occupy a slot only to refresh the stalest (r04/r05) evidence
     stale_ok = [
-        k for k in window[33:] if latest.get(k) not in (None, 4, 5)
+        k for k in window[34:] if latest.get(k) not in (None, 4, 5)
     ]
     assert stale_ok == [], stale_ok
     # after a green r09 no oracle key's latest record is older than r05

@@ -226,7 +226,8 @@ UNI_TIER = [
     "llm_dedup_incremental", "llm_dedup_editdist", "llm_dedup_cluster",
     "llm_decontaminate", "llm_dup_gram_share", "llm_dedup_simhash_pairs",
     "llm_source_overlap", "llm_dedup_containment", "llm_line_dedup",
-    "llm_dedup_substring", "llm_top_boilerplate", "llm_text_stats",
+    "llm_dedup_substring", "llm_top_boilerplate", "llm_text_normalize",
+    "llm_text_stats",
     "llm_token_count", "llm_token_topk", "llm_lang_id",
     "llm_doc_fingerprint", "llm_repetition", "llm_chunk_split",
     "llm_pii_redact", "llm_word_rarity", "llm_doc_keywords",
