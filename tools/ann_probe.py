@@ -18,7 +18,12 @@ regime (self-join dedup, full-corpus link prediction). This probe:
    - wall time of the IVF top-k itself.
 
 Results land in SCALE.md ("ANN at growing Q"). Usage:
-    python tools/ann_probe.py [k]      (default corpus multiplier k=4)
+    python tools/ann_probe.py [k] [ncells] [nprobe]
+(defaults k=4, ncells=16, nprobe=4 — the registered keys' geometry; the
+vec1000 decade passes ncells/nprobe explicitly to measure the index
+RESCALED to the corpus, since 16 cells at 2M vectors means 125k-vector
+cells and GEMM blocks that outgrow a worker. N_SAMPLE via
+SPARK_GRAFT_ANN_SAMPLE.)
 """
 
 from __future__ import annotations
@@ -42,8 +47,8 @@ from flink_realtime_spark.session import get_spark
 from flink_realtime_spark.tables import load_table
 
 SRC = "/root/testdata/sf0.1"
-N_SAMPLE = 200  # queries used for the exact-recall reference
-NPROBE = 4
+N_SAMPLE = int(os.environ.get("SPARK_GRAFT_ANN_SAMPLE", "200"))
+NPROBE = 4  # overridden by argv[3]
 
 
 def build_corpus(spark, k: int):
@@ -130,25 +135,34 @@ def exact_topk_sampled(assigned, sample_ids):
 
 
 def main() -> None:
+    global NPROBE
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    ncells = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    if len(sys.argv) > 3:
+        NPROBE = int(sys.argv[3])
     spark = get_spark("ann-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     corpus, n = build_corpus(spark, k)
     corpus = corpus.localCheckpoint(eager=True)
-    assigned, centroids = ivf_index(corpus)
+    assigned, centroids = ivf_index(corpus, n_cells=ncells)
     assigned = assigned.localCheckpoint(eager=True)
     cell_sizes = {
         r["cell"]: r["cnt"]
         for r in assigned.groupBy("cell").agg(F.count("*").alias("cnt")).collect()
     }
-    print(f"corpus N={n} (k={k}), cells={len(cell_sizes)}, "
+    print(f"corpus N={n} (k={k}), cells={len(cell_sizes)} "
+          f"(requested {ncells}), nprobe={NPROBE}, "
           f"max cell={max(cell_sizes.values())}")
     print(
         f"{'Q':>6} {'join_sec':>9} {'gemm_sec':>9} {'scan_frac':>10} "
         f"{'recall@5':>9} {'kernels_agree':>13}"
     )
     rows = []
-    for q_max in (20, 500, 5000):
+    q_list = tuple(
+        int(q)
+        for q in os.environ.get("SPARK_GRAFT_ANN_QS", "20,500,5000").split(",")
+    )
+    for q_max in q_list:
         if q_max > n:
             print(f"{q_max:>6}  skipped (Q > N)")
             continue
@@ -157,7 +171,9 @@ def main() -> None:
         got = topk.collect()
         ivf_sec = time.perf_counter() - t0
         t0 = time.perf_counter()
-        got_gemm = ivf_topk_gemm(assigned, centroids, q_max).collect()
+        got_gemm = ivf_topk_gemm(
+            assigned, centroids, q_max, nprobe=NPROBE
+        ).collect()
         gemm_sec = time.perf_counter() - t0
         # Tie-aware agreement: the two kernels sum dot products in
         # different orders, so ulp-level noise can swap which of two
