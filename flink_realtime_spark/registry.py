@@ -70,7 +70,7 @@ _loaded = False
 # (ADVICE r8 #3 — the r08 block predates those fixes), same ordering.
 # (c) the 16 remaining r04-vintage keys, in CORRECTNESS_r04 record order
 # (the other 8 of CLAUDE.md's 24-key r04 cohort were reworked or are in
-# block b). (d) one r05-cohort key fills to 50; the 38-key r05 spill
+# block b). Blocks a+a2+b+c sum to exactly 50; the 39-key r05 spill
 # (named in CLAUDE.md) leads the r10 refresh pool.
 _PRIORITY_HEAD = [
     # (a) reworked in r09, by (latest record, position)

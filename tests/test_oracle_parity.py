@@ -56,7 +56,7 @@ def test_driver_window_rotation():
     latest: dict[str, int] = {}
     # Deliberately pinned to the records the CURRENT rotation was built
     # against — extend this tuple together with each _PRIORITY_HEAD
-    # rotation (next round: add r09 and re-rotate onto the 38-key r05
+    # rotation (next round: add r09 and re-rotate onto the 39-key r05
     # spill named in CLAUDE.md).
     for rnd, rec in (
         (1, "CORRECTNESS_r01.json"),
