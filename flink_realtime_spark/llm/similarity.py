@@ -134,13 +134,45 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# Corpus-adaptive IVF geometry (VERDICT r9 #3): a FIXED 16-cell index
+# breaks one decade past its fixture — at 2M vectors 16 cells means
+# 125k-vector cells, GEMM blocks that outgrow a worker and a join kernel
+# that paid 1273 s where the rescaled index answered in 67 s
+# (tools/ann_probe.py, r09). Geometry therefore derives from a cheap
+# corpus count: hold cells at a target row count (clamped), and scale
+# nprobe to hold the BASE nprobe/ncells scan fraction so the recall
+# floor survives the rescale. The floor of 16 keeps every fixture-scale
+# hash unchanged (sf0.01 ... vec100's 200k = exactly 16 cells); the cap
+# bounds the broadcast centroid table (4096 × 64 dims ≈ 2 MB).
+IVF_MIN_CELLS = 16
+IVF_MAX_CELLS = 4096
+IVF_TARGET_CELL_ROWS = 12_500
+
+
+def ivf_geometry(n_vectors: int, base_nprobe: int) -> tuple[int, int]:
+    """(n_cells, nprobe) for a corpus of ``n_vectors``: n_cells =
+    clamp(ceil(N / 12500), 16, 4096); nprobe = ceil(n_cells ·
+    base_nprobe / 16) — the scan fraction stays ≈ base_nprobe/16 at
+    every corpus size while cell (and GEMM block) size stays bounded.
+    The SQL mirror lives in llm_knn_ivf_hash's geo CTE."""
+    n_cells = max(
+        IVF_MIN_CELLS,
+        min(IVF_MAX_CELLS, -(-n_vectors // IVF_TARGET_CELL_ROWS)),
+    )
+    nprobe = -(-n_cells * base_nprobe // IVF_MIN_CELLS)
+    return n_cells, nprobe
+
+
 def ivf_index(
-    embeddings: DataFrame, n_cells: int = 16, seed: int = 42
+    embeddings: DataFrame, n_cells: int | None = None, seed: int = 42
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF index: KMeans coarse quantizer over the corpus.
     Returns (assigned corpus with cell ids, centroid table). At 100 TB the
     quantizer trains on a sample and the assignment is a broadcast join of
-    ncells centroids against the corpus — one narrow pass."""
+    ncells centroids against the corpus — one narrow pass. ``n_cells``
+    defaults to the corpus-adaptive ivf_geometry derivation (one cheap
+    count; pass it explicitly when the caller already knows)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -152,6 +184,8 @@ def ivf_index(
         F.col("embedding").cast("array<double>").alias("emb"),
         array_to_vector(F.col("embedding").cast("array<double>")).alias("fv"),
     )
+    if n_cells is None:
+        n_cells, _ = ivf_geometry(vecs.count(), 1)
     # maxIter 5: the 16-cell quantizer converges by iteration 5 on both
     # fixture SFs (identical assignments and recall vs maxIter 10,
     # measured) and MLlib's per-iteration job overhead dominates the fit
@@ -211,9 +245,14 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen join kernel is the small-Q form; when Q grows with N
     (all-vs-all linking) swap in ivf_topk_gemm below — same index, same
     results (equivalence property test), per-cell matmul kernel
-    (tools/ann_probe.py: 88.4 s → 2.6 s at Q=5000, N=8000)."""
+    (tools/ann_probe.py: 88.4 s → 2.6 s at Q=5000, N=8000). Geometry is
+    corpus-adaptive (ivf_geometry): 16 cells / nprobe 4 at fixture
+    scale; past 200k vectors cells grow with N and nprobe holds the
+    4/16 scan fraction."""
     wh = Warehouse(spark, sf_dir)
-    assigned, centroids = ivf_index(wh.embeddings)
+    n = wh.embeddings.filter(F.col("embedding").isNotNull()).count()
+    n_cells, nprobe = ivf_geometry(n, 4)
+    assigned, centroids = ivf_index(wh.embeddings, n_cells)
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
     )
@@ -225,7 +264,7 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.crossJoin(F.broadcast(centroids))
         .withColumn("csim", cosine_expr("qe", "centroid"))
         .withColumn("crank", F.row_number().over(wq))
-        .filter(F.col("crank") <= 4)
+        .filter(F.col("crank") <= nprobe)
         .select("query_id", "qe", "cell")
     )
     cand = assigned.select(
@@ -247,7 +286,7 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_hash_index(
-    embeddings: DataFrame, n_cells: int = 16
+    embeddings: DataFrame, n_cells: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic IVF index: centroids are ``n_cells`` data-sampled
     corpus vectors chosen by a Knuth multiplicative hash over vec_id
@@ -255,7 +294,11 @@ def ivf_hash_index(
     numbered by seed vec_id order. Returns (assigned corpus with cell
     ids, centroid table). Assignment is a broadcast of ``n_cells``
     centroids against the corpus folded by a map-side partial max_by —
-    no sort, no window, one shuffle on vec_id."""
+    no sort, no window, one shuffle on vec_id. ``n_cells`` defaults to
+    the ivf_geometry derivation over the full row count (this index
+    doesn't null-filter; its oracle mirrors with COUNT(*))."""
+    if n_cells is None:
+        n_cells, _ = ivf_geometry(embeddings.count(), 1)
     base = rebalance(embeddings, "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -302,14 +345,26 @@ def ivf_hash_index(
     WITH base AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
     ),
+    geo AS (
+      -- ivf_geometry's SQL mirror: cells at a 12500-row target, clamped
+      -- to [16, 4096]; nprobe holds the base 6/16 scan fraction
+      SELECT
+        GREATEST(16, LEAST(4096,
+          CAST(CEIL(COUNT(*) / 12500.0) AS BIGINT))) AS ncells
+      FROM base
+    ),
     seeds AS (
       SELECT vec_id, emb,
         ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
       FROM (
-        SELECT vec_id, emb FROM base
-        ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 4294967296, vec_id
-        LIMIT 16
+        SELECT vec_id, emb,
+          ROW_NUMBER() OVER (
+            ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 4294967296,
+                     vec_id
+          ) AS hrank
+        FROM base
       )
+      WHERE hrank <= (SELECT ncells FROM geo)
     ),
     assigned AS (
       SELECT b.vec_id, b.emb, s.cell
@@ -328,7 +383,7 @@ def ivf_hash_index(
         PARTITION BY a.vec_id
         ORDER BY ROUND(list_cosine_similarity(a.emb, s.emb), 9) DESC,
                  s.cell ASC
-      ) <= 6
+      ) <= (SELECT CAST(CEIL(ncells * 6 / 16.0) AS BIGINT) FROM geo)
     )
     SELECT p.query_id, c.vec_id AS neighbor_id,
       CAST(ROW_NUMBER() OVER (
@@ -352,15 +407,19 @@ def llm_knn_ivf_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     as llm_knn_ivf: probe the nprobe=6 nearest cells, exact cosine only
     within them.
 
-    Scale shape (100 TB): centroids are 16 rows — broadcast; assignment
-    is a broadcast nested-loop over 16 centroids folded by a map-side
-    partial max_by (no sort, no window, ONE shuffle on vec_id); the
-    candidate join is a plain equi-join on cell. Cell-affinity scores are
-    rounded to 9 dp on BOTH sides before ranking so double accumulation
-    order can't flip borderline cell assignments between engines (the
-    ×10-tier decimal lesson applied to argmax)."""
+    Scale shape (100 TB): centroids are ncells rows (corpus-adaptive via
+    ivf_geometry, ≤4096) — broadcast; assignment is a broadcast
+    nested-loop over the centroids folded by a map-side partial max_by
+    (no sort, no window, ONE shuffle on vec_id); the candidate join is a
+    plain equi-join on cell. Cell-affinity scores are rounded to 9 dp on
+    BOTH sides before ranking so double accumulation order can't flip
+    borderline cell assignments between engines (the ×10-tier decimal
+    lesson applied to argmax)."""
     wh = Warehouse(spark, sf_dir)
-    assigned, seeds = ivf_hash_index(wh.embeddings)
+    # geometry from one cheap count (no null filter — this index keys
+    # every row; the oracle's geo CTE mirrors with COUNT(*))
+    n_cells, nprobe = ivf_geometry(wh.embeddings.count(), 6)
+    assigned, seeds = ivf_hash_index(wh.embeddings, n_cells)
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
     )
@@ -371,11 +430,11 @@ def llm_knn_ivf_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.crossJoin(F.broadcast(seeds))
         .withColumn("csim", F.round(cosine_expr("qe", "centroid"), 9))
         .withColumn("crank", F.row_number().over(wq))
-        # nprobe=6 (vs KMeans' 4): sampled seeds partition lumpier than
-        # fitted centroids, so the deterministic index buys its recall
-        # floor with two extra probes (measured 0.40 -> 0.59 recall@5,
-        # top-6 scan fraction 0.43 at sf0.01)
-        .filter(F.col("crank") <= 6)
+        # base nprobe=6 (vs KMeans' 4): sampled seeds partition lumpier
+        # than fitted centroids, so the deterministic index buys its
+        # recall floor with two extra probes (measured 0.40 -> 0.59
+        # recall@5, top-6 scan fraction 0.43 at sf0.01)
+        .filter(F.col("crank") <= nprobe)
         .select("query_id", "qe", "cell")
     )
     cand = assigned.select(
@@ -406,8 +465,10 @@ def llm_knn_ivf_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence test plus llm_knn_ivf's recall/scan-fraction properties
     are the correctness contract."""
     wh = Warehouse(spark, sf_dir)
-    assigned, centroids = ivf_index(wh.embeddings)
-    return ivf_topk_gemm(assigned, centroids, N_QUERIES)
+    n = wh.embeddings.filter(F.col("embedding").isNotNull()).count()
+    n_cells, nprobe = ivf_geometry(n, 4)
+    assigned, centroids = ivf_index(wh.embeddings, n_cells)
+    return ivf_topk_gemm(assigned, centroids, N_QUERIES, nprobe=nprobe)
 
 
 def ivf_topk_gemm(

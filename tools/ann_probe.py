@@ -19,11 +19,17 @@ regime (self-join dedup, full-corpus link prediction). This probe:
 
 Results land in SCALE.md ("ANN at growing Q"). Usage:
     python tools/ann_probe.py [k] [ncells] [nprobe]
-(defaults k=4, ncells=16, nprobe=4 — the registered keys' geometry; the
-vec1000 decade passes ncells/nprobe explicitly to measure the index
-RESCALED to the corpus, since 16 cells at 2M vectors means 125k-vector
-cells and GEMM blocks that outgrow a worker. N_SAMPLE via
-SPARK_GRAFT_ANN_SAMPLE.)
+(default k=4; ncells/nprobe default to the registered keys' OWN
+corpus-adaptive derivation — `ivf_geometry(N, 4)`, 16 cells / nprobe 4
+at fixture decades, rescaled past 200k vectors since 16 cells at 2M
+vectors means 125k-vector cells and GEMM blocks that outgrow a worker
+(r09 find; r10 moved the derivation in-operator). Pass ncells/nprobe
+explicitly to measure an alternative geometry. N_SAMPLE via
+SPARK_GRAFT_ANN_SAMPLE; Q list via SPARK_GRAFT_ANN_QS;
+SPARK_GRAFT_ANN_SKIP_JOIN=1 skips the per-pair join kernel — at the 2M
+decade it pays the full scan-fraction per-pair cost by design (1273 s
+at Q=500) and the probe's question there is the INDEX's recall/scan
+floors plus the GEMM wall, not the known-slow kernel.)
 """
 
 from __future__ import annotations
@@ -40,6 +46,7 @@ from pyspark.sql import functions as F
 from flink_realtime_spark.llm.similarity import (
     K,
     cosine_expr,
+    ivf_geometry,
     ivf_index,
     ivf_topk_gemm,
 )
@@ -137,13 +144,19 @@ def exact_topk_sampled(assigned, sample_ids):
 def main() -> None:
     global NPROBE
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    ncells = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    ncells = int(sys.argv[2]) if len(sys.argv) > 2 else None
     if len(sys.argv) > 3:
         NPROBE = int(sys.argv[3])
+    skip_join = os.environ.get("SPARK_GRAFT_ANN_SKIP_JOIN") == "1"
     spark = get_spark("ann-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     corpus, n = build_corpus(spark, k)
     corpus = corpus.localCheckpoint(eager=True)
+    if ncells is None:
+        # the registered keys' own derivation (scan fraction held)
+        ncells, derived_nprobe = ivf_geometry(n, NPROBE)
+        if len(sys.argv) <= 3:
+            NPROBE = derived_nprobe
     assigned, centroids = ivf_index(corpus, n_cells=ncells)
     assigned = assigned.localCheckpoint(eager=True)
     cell_sizes = {
@@ -167,14 +180,19 @@ def main() -> None:
             print(f"{q_max:>6}  skipped (Q > N)")
             continue
         topk, pairs = ivf_topk(assigned, centroids, q_max)
-        t0 = time.perf_counter()
-        got = topk.collect()
-        ivf_sec = time.perf_counter() - t0
+        if skip_join:
+            got, ivf_sec = [], float("nan")
+        else:
+            t0 = time.perf_counter()
+            got = topk.collect()
+            ivf_sec = time.perf_counter() - t0
         t0 = time.perf_counter()
         got_gemm = ivf_topk_gemm(
             assigned, centroids, q_max, nprobe=NPROBE
         ).collect()
         gemm_sec = time.perf_counter() - t0
+        if skip_join:
+            got = got_gemm  # recall below is measured on the GEMM result
         # Tie-aware agreement: the two kernels sum dot products in
         # different orders, so ulp-level noise can swap which of two
         # NEAR-TIED candidates ranks k vs k+1 (the replica corpus is full
@@ -213,7 +231,7 @@ def main() -> None:
         recall = len(exact_set & got_set) / len(exact_set)
         print(
             f"{q_max:>6} {ivf_sec:>9.2f} {gemm_sec:>9.2f} {scan_frac:>10.3f} "
-            f"{recall:>9.3f} {str(agree):>13}"
+            f"{recall:>9.3f} {'skipped' if skip_join else str(agree):>13}"
         )
         rows.append((q_max, ivf_sec, gemm_sec, scan_frac, recall))
     spark.stop()
