@@ -16,25 +16,112 @@ from pyspark.sql import functions as F
 
 DEC = "decimal(18,4)"
 
+_INF = float("inf")
+NAN = float("nan")
+
+
+def nonfinite(col: Column) -> Column:
+    """NaN or ±Inf (NULL input stays NULL — the CASE forms below treat
+    that as 'not special', matching SUM's null-skipping)."""
+    return F.isnan(col) | (F.abs(col) == F.lit(_INF))
+
+
+def finite_or_null(col: Column) -> Column:
+    """The column with NaN/±Inf nulled out — the per-row guard for
+    operators whose contract treats non-finite measurements as missing
+    (order statistics, bucket keys, decimal state). SQL mirror:
+    ``CASE WHEN NOT {nonfinite_sql(x)} THEN x END``."""
+    return F.when(~nonfinite(col), col)
+
+
+_nonfinite = nonfinite  # internal alias used by dsum/davg below
+
 
 def dsum(col: Column, scale: int = 4) -> Column:
-    """Order-independent SUM of a double expression (exact decimal path).
+    """Order-independent SUM of a double expression: exact decimal path
+    for finite values, IEEE propagation for specials (specials tier, r10).
 
     ``scale`` must be >= the true decimal scale of the expression: a double
     whose exact value fits in ``scale`` digits rounds identically in both
     engines (fp error ~1e-11 is far inside the tie boundary), but a cast
     BELOW the true scale hits genuine ties where Spark (shortest-string
     HALF_UP) and DuckDB (binary-value) disagree — e.g. a 6-decimal
-    price*(1-disc)*(1+tax) product cast at scale 4."""
-    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+    price*(1-disc)*(1+tax) product cast at scale 4.
+
+    SPECIALS (NaN/±Inf) can't enter the decimal cast (ANSI throws, and no
+    decimal represents them), and silently skipping them would hide bad
+    data in 100 TB of telemetry. IEEE semantics are order-INDEPENDENT
+    here: any NaN in the group → NaN; else +Inf and -Inf together → NaN;
+    else a lone infinity sign → ±Inf — so a side SUM over only-the-
+    specials (finite rows contribute literal 0.0) yields exactly the IEEE
+    answer when specials are present and 0.0 when not, and the result
+    stays deterministic under any partitioning. dsum_sql mirrors this."""
+    nf = _nonfinite(col)
+    ssum = F.sum(F.when(nf, col).otherwise(F.lit(0.0)))
+    exact = F.sum(F.when(~nf, col).cast(f"decimal(18,{scale})")).cast("double")
+    return F.when(F.isnan(ssum) | (ssum != 0.0), ssum).otherwise(exact)
 
 
 def davg(col: Column, scale: int = 4) -> Column:
     """Order-independent AVG: exact decimal sum divided by count, one final
-    double division (deterministic)."""
-    return (
-        F.sum(col.cast(f"decimal(18,{scale})")).cast("double") / F.count(col)
+    double division (deterministic); IEEE propagation when the group holds
+    NaN/±Inf (see dsum — ±Inf/count keeps its sign, NaN stays NaN)."""
+    nf = _nonfinite(col)
+    ssum = F.sum(F.when(nf, col).otherwise(F.lit(0.0)))
+    exact = (
+        F.sum(F.when(~nf, col).cast(f"decimal(18,{scale})")).cast("double")
+        / F.count(col)
     ).cast("double")
+    return F.when(
+        F.isnan(ssum) | (ssum != 0.0), (ssum / F.count(col)).cast("double")
+    ).otherwise(exact)
+
+
+def dsum_over(col: Column, w, scale: int = 4) -> Column:
+    """Windowed dsum: the same finite-exact / IEEE-specials two-branch
+    form over a window spec (running sums, moving averages, trailing
+    frames). Deterministic for the same reason dsum is: the specials-only
+    side sum is order-independent."""
+    nf = _nonfinite(col)
+    ssum = F.sum(F.when(nf, col).otherwise(F.lit(0.0))).over(w)
+    exact = (
+        F.sum(F.when(~nf, col).cast(f"decimal(18,{scale})"))
+        .over(w)
+        .cast("double")
+    )
+    return F.when(F.isnan(ssum) | (ssum != 0.0), ssum).otherwise(exact)
+
+
+def dsum_over_sql(expr: str, over: str, scale: int = 4) -> str:
+    """SQL mirror of dsum_over; ``over`` is the full window text
+    (\"(PARTITION BY ... ORDER BY ... ROWS ...)\" or a named window)."""
+    nf = nonfinite_sql(expr)
+    ssum = f"SUM(CASE WHEN {nf} THEN {expr} ELSE 0.0 END) OVER {over}"
+    exact = (
+        f"CAST(CAST(SUM(CASE WHEN NOT {nf} "
+        f"THEN CAST({expr} AS DECIMAL(18,{scale})) END) OVER {over} "
+        f"AS STRING) AS DOUBLE)"
+    )
+    return (
+        f"CASE WHEN isnan({ssum}) OR {ssum} != 0.0 THEN {ssum} "
+        f"ELSE {exact} END"
+    )
+
+
+def nonfinite_sql(expr: str) -> str:
+    # Dialect-shared (several oracles are ALSO executed by Spark's parser):
+    # isnan() exists in both engines; isinf() only in DuckDB, so spell it
+    # abs(x) = 'Infinity' — both parsers accept the cast literal.
+    return f"(isnan({expr}) OR abs({expr}) = CAST('Infinity' AS DOUBLE))"
+
+
+def finite_sql(expr: str) -> str:
+    """SQL mirror of finite_or_null: the expression with non-finite
+    values nulled out."""
+    return f"(CASE WHEN NOT {nonfinite_sql(expr)} THEN {expr} END)"
+
+
+_nonfinite_sql = nonfinite_sql  # internal alias used by dsum_sql below
 
 
 def dsum_sql(expr: str, scale: int = 4) -> str:
@@ -44,14 +131,32 @@ def dsum_sql(expr: str, scale: int = 4) -> str:
     # ~16 significant digits (×10-facts hash sweep, round 5). String→double
     # parsing is correctly rounded in both engines, and Spark's
     # BigDecimal→double is already correct, so the string route makes the
-    # conversion agree at every magnitude.
-    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS STRING) AS DOUBLE)"
+    # conversion agree at every magnitude. The specials branch mirrors
+    # dsum: IEEE propagation when the group holds NaN/±Inf.
+    nf = _nonfinite_sql(expr)
+    ssum = f"SUM(CASE WHEN {nf} THEN {expr} ELSE 0.0 END)"
+    exact = (
+        f"CAST(CAST(SUM(CASE WHEN NOT {nf} "
+        f"THEN CAST({expr} AS DECIMAL(18,{scale})) END) AS STRING) AS DOUBLE)"
+    )
+    return (
+        f"CASE WHEN isnan({ssum}) OR {ssum} != 0.0 THEN {ssum} "
+        f"ELSE {exact} END"
+    )
 
 
 def davg_sql(expr: str, scale: int = 4) -> str:
-    return (
-        f"CAST(CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS STRING) AS DOUBLE)"
+    nf = _nonfinite_sql(expr)
+    ssum = f"SUM(CASE WHEN {nf} THEN {expr} ELSE 0.0 END)"
+    exact = (
+        f"CAST(CAST(CAST(SUM(CASE WHEN NOT {nf} "
+        f"THEN CAST({expr} AS DECIMAL(18,{scale})) END) AS STRING) AS DOUBLE)"
         f" / COUNT({expr}) AS DOUBLE)"
+    )
+    return (
+        f"CASE WHEN isnan({ssum}) OR {ssum} != 0.0 "
+        f"THEN CAST({ssum} / COUNT({expr}) AS DOUBLE) "
+        f"ELSE {exact} END"
     )
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_realtime_spark.exprs import bigint, dsum, dsum_sql
+from flink_realtime_spark.exprs import bigint, dsum, dsum_sql, nonfinite, nonfinite_sql
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse
 
@@ -171,39 +171,58 @@ def scalar_div_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_math",
-    """
+    f"""
     SELECT
       c_custkey,
-      CAST(abs(c_acctbal) AS DOUBLE) AS abs_bal,
-      CAST(round(c_acctbal, 1) AS DOUBLE) AS bal_round1,
-      CAST(ceil(CAST(c_acctbal AS DOUBLE)) AS BIGINT) AS bal_ceil,
-      CAST(floor(CAST(c_acctbal AS DOUBLE)) AS BIGINT) AS bal_floor,
-      CAST(sqrt(abs(c_acctbal)) AS DOUBLE) AS bal_sqrt,
+      CAST(abs(c_acctbal) AS DOUBLE) + 0 AS abs_bal,
+      CAST(round(c_acctbal, 1) AS DOUBLE) + 0 AS bal_round1,
+      CASE WHEN NOT {nonfinite_sql('c_acctbal')} THEN
+        CAST(ceil(CAST(c_acctbal AS DOUBLE)) AS BIGINT) END AS bal_ceil,
+      CASE WHEN NOT {nonfinite_sql('c_acctbal')} THEN
+        CAST(floor(CAST(c_acctbal AS DOUBLE)) AS BIGINT) END AS bal_floor,
+      CAST(sqrt(abs(c_acctbal)) AS DOUBLE) + 0 AS bal_sqrt,
       ROUND(ln(abs(c_acctbal) + 1), 6) AS bal_ln,
       ROUND(exp(c_acctbal / 10000), 6) AS bal_exp,
-      CAST(sign(c_acctbal) AS DOUBLE) AS bal_sign,
-      CAST(greatest(c_acctbal, 0.0) AS DOUBLE) AS bal_pos,
-      CAST(least(c_acctbal, 1000.0) AS DOUBLE) AS bal_capped,
+      CASE WHEN isnan(c_acctbal) THEN CAST('NaN' AS DOUBLE)
+           ELSE CAST(sign(c_acctbal + 0) AS DOUBLE) END AS bal_sign,
+      CAST(greatest(c_acctbal + 0, 0.0) AS DOUBLE) AS bal_pos,
+      CAST(least(c_acctbal + 0, 1000.0) AS DOUBLE) AS bal_capped,
       CAST(((CAST(c_custkey AS BIGINT) % 7) + 7) % 7 AS BIGINT) AS key_mod7
     FROM customer
     """,
 )
 def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math family: abs/round/ceil/floor/sqrt/ln/exp/sign/greatest/least and
-    positive modulo (Spark pmod == the ((x%n)+n)%n rewrite)."""
+    positive modulo (Spark pmod == the ((x%n)+n)%n rewrite).
+
+    SPECIALS (r10 tier): ceil/floor of a non-finite double have no BIGINT
+    value (both engines throw) → NULL; round keeps the engines'
+    sign-of-zero split (+0 normalizer); sign pins NaN explicitly (Java
+    signum(NaN)=NaN vs utf8proc-side 0) and normalizes -0.0 before the
+    comparison chain; greatest/least normalize -0.0 so an equal-compare
+    tie can't keep a different zero per engine; abs/sqrt get +0 because
+    DuckDB's abs keeps -0.0 (x<0 ? -x : x) where Java's clears it, and
+    IEEE sqrt(-0.0) is -0.0."""
     wh = Warehouse(spark, sf_dir)
+    bal = F.col("c_acctbal")
     return wh.customer.select(
         "c_custkey",
-        F.abs("c_acctbal").cast("double").alias("abs_bal"),
-        F.round("c_acctbal", 1).cast("double").alias("bal_round1"),
-        F.ceil(F.col("c_acctbal").cast("double")).cast("long").alias("bal_ceil"),
-        F.floor(F.col("c_acctbal").cast("double")).cast("long").alias("bal_floor"),
-        F.sqrt(F.abs("c_acctbal")).cast("double").alias("bal_sqrt"),
+        (F.abs("c_acctbal").cast("double") + F.lit(0.0)).alias("abs_bal"),
+        (F.round("c_acctbal", 1).cast("double") + F.lit(0.0)).alias("bal_round1"),
+        F.when(~nonfinite(bal), F.ceil(bal.cast("double")).cast("long")).alias(
+            "bal_ceil"
+        ),
+        F.when(~nonfinite(bal), F.floor(bal.cast("double")).cast("long")).alias(
+            "bal_floor"
+        ),
+        (F.sqrt(F.abs("c_acctbal")).cast("double") + F.lit(0.0)).alias("bal_sqrt"),
         F.round(F.log(F.abs("c_acctbal") + 1), 6).alias("bal_ln"),
         F.round(F.exp(F.col("c_acctbal") / 10000), 6).alias("bal_exp"),
-        F.signum("c_acctbal").cast("double").alias("bal_sign"),
-        F.greatest("c_acctbal", F.lit(0.0)).cast("double").alias("bal_pos"),
-        F.least("c_acctbal", F.lit(1000.0)).cast("double").alias("bal_capped"),
+        F.when(F.isnan(bal), F.lit(float("nan")))
+        .otherwise(F.signum(bal + F.lit(0.0)).cast("double"))
+        .alias("bal_sign"),
+        F.greatest(bal + F.lit(0.0), F.lit(0.0)).cast("double").alias("bal_pos"),
+        F.least(bal + F.lit(0.0), F.lit(1000.0)).cast("double").alias("bal_capped"),
         F.pmod(F.col("c_custkey").cast("long"), F.lit(7)).cast("long").alias("key_mod7"),
     )
 

@@ -22,22 +22,33 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_realtime_spark.exprs import finite_sql
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse
 
 
-@lru_cache(maxsize=1)
-def _net_price_udf():
-    from pyspark.sql.functions import pandas_udf
+def _net_price_batches(batches):
+    # Vectorized scalar kernel over RAW Arrow batches (Flink
+    # ScalarFunction analog on the Arrow-native path). mapInArrow, not
+    # pandas_udf, on purpose (r10 specials tier): the pandas float64
+    # boundary COLLAPSES NULL and NaN — Arrow→pandas turns NULL inputs
+    # into NaN, and pyspark's pandas→Arrow return conversion
+    # (Array.from_pandas) turns every NaN back into NULL, so a genuine
+    # NaN measurement silently became missing and no masked-dtype trick
+    # survives the return trip. pyarrow.compute keeps validity and NaN
+    # as the distinct things they are.
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    @pandas_udf("double")
-    def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
-        # Vectorized scalar UDF (Flink ScalarFunction analog): Arrow batch
-        # in, Arrow batch out. Per-row IEEE ops are deterministic, so this
-        # stays oracle-exact without rounding.
-        return price * (1.0 - discount)
-
-    return net_price
+    for b in batches:
+        net = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0, pa.float64()), b.column("l_discount")),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [b.column("l_orderkey"), b.column("l_linenumber"), net],
+            names=["l_orderkey", "l_linenumber", "net_price"],
+        )
 
 
 @query(
@@ -53,10 +64,9 @@ def _net_price_udf():
 )
 def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = Warehouse(spark, sf_dir)
-    return wh.lineitem.filter(F.col("l_quantity") >= 45).select(
-        "l_orderkey",
-        "l_linenumber",
-        _net_price_udf()("l_extendedprice", "l_discount").alias("net_price"),
+    return wh.lineitem.filter(F.col("l_quantity") >= 45).mapInArrow(
+        _net_price_batches,
+        "l_orderkey BIGINT, l_linenumber INT, net_price DOUBLE",
     )
 
 
@@ -70,8 +80,11 @@ def _median_udaf():
         # Median is order-insensitive → deterministic across batchings.
         # SQL MEDIAN skips NULLs (NaN here) and is NULL on an all-NULL
         # group — np.median would NaN-poison instead (nulls-tier find).
+        # Order statistics run over the FINITE subset (the agg_stats r10
+        # contract): ±Inf has no interpolable position either, and the
+        # oracle mirrors with a finite-filtered MEDIAN.
         arr = v.to_numpy(dtype=np.float64)
-        arr = arr[~np.isnan(arr)]
+        arr = arr[np.isfinite(arr)]
         return float(np.median(arr)) if len(arr) else None
 
     return median_agg
@@ -79,10 +92,10 @@ def _median_udaf():
 
 @query(
     "udaf_grouped_pandas",
-    """
+    f"""
     SELECT
       l_returnflag,
-      ROUND(MEDIAN(l_extendedprice), 4) AS med_price
+      ROUND(MEDIAN({finite_sql('l_extendedprice')}), 4) AS med_price
     FROM lineitem
     GROUP BY l_returnflag
     """,

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_realtime_spark.exprs import nonfinite, nonfinite_sql
 from flink_realtime_spark.llm.dedup import cosine_expr
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse, rebalance
@@ -177,9 +178,17 @@ def ivf_index(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     # NULL vectors cannot be indexed (array_to_vector raises in the JVM
-    # UDF — nulls-tier find) and have no meaningful cell: drop them at
-    # the index boundary, the exact analog of the GEMM kernels' filter.
-    vecs = embeddings.filter(F.col("embedding").isNotNull()).select(
+    # UDF — nulls-tier find) and neither can NaN/±Inf-bearing ones
+    # (MLlib's Vector validator raises "values MUST NOT be NaN or
+    # Infinity" — specials-tier find, r10); neither has a meaningful
+    # cell direction: drop both at the index boundary, the exact analog
+    # of the GEMM kernels' filter.
+    vecs = embeddings.filter(
+        F.col("embedding").isNotNull()
+        & ~F.exists(
+            F.col("embedding").cast("array<double>"), lambda x: nonfinite(x)
+        )
+    ).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("emb"),
         array_to_vector(F.col("embedding").cast("array<double>")).alias("fv"),
@@ -371,7 +380,7 @@ def ivf_hash_index(
       FROM base b, seeds s
       QUALIFY ROW_NUMBER() OVER (
         PARTITION BY b.vec_id
-        ORDER BY ROUND(list_cosine_similarity(b.emb, s.emb), 9) DESC,
+        ORDER BY ROUND((list_inner_product(b.emb, s.emb) / NULLIF(sqrt(list_inner_product(b.emb, b.emb)) * sqrt(list_inner_product(s.emb, s.emb)), 0)), 9) DESC,
                  s.cell ASC
       ) = 1
     ),
@@ -381,16 +390,16 @@ def ivf_hash_index(
       WHERE a.vec_id < {N_QUERIES}
       QUALIFY ROW_NUMBER() OVER (
         PARTITION BY a.vec_id
-        ORDER BY ROUND(list_cosine_similarity(a.emb, s.emb), 9) DESC,
+        ORDER BY ROUND((list_inner_product(a.emb, s.emb) / NULLIF(sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(s.emb, s.emb)), 0)), 9) DESC,
                  s.cell ASC
       ) <= (SELECT CAST(CEIL(ncells * 6 / 16.0) AS BIGINT) FROM geo)
     )
     SELECT p.query_id, c.vec_id AS neighbor_id,
       CAST(ROW_NUMBER() OVER (
         PARTITION BY p.query_id
-        ORDER BY list_cosine_similarity(p.qe, c.emb) DESC, c.vec_id ASC
+        ORDER BY (list_inner_product(p.qe, c.emb) / NULLIF(sqrt(list_inner_product(p.qe, p.qe)) * sqrt(list_inner_product(c.emb, c.emb)), 0)) DESC, c.vec_id ASC
       ) AS BIGINT) AS "rank",
-      ROUND(list_cosine_similarity(p.qe, c.emb), 6) AS cos_sim
+      ROUND((list_inner_product(p.qe, c.emb) / NULLIF(sqrt(list_inner_product(p.qe, p.qe)) * sqrt(list_inner_product(c.emb, c.emb)), 0)), 6) AS cos_sim
     FROM probes p
     JOIN assigned c ON p.cell = c.cell AND p.query_id != c.vec_id
     QUALIFY "rank" <= {K}
@@ -568,9 +577,13 @@ def ivf_topk_gemm(
     )
 
 
+_CD_NF_V = "(isnan(v) OR abs(v) = CAST('Infinity' AS DOUBLE))"
+_CD_NF_SQ = "(isnan(sq) OR abs(sq) = CAST('Infinity' AS DOUBLE))"
+
+
 @query(
     "llm_centroid_dist",
-    """
+    f"""
     WITH x AS (
       SELECT
         vec_id, label,
@@ -579,47 +592,93 @@ def ivf_topk_gemm(
       FROM embeddings
     ),
     c AS (
-      SELECT
-        label, p,
-        CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS cv
-      FROM x GROUP BY label, p
+      SELECT label, p,
+        CASE WHEN isnan(sspec) OR sspec != 0.0 THEN sspec / cnt
+             ELSE CAST(sfin AS DOUBLE) / cnt END AS cv
+      FROM (
+        SELECT label, p,
+          SUM(CASE WHEN NOT {_CD_NF_V}
+              THEN CAST(v AS DECIMAL(18,9)) END) AS sfin,
+          SUM(CASE WHEN {_CD_NF_V} THEN v ELSE 0.0 END) AS sspec,
+          COUNT(*) AS cnt
+        FROM x GROUP BY label, p
+      )
     )
-    SELECT
-      x.vec_id,
-      CAST(x.label AS BIGINT) AS label,
-      ROUND(sqrt(CAST(SUM(
-        CAST((x.v - c.cv) * (x.v - c.cv) AS DECIMAL(18,12))
-      ) AS DOUBLE)), 6) AS dist_to_centroid
-    FROM x JOIN c ON x.label = c.label AND x.p = c.p
-    GROUP BY x.vec_id, x.label
+    SELECT vec_id, label,
+      ROUND(sqrt(CASE WHEN isnan(qspec) OR qspec != 0.0 THEN qspec
+                      ELSE CAST(qfin AS DOUBLE) END), 6) AS dist_to_centroid
+    FROM (
+      SELECT x.vec_id, CAST(x.label AS BIGINT) AS label,
+        SUM(CASE WHEN NOT {_CD_NF_SQ}
+            THEN CAST(sq AS DECIMAL(18,12)) END) AS qfin,
+        SUM(CASE WHEN {_CD_NF_SQ} THEN sq ELSE 0.0 END) AS qspec
+      FROM (
+        SELECT x.vec_id, x.label, x.p, x.v,
+               (x.v - c.cv) * (x.v - c.cv) AS sq
+        FROM x JOIN c ON x.label = c.label AND x.p = c.p
+      ) x
+      GROUP BY x.vec_id, x.label
+    )
     """,
 )
 def llm_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding ops: per-label centroids (exact decimal-averaged per
     dimension) and each vector's euclidean distance to its label centroid.
     posexplode → two keyed aggregations — the distributed formulation that
-    never materializes a dense matrix anywhere."""
+    never materializes a dense matrix anywhere. Both aggregation stages
+    carry dsum's two-channel specials form (r10 tier): a NaN/±Inf element
+    makes its dimension's centroid — and every distance through it —
+    non-finite IEEE-style instead of crashing the decimal cast."""
     wh = Warehouse(spark, sf_dir)
     x = wh.embeddings.select(
         "vec_id",
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "v"),
     )
-    c = x.groupBy("label", "p").agg(
-        (
-            F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("cv")
+    v = F.col("v")
+    nf_v = nonfinite(v)
+    cagg = x.groupBy("label", "p").agg(
+        F.sum(F.when(~nf_v, v).cast("decimal(18,9)")).alias("sfin"),
+        F.sum(F.when(nf_v, v).otherwise(F.lit(0.0))).alias("sspec"),
+        F.count(F.lit(1)).alias("cnt"),
     )
-    return (
+    c = cagg.select(
+        "label",
+        "p",
+        F.when(
+            F.isnan(F.col("sspec")) | (F.col("sspec") != 0.0),
+            F.col("sspec") / F.col("cnt"),
+        )
+        .otherwise(F.col("sfin").cast("double") / F.col("cnt"))
+        .alias("cv"),
+    )
+    sq = (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))
+    nf_sq = nonfinite(F.col("sq"))
+    qagg = (
         x.join(c, ["label", "p"])
-        .withColumn("sq", ((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))))
+        .withColumn("sq", sq)
         .groupBy("vec_id", F.col("label").cast("long").alias("label"))
         .agg(
-            F.round(
-                F.sqrt(F.sum(F.col("sq").cast("decimal(18,12)")).cast("double")), 6
-            ).alias("dist_to_centroid")
+            F.sum(F.when(~nf_sq, F.col("sq")).cast("decimal(18,12)")).alias(
+                "qfin"
+            ),
+            F.sum(F.when(nf_sq, F.col("sq")).otherwise(F.lit(0.0))).alias(
+                "qspec"
+            ),
         )
+    )
+    return qagg.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.sqrt(
+                F.when(
+                    F.isnan(F.col("qspec")) | (F.col("qspec") != 0.0),
+                    F.col("qspec"),
+                ).otherwise(F.col("qfin").cast("double"))
+            ),
+            6,
+        ).alias("dist_to_centroid"),
     )
 
 
@@ -637,10 +696,14 @@ def llm_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
       vec_id,
       scale,
       array_to_string(list_transform(e,
-        x -> CAST(floor(x / scale * 127) AS INTEGER)), ',') AS codes,
+        x -> COALESCE(CAST(
+          CASE WHEN NOT (isnan(x / scale * 127) OR abs(x / scale * 127) = CAST('Infinity' AS DOUBLE))
+               THEN CAST(floor(x / scale * 127) AS INTEGER) END
+          AS VARCHAR), 'x')), ',') AS codes,
       list_aggregate(list_transform(e,
-        x -> abs(floor(x / scale * 127) * scale / 127 - x)), 'max')
-        AS max_abs_err
+        x -> CASE WHEN NOT (isnan(x / scale * 127) OR abs(x / scale * 127) = CAST('Infinity' AS DOUBLE))
+             THEN abs(floor(x / scale * 127) * scale / 127 - x) END),
+        'max') AS max_abs_err
     FROM s
     """,
 )
@@ -660,16 +723,30 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "scale", F.array_max(F.transform("e", lambda x: F.abs(x)))
     )
-    code = lambda x: F.floor(x / F.col("scale") * 127).cast("int")  # noqa: E731
+    # SPECIALS (r10 tier): an element whose scaled value x/scale*127 is
+    # NaN/±Inf has no int8 code (the INT cast throws in both engines) —
+    # it renders as an explicit 'x' marker in the CSV (positions kept;
+    # a bare skip would silently shift every later code) and drops out
+    # of the reconstruction-error max. A NaN scale (any NaN element —
+    # both engines' max is NaN-greatest) marks the whole vector.
+    t = lambda x: x / F.col("scale") * 127  # noqa: E731
+    code = lambda x: F.when(  # noqa: E731
+        ~nonfinite(t(x)), F.floor(t(x)).cast("int")
+    )
     return s.select(
         "vec_id",
         "scale",
-        F.array_join(F.transform("e", code), ",").alias("codes"),
+        F.array_join(
+            F.transform("e", lambda x: code(x).cast("string")), ",", "x"
+        ).alias("codes"),
         F.array_max(
             F.transform(
                 "e",
-                lambda x: F.abs(
-                    code(x).cast("double") * F.col("scale") / 127 - x
+                lambda x: F.when(
+                    ~nonfinite(t(x)),
+                    F.abs(
+                        code(x).cast("double") * F.col("scale") / 127 - x
+                    ),
                 ),
             )
         ).alias("max_abs_err"),
@@ -685,6 +762,10 @@ _PROJ_DIM = 16  # output dimensionality of the signed projection
 _PROJ_SIGN_SQL = "CASE WHEN ((i+7)*(j+13)*2654435761) % 1000 < 500 THEN 1.0 ELSE -1.0 END"
 
 
+_PROJ_TERM = f"(v * {_PROJ_SIGN_SQL})"
+_PROJ_NF = f"(isnan({_PROJ_TERM}) OR abs({_PROJ_TERM}) = CAST('Infinity' AS DOUBLE))"
+
+
 @query(
     "llm_random_projection",
     f"""
@@ -693,14 +774,26 @@ _PROJ_SIGN_SQL = "CASE WHEN ((i+7)*(j+13)*2654435761) % 1000 < 500 THEN 1.0 ELSE
              unnest(CAST(embedding AS DOUBLE[])) AS v,
              unnest(generate_series(0, len(embedding) - 1)) AS i
       FROM embeddings
+    ),
+    s AS (
+      SELECT
+        vec_id,
+        CAST(j AS BIGINT) AS out_dim,
+        CASE WHEN isnan(sspec) OR sspec != 0.0 THEN sspec
+             ELSE CAST(sfin AS DOUBLE) END / sqrt({_PROJ_DIM}) AS raw
+      FROM (
+        SELECT vec_id, j,
+          SUM(CASE WHEN NOT {_PROJ_NF}
+              THEN CAST({_PROJ_TERM} AS DECIMAL(28,10)) END) AS sfin,
+          SUM(CASE WHEN {_PROJ_NF} THEN {_PROJ_TERM} ELSE 0.0 END) AS sspec
+        FROM x CROSS JOIN generate_series(0, {_PROJ_DIM - 1}) AS t(j)
+        GROUP BY vec_id, j
+      )
     )
-    SELECT
-      vec_id,
-      CAST(j AS BIGINT) AS out_dim,
-      ROUND(CAST(SUM(CAST(v * {_PROJ_SIGN_SQL} AS DECIMAL(28,10)))
-            AS DOUBLE) / sqrt({_PROJ_DIM}), 6) + 0 AS proj
-    FROM x CROSS JOIN generate_series(0, {_PROJ_DIM - 1}) AS t(j)
-    GROUP BY vec_id, j
+    SELECT vec_id, out_dim,
+      CASE WHEN isnan(raw) OR abs(raw) = CAST('Infinity' AS DOUBLE)
+           THEN raw ELSE ROUND(raw, 6) + 0 END AS proj
+    FROM s
     """,
 )
 def llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,19 +827,26 @@ def llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("i") + 7) * (F.col("j") + 13) * F.lit(2654435761)) % 1000 < 500,
         F.lit(1.0),
     ).otherwise(F.lit(-1.0))
-    return (
+    term = F.col("v") * sign
+    nf = nonfinite(term)
+    agg = (
         x.crossJoin(F.broadcast(dims))
         .groupBy("vec_id", F.col("j").cast("long").alias("out_dim"))
         .agg(
-            (
-                F.round(
-                    F.sum(
-                        (F.col("v") * sign).cast("decimal(28,10)")
-                    ).cast("double")
-                    / F.lit(_PROJ_DIM) ** 0.5,
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("proj")
+            F.sum(F.when(~nf, term).cast("decimal(28,10)")).alias("sfin"),
+            F.sum(F.when(nf, term).otherwise(F.lit(0.0))).alias("sspec"),
         )
+    )
+    raw = (
+        F.when(
+            F.isnan(F.col("sspec")) | (F.col("sspec") != 0.0), F.col("sspec")
+        ).otherwise(F.col("sfin").cast("double"))
+        / F.lit(_PROJ_DIM) ** 0.5
+    )
+    return agg.select(
+        "vec_id",
+        "out_dim",
+        F.when(nonfinite(raw), raw)
+        .otherwise(F.round(raw, 6) + F.lit(0.0))
+        .alias("proj"),
     )

@@ -19,7 +19,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_realtime_spark.exprs import bigint, davg, davg_sql, dsum, dsum_sql
+from flink_realtime_spark.exprs import (
+    NAN,
+    bigint,
+    davg,
+    davg_sql,
+    dsum,
+    dsum_over,
+    dsum_over_sql,
+    dsum_sql,
+    finite_or_null,
+    finite_sql,
+    nonfinite,
+    nonfinite_sql,
+)
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse
 
@@ -155,16 +168,33 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STATS_NF_Q = nonfinite_sql("l_quantity")
+_STATS_NF_QP = (
+    f"({nonfinite_sql('l_quantity')} OR {nonfinite_sql('l_extendedprice')})"
+)
+
+
 @query(
     "agg_stats",
-    """
+    f"""
     SELECT
       l_returnflag,
-      ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty,
-      ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
-      ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-      ROUND(MEDIAN(l_quantity), 4) AS med_qty,
-      ROUND(QUANTILE_CONT(l_quantity, 0.9), 4) AS p90_qty
+      CASE WHEN BOOL_OR({_STATS_NF_Q})
+           THEN CAST('NaN' AS DOUBLE)
+           ELSE ROUND(STDDEV_SAMP({finite_sql('l_quantity')}), 4)
+      END AS std_qty,
+      CASE WHEN BOOL_OR({_STATS_NF_Q})
+           THEN CAST('NaN' AS DOUBLE)
+           ELSE ROUND(VAR_SAMP({finite_sql('l_quantity')}), 4)
+      END AS var_qty,
+      CASE WHEN BOOL_OR({_STATS_NF_QP})
+           THEN CAST('NaN' AS DOUBLE)
+           ELSE ROUND(CORR(
+             CASE WHEN NOT {_STATS_NF_QP} THEN l_quantity END,
+             CASE WHEN NOT {_STATS_NF_QP} THEN l_extendedprice END), 6)
+      END AS corr_qty_price,
+      ROUND(MEDIAN({finite_sql('l_quantity')}), 4) AS med_qty,
+      ROUND(QUANTILE_CONT({finite_sql('l_quantity')}, 0.9), 4) AS p90_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -172,14 +202,40 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (stddev/var/corr/median/percentile) — Flink SQL
     stat library. Exact interpolated percentiles; at 100 TB switch to
-    percentile_approx (t-digest) to avoid the global sort."""
+    percentile_approx (t-digest) to avoid the global sort.
+
+    SPECIALS contract (r10 tier): moment statistics propagate — any
+    NaN/±Inf in the group yields NaN (the IEEE alarm; DuckDB's STDDEV
+    raises 'out of range' on ±Inf, so the oracle gates the aggregate
+    behind a BOOL_OR instead of letting it evaluate) — while order
+    statistics (median/quantile) are computed over the FINITE subset
+    (an interpolated quantile has no ordinal position for NaN, and the
+    engines' NaN placement in the interpolation differs)."""
     wh = Warehouse(spark, sf_dir)
+    nf_q = nonfinite(F.col("l_quantity"))
+    nf_qp = nf_q | nonfinite(F.col("l_extendedprice"))
+    q_fin = finite_or_null(F.col("l_quantity"))
+    nan = F.lit(NAN)
     return wh.lineitem.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.median("l_quantity"), 4).alias("med_qty"),
-        F.round(F.percentile("l_quantity", 0.9), 4).alias("p90_qty"),
+        F.when(F.max(nf_q), nan)
+        .otherwise(F.round(F.stddev_samp(q_fin), 4))
+        .alias("std_qty"),
+        F.when(F.max(nf_q), nan)
+        .otherwise(F.round(F.var_samp(q_fin), 4))
+        .alias("var_qty"),
+        F.when(F.max(nf_qp), nan)
+        .otherwise(
+            F.round(
+                F.corr(
+                    F.when(~nf_qp, F.col("l_quantity")),
+                    F.when(~nf_qp, F.col("l_extendedprice")),
+                ),
+                6,
+            )
+        )
+        .alias("corr_qty_price"),
+        F.round(F.median(q_fin), 4).alias("med_qty"),
+        F.round(F.percentile(q_fin, 0.9), 4).alias("p90_qty"),
     )
 
 
@@ -714,7 +770,7 @@ def ads_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
       gmv,
       n_orders,
       CAST(
-        CAST(SUM(CAST(gmv AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        {dsum_over_sql('gmv', 'w')}
         / COUNT(*) OVER w
       AS DOUBLE) AS gmv_7d_avg,
       CAST(ROW_NUMBER() OVER (
@@ -767,10 +823,7 @@ def ads_gmv_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "gmv",
         "n_orders",
-        (
-            F.sum(F.col("gmv").cast("decimal(18,4)")).over(w7).cast("double")
-            / F.count(F.lit(1)).over(w7)
-        )
+        (dsum_over(F.col("gmv"), w7) / F.count(F.lit(1)).over(w7))
         .cast("double")
         .alias("gmv_7d_avg"),
         bigint(F.row_number().over(wm)).alias("rank_in_month"),
@@ -779,30 +832,76 @@ def ads_gmv_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_max_by",
-    """
-    SELECT
-      o_orderpriority,
-      max_by(o_orderkey, o_totalprice * 1000000 + o_orderkey) AS top_order,
-      min_by(o_orderkey, o_totalprice * 1000000 + o_orderkey) AS low_order,
-      MAX(o_totalprice) AS max_price,
-      MIN(o_totalprice) AS min_price
-    FROM orders
-    GROUP BY o_orderpriority
+    f"""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey,
+        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+          ORDER BY cls DESC, pn DESC, o_orderkey DESC) AS rmax,
+        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+          ORDER BY cls ASC, pn ASC, o_orderkey ASC) AS rmin
+      FROM (
+        SELECT o_orderpriority, o_orderkey,
+          CASE WHEN isnan(o_totalprice) THEN 2
+               WHEN o_totalprice = CAST('Infinity' AS DOUBLE) THEN 1
+               WHEN o_totalprice = CAST('-Infinity' AS DOUBLE) THEN -1
+               ELSE 0 END AS cls,
+          CASE WHEN NOT {nonfinite_sql('o_totalprice')}
+               THEN o_totalprice + 0 ELSE 0.0 END AS pn
+        FROM orders
+        WHERE o_totalprice IS NOT NULL
+      )
+    ),
+    agg AS (
+      SELECT o_orderpriority,
+        MAX(o_totalprice) + 0 AS max_price,
+        MIN(o_totalprice) + 0 AS min_price
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT a.o_orderpriority,
+      mx.o_orderkey AS top_order,
+      mn.o_orderkey AS low_order,
+      a.max_price, a.min_price
+    FROM agg a
+    LEFT JOIN (SELECT * FROM ranked WHERE rmax = 1) mx
+      ON a.o_orderpriority IS NOT DISTINCT FROM mx.o_orderpriority
+    LEFT JOIN (SELECT * FROM ranked WHERE rmin = 1) mn
+      ON a.o_orderpriority IS NOT DISTINCT FROM mn.o_orderpriority
     """,
 )
 def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAX_BY/MIN_BY (Flink SQL's argmax/argmin aggregates): the order id
     carrying each priority's extreme total. Both engines leave ties
-    implementation-defined, so the ordering value folds the unique order
-    key into the price (price·1e6 + key stays exact in a double well below
-    2^53) — deterministic argmax without a window sort."""
+    implementation-defined, so the ordering value is a (class, price,
+    key) struct — deterministic argmax without a window sort.
+
+    SPECIALS (r10 tier): the original price·1e6 + key fold is exact for
+    finite prices but collapses every NaN (or ±Inf) price to ONE tied
+    ordering value, and the engines keep different tie members. The
+    struct ranks the IEEE class explicitly (NaN > +Inf > finite > -Inf —
+    both engines' comparison order), keeps the exact price for finite
+    rows (normalized +0 so a -0.0/0.0 pair can't split on DuckDB's
+    total order), and tiebreaks on the unique key; a NULL price keeps a
+    NULL ordering value so both argmaxes skip it (nulls-tier contract).
+    MAX/MIN outputs get the same +0 normalizer. DuckDB 1.0's max_by has
+    no STRUCT overload, so the oracle spells the same ordering as
+    explicit window ranks over the (cls, pn, key) triple."""
     wh = Warehouse(spark, sf_dir)
-    ordv = F.col("o_totalprice") * 1000000 + F.col("o_orderkey")
+    p = F.col("o_totalprice")
+    cls = (
+        F.when(F.isnan(p), F.lit(2))
+        .when(p == F.lit(float("inf")), F.lit(1))
+        .when(p == F.lit(float("-inf")), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    pn = F.when(~nonfinite(p), p + F.lit(0.0)).otherwise(F.lit(0.0))
+    ordv = F.when(
+        p.isNotNull(), F.struct(cls.alias("c"), pn.alias("p"), F.col("o_orderkey").alias("k"))
+    )
     return wh.orders.groupBy("o_orderpriority").agg(
         F.max_by("o_orderkey", ordv).alias("top_order"),
         F.min_by("o_orderkey", ordv).alias("low_order"),
-        F.max("o_totalprice").alias("max_price"),
-        F.min("o_totalprice").alias("min_price"),
+        (F.max("o_totalprice") + F.lit(0.0)).alias("max_price"),
+        (F.min("o_totalprice") + F.lit(0.0)).alias("min_price"),
     )
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_realtime_spark.exprs import dsum
+from flink_realtime_spark.exprs import dsum, dsum_over, dsum_over_sql, dsum_sql
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse
 
@@ -169,21 +169,23 @@ def over_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "over_running_sum",
-    """
+    f"""
     SELECT
       user_id,
       event_id,
-      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
-        PARTITION BY user_id ORDER BY ts, event_id
-        ROWS UNBOUNDED PRECEDING
-      ) AS DOUBLE) AS running_value
+      {dsum_over_sql('value', 'w')} AS running_value
     FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING
+    )
     """,
 )
 def over_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running total per user (Flink OVER ... ROWS UNBOUNDED PRECEDING).
     Decimal-cast accumulation keeps segment-tree vs sequential window
-    evaluation bit-identical across engines."""
+    evaluation bit-identical across engines; NaN/±Inf values propagate
+    IEEE-style from the frame they enter (dsum_over, r10 specials)."""
     wh = Warehouse(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
@@ -193,21 +195,18 @@ def over_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wh.events.select(
         "user_id",
         "event_id",
-        F.sum(F.col("value").cast("decimal(18,4)"))
-        .over(w)
-        .cast("double")
-        .alias("running_value"),
+        dsum_over(F.col("value"), w).alias("running_value"),
     )
 
 
 @query(
     "over_moving_avg",
-    """
+    f"""
     SELECT
       user_id,
       event_id,
       CAST(
-        CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        {dsum_over_sql('value', 'w')}
         / COUNT(*) OVER w
       AS DOUBLE) AS moving_avg
     FROM events
@@ -219,7 +218,8 @@ def over_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def over_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving average over the last 4 events per user (Flink framed OVER
-    aggregate) — exact decimal sum / frame count, one final double divide."""
+    aggregate) — exact decimal sum / frame count, one final double divide;
+    specials propagate from the frames they sit in (dsum_over, r10)."""
     wh = Warehouse(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
@@ -229,10 +229,7 @@ def over_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wh.events.select(
         "user_id",
         "event_id",
-        (
-            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
-            / F.count(F.lit(1)).over(w)
-        )
+        (dsum_over(F.col("value"), w) / F.count(F.lit(1)).over(w))
         .cast("double")
         .alias("moving_avg"),
     )
@@ -290,14 +287,13 @@ def over_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "over_time_range",
-    """
+    f"""
     SELECT
       event_id,
       user_id,
       ts,
       COUNT(*) OVER w AS n_trailing_1h,
-      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
-        AS v_trailing_1h
+      {dsum_over_sql('value', 'w')} AS v_trailing_1h
     FROM events
     WINDOW w AS (
       PARTITION BY user_id ORDER BY ts
@@ -325,20 +321,16 @@ def over_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
-        F.sum(F.col("value").cast("decimal(18,4)"))
-        .over(w)
-        .cast("double")
-        .alias("v_trailing_1h"),
+        dsum_over(F.col("value"), w).alias("v_trailing_1h"),
     )
 
 
 @query(
     "over_pct_of_total",
-    """
+    f"""
     WITH nat AS (
       SELECT n.n_regionkey, n.n_name,
-             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-               AS nation_rev
+             {dsum_sql('o.o_totalprice')} AS nation_rev
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -349,8 +341,7 @@ def over_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
       n_name,
       nation_rev,
       CAST(nation_rev /
-           CAST(SUM(CAST(nation_rev AS DECIMAL(18,4)))
-                OVER (PARTITION BY n_regionkey) AS DOUBLE)
+           {dsum_over_sql('nation_rev', '(PARTITION BY n_regionkey)')}
            AS DOUBLE) AS region_share
     FROM nat
     """,
@@ -374,9 +365,7 @@ def over_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("o_totalprice")).alias("nation_rev"))
     )
     w = Window.partitionBy("n_regionkey")
-    denom = F.sum(F.col("nation_rev").cast("decimal(18,4)")).over(w).cast(
-        "double"
-    )
+    denom = dsum_over(F.col("nation_rev"), w)
     return nat.select(
         "n_regionkey",
         "n_name",

@@ -429,7 +429,16 @@ def _cogroup_profile(events_tbl, orders_tbl):
     key = int(k) if k is not None else None
     # SQL SUM skips NULL values; the row still counts in n_events.
     vals = [v for v in events_tbl.column("value").to_pylist() if v is not None]
-    sv = round(math.fsum(vals), 4) if vals else 0.0
+    # dsum's specials contract (r10): NaN/±Inf propagate IEEE-style —
+    # plain float addition of ONLY the specials is order-independent
+    # (any NaN → NaN, +Inf with -Inf → NaN, else the signed infinity);
+    # math.fsum would RAISE on -inf + inf, and the exact-decimal round
+    # only applies to the finite branch.
+    spec = [v for v in vals if math.isnan(v) or math.isinf(v)]
+    if spec:
+        sv = sum(spec)
+    else:
+        sv = round(math.fsum(vals), 4) if vals else 0.0
     return pa.table(
         {
             # explicit int64: pa.table infers the NULL type from [None]

@@ -25,7 +25,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_realtime_spark.exprs import bigint, dsum, dsum_sql
+from flink_realtime_spark.exprs import (
+    bigint,
+    dsum,
+    dsum_over,
+    dsum_over_sql,
+    dsum_sql,
+    finite_or_null,
+    finite_sql,
+    nonfinite,
+    nonfinite_sql,
+)
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse
 
@@ -176,10 +186,12 @@ _HIST_LO, _HIST_W, _HIST_NB = 0.0, 25000.0, 20
     "agg_histogram",
     f"""
     SELECT
-      CAST(LEAST(FLOOR((o_totalprice - {_HIST_LO}) / {_HIST_W}),
-                 {_HIST_NB - 1}) AS BIGINT) AS bucket,
-      CAST(LEAST(FLOOR((o_totalprice - {_HIST_LO}) / {_HIST_W}),
-                 {_HIST_NB - 1}) * {_HIST_W} AS DOUBLE) AS bucket_lo,
+      CASE WHEN NOT {nonfinite_sql('o_totalprice')} THEN
+        CAST(LEAST(FLOOR((o_totalprice - {_HIST_LO}) / {_HIST_W}),
+                   {_HIST_NB - 1}) AS BIGINT) END AS bucket,
+      CASE WHEN NOT {nonfinite_sql('o_totalprice')} THEN
+        CAST(LEAST(FLOOR((o_totalprice - {_HIST_LO}) / {_HIST_W}),
+                   {_HIST_NB - 1}) * {_HIST_W} AS DOUBLE) END AS bucket_lo,
       COUNT(*) AS n_orders,
       {dsum_sql('o_totalprice')} AS sum_price
     FROM orders
@@ -190,13 +202,23 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-bound value histogram of order totals (20 × 25k buckets, top
     bucket clamped open-ended) — the ADS distribution-board metric. Pure
     bucket arithmetic + two-phase hash agg; output cardinality is the
-    bucket count, independent of input volume."""
+    bucket count, independent of input volume.
+
+    SPECIALS (r10 tier): a NaN/±Inf price has no bucket ordinal — the
+    BIGINT cast throws on -Inf/NaN in both engines, and the engines'
+    LEAST(NaN, k) disagree — so non-finite rows group under a NULL
+    bucket whose count and IEEE sum stay visible (the data-quality
+    signal, not a silent drop)."""
     wh = Warehouse(spark, sf_dir)
-    bucket = bigint(
-        F.least(
-            F.floor((F.col("o_totalprice") - _HIST_LO) / _HIST_W),
-            F.lit(_HIST_NB - 1),
-        )
+    p = F.col("o_totalprice")
+    bucket = F.when(
+        ~nonfinite(p),
+        bigint(
+            F.least(
+                F.floor((p - _HIST_LO) / _HIST_W),
+                F.lit(_HIST_NB - 1),
+            )
+        ),
     )
     return (
         wh.orders.select(
@@ -212,29 +234,32 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AQ_PRICE = finite_sql("CAST(l_extendedprice AS DOUBLE)")
+
+
 @query(
     "agg_approx_quantile",
-    """
+    f"""
     SELECT
       l_returnflag,
-      ROUND(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+      ROUND(CAST(quantile_cont({_AQ_PRICE}, 0.5)
             AS DOUBLE), 4) AS p50_exact,
-      ROUND(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95)
+      ROUND(CAST(quantile_cont({_AQ_PRICE}, 0.95)
             AS DOUBLE), 4) AS p95_exact,
-      ROUND(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99)
+      ROUND(CAST(quantile_cont({_AQ_PRICE}, 0.99)
             AS DOUBLE), 4) AS p99_exact,
       COUNT(*) AS n_items,
-      CAST(approx_quantile(CAST(l_extendedprice AS DOUBLE), 0.5)
-           BETWEEN quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.48)
-               AND quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.52)
+      CAST(approx_quantile({_AQ_PRICE}, 0.5)
+           BETWEEN quantile_cont({_AQ_PRICE}, 0.48)
+               AND quantile_cont({_AQ_PRICE}, 0.52)
            AS BOOLEAN) AS p50_ok,
-      CAST(approx_quantile(CAST(l_extendedprice AS DOUBLE), 0.95)
-           BETWEEN quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.93)
-               AND quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.97)
+      CAST(approx_quantile({_AQ_PRICE}, 0.95)
+           BETWEEN quantile_cont({_AQ_PRICE}, 0.93)
+               AND quantile_cont({_AQ_PRICE}, 0.97)
            AS BOOLEAN) AS p95_ok,
-      CAST(approx_quantile(CAST(l_extendedprice AS DOUBLE), 0.99)
-           BETWEEN quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.97)
-               AND quantile_cont(CAST(l_extendedprice AS DOUBLE), 1.0)
+      CAST(approx_quantile({_AQ_PRICE}, 0.99)
+           BETWEEN quantile_cont({_AQ_PRICE}, 0.97)
+               AND quantile_cont({_AQ_PRICE}, 1.0)
            AS BOOLEAN) AS p99_ok
     FROM lineitem
     GROUP BY l_returnflag
@@ -256,10 +281,15 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the verdict holds with a 100-200× margin and cannot flake on a
     sparse value distribution or a merge-order-dependent estimate the
     way a relative-VALUE band could. tests/test_metrics_props.py keeps
-    the numeric rank-band bound."""
+    the numeric rank-band bound.
+
+    SPECIALS (r10 tier): quantiles run over the FINITE subset on both
+    sides (the agg_stats order-statistics contract — an interpolated
+    quantile has no ordinal position for NaN, and the engines place it
+    differently in the interpolation)."""
     wh = Warehouse(spark, sf_dir)
     acc = F.lit(10000)
-    price = F.col("l_extendedprice").cast("double")
+    price = finite_or_null(F.col("l_extendedprice").cast("double"))
     bands = ((0.5, 0.48, 0.52, 50), (0.95, 0.93, 0.97, 95), (0.99, 0.97, 1.0, 99))
     out = wh.lineitem.groupBy("l_returnflag").agg(
         *[
@@ -545,16 +575,14 @@ def dq_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ads_pareto_share",
-    """
+    f"""
     -- every decimal→double routes VIA STRING (exprs.dsum_sql rationale):
     -- at ×1000 facts cum_rev carries ~17 significant digits, where
     -- DuckDB's direct CAST(DECIMAL AS DOUBLE) double-rounds 1 ulp off
     -- Spark's correctly-rounded BigDecimal cast (caught by the r07
     -- ×1000-tier widening; sf0.01–×100 magnitudes masked it)
     WITH cust AS (
-      SELECT o_custkey,
-             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING)
-               AS DOUBLE) AS rev
+      SELECT o_custkey, {dsum_sql('o_totalprice')} AS rev
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (
@@ -563,13 +591,13 @@ def dq_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY rev DESC NULLS LAST, o_custkey NULLS FIRST
         ) AS BIGINT)
           AS rnk,
-        CAST(CAST(SUM(CAST(rev AS DECIMAL(18,4))) OVER (
-          ORDER BY rev DESC NULLS LAST, o_custkey NULLS FIRST
-          ROWS UNBOUNDED PRECEDING
-        ) AS STRING) AS DOUBLE) AS cum_rev,
-        CAST(CAST(SUM(CAST(rev AS DECIMAL(18,4))) OVER () AS STRING)
-          AS DOUBLE) AS total_rev
+        {dsum_over_sql('rev', 'w')} AS cum_rev,
+        {dsum_over_sql('rev', '()')} AS total_rev
       FROM cust
+      WINDOW w AS (
+        ORDER BY rev DESC NULLS LAST, o_custkey NULLS FIRST
+        ROWS UNBOUNDED PRECEDING
+      )
     )
     SELECT o_custkey, rev, rnk,
       CAST(cum_rev / total_rev AS DOUBLE) AS cum_share,
@@ -594,13 +622,23 @@ def ads_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = wh.orders.groupBy("o_custkey").agg(
         dsum(F.col("o_totalprice")).alias("rev")
     )
-    dec = F.col("rev").cast("decimal(18,4)")
-    total = cust.agg(F.sum(dec).cast("double").alias("total_rev"))
+    # dsum's two-channel form carried through the ordered prefix: the
+    # decimal channel holds the exact finite running sum, the double
+    # channel holds only specials (0 when none) — their per-row combine
+    # below is exactly dsum's CASE (r10 specials tier; per-customer rev
+    # can be NaN/±Inf once a price is).
+    nf = nonfinite(F.col("rev"))
+    dec = F.when(~nf, F.col("rev")).cast("decimal(18,4)")
+    spec = F.when(nf, F.col("rev")).otherwise(F.lit(0.0))
+    total = cust.agg(dsum(F.col("rev")).alias("total_rev"))
     ranked = (
         ordered_prefix(
             cust,
             [F.col("rev").desc_nulls_last(), F.col("o_custkey").asc_nulls_first()],
-            prefixes=[Prefix("__cum_d", dec, "sum")],
+            prefixes=[
+                Prefix("__cum_d", dec, "sum"),
+                Prefix("__cum_s", spec, "sum"),
+            ],
             pos_col="rnk",
         )
         .crossJoin(F.broadcast(total))
@@ -608,7 +646,12 @@ def ads_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "rev",
             "rnk",
-            F.col("__cum_d").cast("double").alias("cum_rev"),
+            F.when(
+                F.isnan(F.col("__cum_s")) | (F.col("__cum_s") != 0.0),
+                F.col("__cum_s"),
+            )
+            .otherwise(F.col("__cum_d").cast("double"))
+            .alias("cum_rev"),
             "total_rev",
         )
     )
@@ -626,11 +669,11 @@ def ads_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ads_monthly_yoy",
-    """
+    f"""
     WITH monthly AS (
       SELECT
         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS gmv,
+        {dsum_sql('o_totalprice')} AS gmv,
         COUNT(*) AS n_orders
       FROM orders GROUP BY 1
     )

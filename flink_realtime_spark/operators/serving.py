@@ -30,7 +30,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_realtime_spark.exprs import davg, davg_sql, dsum, dsum_sql
+from flink_realtime_spark.exprs import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    finite_or_null,
+    finite_sql,
+    nonfinite,
+    nonfinite_sql,
+)
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse
 
@@ -74,15 +83,22 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     def partial(df: DataFrame) -> DataFrame:
         # Keep the sum as exact DECIMAL until the final merge: folding
         # through an intermediate double would re-introduce accumulation-
-        # order drift the dsum discipline exists to remove.
+        # order drift the dsum discipline exists to remove. The stored
+        # partial is TWO channels (dsum's form, r10 specials tier): the
+        # exact decimal sum of finite values plus a double sum holding
+        # only NaN/±Inf — decimals can't represent specials, and both
+        # channels merge commutatively, so the fold still composes.
+        p = F.col("o_totalprice")
+        nf = nonfinite(p)
         return (
             df.groupBy(
                 F.date_trunc("month", "o_orderdate").alias("mv_month"),
                 "o_orderstatus",
             ).agg(
                 F.count(F.lit(1)).alias("n_orders"),
-                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("sum_dec"),
-                F.max("o_totalprice").alias("max_price"),
+                F.sum(F.when(~nf, p).cast("decimal(18,4)")).alias("sum_dec"),
+                F.sum(F.when(nf, p).otherwise(F.lit(0.0))).alias("sum_spec"),
+                F.max(p).alias("max_price"),
             )
         )
 
@@ -103,18 +119,21 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n_orders").alias("n_orders"),
             F.sum("sum_dec").alias("sum_dec"),
+            F.sum("sum_spec").alias("sum_spec"),
             F.max("max_price").alias("max_price"),
         )
+    )
+    spec = F.col("sum_spec")
+    total = F.when(F.isnan(spec) | (spec != 0.0), spec).otherwise(
+        F.col("sum_dec").cast("double")
     )
     return merged.select(
         "mv_month",
         "o_orderstatus",
         "n_orders",
-        F.col("sum_dec").cast("double").alias("sum_price"),
+        total.alias("sum_price"),
         "max_price",
-        (F.col("sum_dec").cast("double") / F.col("n_orders"))
-        .cast("double")
-        .alias("avg_price"),
+        (total / F.col("n_orders")).cast("double").alias("avg_price"),
     )
 
 
@@ -535,29 +554,45 @@ _Z_FLAG = 1.5
     f"""
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
-             SUM(CAST(value AS DECIMAL(18,4))) AS rev_dec
+             SUM(CASE WHEN NOT {nonfinite_sql('value')}
+                 THEN CAST(value AS DECIMAL(18,4)) END) AS rev_dec,
+             SUM(CASE WHEN {nonfinite_sql('value')}
+                 THEN value ELSE 0.0 END) AS rev_spec
       FROM events GROUP BY 1
+    ),
+    fdaily AS (
+      SELECT d, rev_dec,
+        NOT (isnan(rev_spec) OR rev_spec != 0.0) AS is_fin,
+        CASE WHEN isnan(rev_spec) OR rev_spec != 0.0 THEN rev_spec
+             ELSE CAST(rev_dec AS DOUBLE) END AS revenue
+      FROM daily
     ),
     stats AS (
       SELECT
-        CAST(SUM(rev_dec) AS DOUBLE) / COUNT(*) AS mean_rev,
+        CAST(SUM(CASE WHEN is_fin THEN rev_dec END) AS DOUBLE)
+          / NULLIF(COUNT(CASE WHEN is_fin THEN 1 END), 0) AS mean_rev,
         sqrt(
-          CAST(SUM(CAST(
+          CAST(SUM(CASE WHEN is_fin THEN CAST(
             CAST(rev_dec AS DOUBLE) * CAST(rev_dec AS DOUBLE)
-            AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*)
-          - (CAST(SUM(rev_dec) AS DOUBLE) / COUNT(*))
-            * (CAST(SUM(rev_dec) AS DOUBLE) / COUNT(*))
+            AS DECIMAL(38,8)) END) AS DOUBLE)
+            / NULLIF(COUNT(CASE WHEN is_fin THEN 1 END), 0)
+          - (CAST(SUM(CASE WHEN is_fin THEN rev_dec END) AS DOUBLE)
+             / NULLIF(COUNT(CASE WHEN is_fin THEN 1 END), 0))
+            * (CAST(SUM(CASE WHEN is_fin THEN rev_dec END) AS DOUBLE)
+               / NULLIF(COUNT(CASE WHEN is_fin THEN 1 END), 0))
         ) AS std_rev
-      FROM daily
+      FROM fdaily
     )
     SELECT
       d.d,
-      CAST(d.rev_dec AS DOUBLE) AS revenue,
-      CAST(CAST((CAST(d.rev_dec AS DOUBLE) - s.mean_rev) / s.std_rev
-           AS DECIMAL(18,3)) AS DOUBLE) AS zscore,
-      (CAST(d.rev_dec AS DOUBLE) - s.mean_rev) / s.std_rev
-        NOT BETWEEN -{_Z_FLAG} AND {_Z_FLAG} AS is_anomaly
-    FROM daily d CROSS JOIN stats s
+      d.revenue AS revenue,
+      CASE WHEN d.is_fin THEN
+        CAST(CAST((d.revenue - s.mean_rev) / s.std_rev
+             AS DECIMAL(18,3)) AS DOUBLE) END AS zscore,
+      CASE WHEN NOT d.is_fin THEN TRUE
+           ELSE (d.revenue - s.mean_rev) / s.std_rev
+             NOT BETWEEN -{_Z_FLAG} AND {_Z_FLAG} END AS is_anomaly
+    FROM fdaily d CROSS JOIN stats s
     """,
 )
 def dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,32 +607,58 @@ def dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the day summary is O(days) rows off one keyed shuffle of
     the fact table; the stats row broadcasts back over it. Nothing past
-    the first aggregate scales with event volume."""
+    the first aggregate scales with event volume.
+
+    SPECIALS (r10 tier): a day holding a NaN/±Inf measurement IS the
+    anomaly this board exists to flag — its revenue shows the IEEE sum
+    (two-channel dsum form, since the decimal path can't hold specials),
+    its z-score is undefined (NULL), and is_anomaly pins TRUE; the
+    population stats run over the FINITE days so one bad load doesn't
+    NaN-poison every other day's z-score."""
     wh = Warehouse(spark, sf_dir)
-    daily = (
-        wh.events.groupBy(F.date_trunc("day", "ts").alias("d"))
-        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("rev_dec"))
+    v = F.col("value")
+    nf = nonfinite(v)
+    daily = wh.events.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.when(~nf, v).cast("decimal(18,4)")).alias("rev_dec"),
+        F.sum(F.when(nf, v).otherwise(F.lit(0.0))).alias("rev_spec"),
+    )
+    spec = F.col("rev_spec")
+    is_fin = ~(F.isnan(spec) | (spec != 0.0))
+    daily = daily.withColumn("is_fin", is_fin).withColumn(
+        "revenue",
+        F.when(~F.col("is_fin"), spec).otherwise(
+            F.col("rev_dec").cast("double")
+        ),
     )
     rev = F.col("rev_dec").cast("double")
+    fin_dec = F.when(F.col("is_fin"), F.col("rev_dec"))
+    n_fin = F.nullif(F.count(F.when(F.col("is_fin"), F.lit(1))), F.lit(0))
+    mean = F.sum(fin_dec).cast("double") / n_fin
     stats = daily.agg(
-        (F.sum("rev_dec").cast("double") / F.count(F.lit(1))).alias("mean_rev"),
+        mean.alias("mean_rev"),
         F.sqrt(
-            F.sum((rev * rev).cast("decimal(38,8)")).cast("double")
-            / F.count(F.lit(1))
-            - (F.sum("rev_dec").cast("double") / F.count(F.lit(1)))
-            * (F.sum("rev_dec").cast("double") / F.count(F.lit(1)))
+            F.sum(F.when(F.col("is_fin"), (rev * rev).cast("decimal(38,8)")))
+            .cast("double")
+            / n_fin
+            - mean * mean
         ).alias("std_rev"),
     )
     # nullif: a zero-variance series (every day identical — e.g. a
     # single-day corpus) has an UNDEFINED z-score, not a crashed one:
     # Spark ANSI throws on /0 where DuckDB's x/0 is already NULL
     # (single-row probe find, r09).
-    z = (rev - F.col("mean_rev")) / F.nullif(F.col("std_rev"), F.lit(0.0))
+    z = (F.col("revenue") - F.col("mean_rev")) / F.nullif(
+        F.col("std_rev"), F.lit(0.0)
+    )
     return daily.crossJoin(F.broadcast(stats)).select(
         "d",
-        rev.alias("revenue"),
-        z.cast("decimal(18,3)").cast("double").alias("zscore"),
-        (~z.between(-_Z_FLAG, _Z_FLAG)).alias("is_anomaly"),
+        "revenue",
+        F.when(F.col("is_fin"), z.cast("decimal(18,3)").cast("double")).alias(
+            "zscore"
+        ),
+        F.when(~F.col("is_fin"), F.lit(True))
+        .otherwise(~z.between(-_Z_FLAG, _Z_FLAG))
+        .alias("is_anomaly"),
     )
 
 
@@ -711,8 +772,12 @@ _DRIFT_NB = 10  # buckets 0..9, top bucket open-ended
     WITH b AS (
       SELECT event_type,
              ts >= TIMESTAMP '{_DRIFT_SPLIT}' AS is_cur,
-             LEAST(CAST(floor(value / {_DRIFT_W}) AS BIGINT), {_DRIFT_NB - 1})
-               AS bucket
+             -- non-finite values bucket to NULL (the agg_histogram
+             -- contract): drift between windows' garbage rates is then
+             -- visible as an ordinary bucket instead of a crash
+             CASE WHEN NOT {nonfinite_sql('value')} THEN
+               LEAST(CAST(floor(value / {_DRIFT_W}) AS BIGINT),
+                     {_DRIFT_NB - 1}) END AS bucket
       FROM events
     ),
     counts AS (
@@ -761,8 +826,13 @@ def dq_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with input."""
     wh = Warehouse(spark, sf_dir)
     split = F.lit(_DRIFT_SPLIT).cast("timestamp")
-    bucket = F.least(
-        F.floor(F.col("value") / _DRIFT_W).cast("long"), F.lit(_DRIFT_NB - 1)
+    # non-finite values bucket to NULL (agg_histogram's r10 contract)
+    bucket = F.when(
+        ~nonfinite(F.col("value")),
+        F.least(
+            F.floor(F.col("value") / _DRIFT_W).cast("long"),
+            F.lit(_DRIFT_NB - 1),
+        ),
     )
     counts = (
         wh.events.select(

@@ -134,7 +134,10 @@ def subq_not_exists_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # TPC-H q18 shape: IN over an aggregated-HAVING subquery. The HAVING
-# comparison is exact (decimal sum of integer-valued quantities).
+# comparison is exact (decimal sum of integer-valued quantities) with
+# the dsum specials branch: a NaN/±Inf quantity makes the group sum
+# non-finite, and BOTH engines order NaN/+Inf above 150 (r10 tier —
+# the raw decimal cast threw on specials in both engines).
 _IN_HAVING_SQL = f"""
 SELECT
   o.o_orderkey,
@@ -145,7 +148,7 @@ JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderkey IN (
     SELECT l_orderkey FROM lineitem
     GROUP BY l_orderkey
-    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150
+    HAVING {dsum_sql('l_quantity')} > 150
   )
 GROUP BY o.o_orderkey, o.o_orderpriority
 """

@@ -33,10 +33,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_realtime_spark.exprs import bigint, davg, davg_sql, dsum, dsum_sql
+from flink_realtime_spark.exprs import (
+    bigint,
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    nonfinite,
+    nonfinite_sql,
+)
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse
 
+_Q1_NF_CHARGE = (
+    f"({nonfinite_sql('l_extendedprice')} OR {nonfinite_sql('l_discount')}"
+    f" OR {nonfinite_sql('l_tax')})"
+)
+_Q1_CHARGE_SSUM = (
+    f"SUM(CASE WHEN {_Q1_NF_CHARGE} "
+    f"THEN l_extendedprice * (1 - l_discount) * (1 + l_tax) "
+    f"ELSE 0.0 END)"
+)
 _Q1_ORACLE = f"""
 SELECT
   l_returnflag,
@@ -44,9 +61,13 @@ SELECT
   {dsum_sql('l_quantity')} AS sum_qty,
   {dsum_sql('l_extendedprice')} AS sum_base_price,
   {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+  CASE WHEN isnan({_Q1_CHARGE_SSUM}) OR {_Q1_CHARGE_SSUM} != 0.0
+       THEN {_Q1_CHARGE_SSUM}
+       ELSE CAST(CAST(SUM(CASE WHEN NOT {_Q1_NF_CHARGE} THEN
+             CAST(l_extendedprice AS DECIMAL(12,2))
            * (1 - CAST(l_discount AS DECIMAL(3,2)))
-           * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS STRING) AS DOUBLE) AS sum_charge,
+           * (1 + CAST(l_tax AS DECIMAL(3,2))) END) AS STRING) AS DOUBLE)
+  END AS sum_charge,
   {davg_sql('l_quantity')} AS avg_qty,
   {davg_sql('l_extendedprice')} AS avg_price,
   {davg_sql('l_discount')} AS avg_disc,
@@ -78,18 +99,36 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # charge carries dsum's two-channel specials form at the FACTOR level
+    # (r10 tier): the exact decimal product needs every factor finite;
+    # a NaN/±Inf factor routes the row's IEEE double product into the
+    # specials side sum instead (order-independent, see exprs.dsum).
+    nf_charge = (
+        nonfinite(F.col("l_extendedprice"))
+        | nonfinite(F.col("l_discount"))
+        | nonfinite(F.col("l_tax"))
+    )
     charge_exact = (
         F.col("l_extendedprice").cast("decimal(12,2)")
         * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
         * (F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(3,2)"))
     )
+    charge_dbl = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    )
+    charge_ssum = F.sum(F.when(nf_charge, charge_dbl).otherwise(F.lit(0.0)))
+    charge = F.when(
+        F.isnan(charge_ssum) | (charge_ssum != 0.0), charge_ssum
+    ).otherwise(F.sum(F.when(~nf_charge, charge_exact)).cast("double"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity")).alias("sum_qty"),
             dsum(F.col("l_extendedprice")).alias("sum_base_price"),
             dsum(disc_price).alias("sum_disc_price"),
-            F.sum(charge_exact).cast("double").alias("sum_charge"),
+            charge.alias("sum_charge"),
             davg(F.col("l_quantity")).alias("avg_qty"),
             davg(F.col("l_extendedprice")).alias("avg_price"),
             davg(F.col("l_discount")).alias("avg_disc"),

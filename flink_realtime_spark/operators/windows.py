@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_realtime_spark.exprs import dsum, dsum_sql
+from flink_realtime_spark.exprs import dsum, dsum_over, dsum_over_sql, dsum_sql
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse
 
@@ -168,7 +168,7 @@ def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
       day,
       hour_end,
       CAST(SUM(n) OVER w AS BIGINT) AS cum_events,
-      CAST(SUM(CAST(v AS DECIMAL(18,4))) OVER w AS DOUBLE) AS cum_value
+      {dsum_over_sql('v', 'w')} AS cum_value
     FROM hourly
     WINDOW w AS (PARTITION BY day ORDER BY hour_end ROWS UNBOUNDED PRECEDING)
     """,
@@ -200,9 +200,7 @@ def win_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "hour_end",
         F.sum("n").over(w).cast("long").alias("cum_events"),
-        F.sum(F.col("v").cast("decimal(18,4)")).over(w).cast("double").alias(
-            "cum_value"
-        ),
+        dsum_over(F.col("v"), w).alias("cum_value"),
     )
 
 

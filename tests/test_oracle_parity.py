@@ -267,9 +267,11 @@ def test_round_negative_zero_normalized(spark, duck):
     # the normalizer closes it
     d_norm = duck.execute("SELECT ROUND(-1e-9, 6) + 0").fetchone()[0]
     assert math.copysign(1.0, d_norm) > 0
-    # and llm_random_projection carries it on both sides
+    # and llm_random_projection carries it on both sides (inside the r10
+    # specials guard: non-finite projections skip ROUND, finite ones
+    # keep the +0 normalizer)
     registry.load_all()
-    assert "+ 0 AS proj" in registry.ORACLES["llm_random_projection"]
+    assert "ROUND(raw, 6) + 0" in registry.ORACLES["llm_random_projection"]
     sdf = registry.QUERIES["llm_random_projection"](
         spark, SF_DIR
     )

@@ -239,6 +239,39 @@ UNI_TIER = [
 ]
 
 
+# The zipf DF-SKEW tier (r10, VERDICT r9 #7): the fixture corpus's
+# shingle df is flat (~9.6), so the ngram-jaccard PREFIX-SSJoin route —
+# the plan the engine picks on natural-language Zipf skew — never ran
+# under a strict hash; it was probe-verified only (posting==prefix pair
+# equality). Fixture: `scale_probe.build_zipf_docs(spark, 100)` — 500k
+# docs, Zipf s=1 words over a Heaps-law vocabulary, planted near-dups
+# every 200th doc. At this size head grams carry 87% of the candidate
+# mass and _pick_ngram_mode routes PREFIX (SCALE.md crossover table),
+# while the DuckDB oracle still runs its flat posting join — two
+# different plans, one hash. Companion df-sensitive text keys ride
+# along (token ranks/rarity re-roll under Zipf).
+# Run: python /tmp/drive_driver.py --tier zipf
+#      --sf /tmp/spark_graft_scale/zipf100 --mem 24g
+ZIPF_TIER = [
+    "llm_dedup_ngram_jaccard", "llm_dedup_exact", "llm_dup_gram_share",
+    "llm_token_topk", "llm_word_rarity", "llm_lang_id",
+]
+
+# The boiler SHARED-BOILERPLATE tier (r10): every doc carries the same
+# 17-word preamble (`scale_probe.build_boiler_docs(spark, 1)`, 5k docs)
+# — head_frac 1.00, ~190M candidate pairs, the crawl shape where the
+# posting join stops being runnable at scale. The engine routes PREFIX;
+# the oracle pays the full posting join (minutes — the oracle paying
+# what the prefix filter avoids, the dup10 pattern). The substring/
+# boilerplate-mining keys join because this corpus is their worst case.
+# Run: python /tmp/drive_driver.py --tier boiler
+#      --sf /tmp/spark_graft_scale/boiler1 --mem 24g
+BOILER_TIER = [
+    "llm_dedup_ngram_jaccard", "llm_top_boilerplate",
+    "llm_dup_gram_share", "llm_dedup_substring", "llm_substring_clean",
+]
+
+
 def canon(v):
     # Mirror a representation-hash: no tolerant numeric coercion. Floats are
     # repr'd exactly; ints stay ints; bytes hex; None canonical.
@@ -305,10 +338,15 @@ def main() -> int:
                 only.extend(VEC100_TIER)
             elif name == "uni":
                 only.extend(UNI_TIER)
+            elif name == "zipf":
+                only.extend(ZIPF_TIER)
+            elif name == "boiler":
+                only.extend(BOILER_TIER)
             else:
                 raise SystemExit(
                     f"unknown tier {name!r} "
-                    "(have: x100, x1000, grow100, dup10, vec100, uni)"
+                    "(have: x100, x1000, grow100, dup10, vec100, uni, "
+                    "zipf, boiler)"
                 )
         else:
             only.append(a)

@@ -453,6 +453,100 @@ def build_unicode_docs(spark) -> str:
     return out
 
 
+# The specials tier's injection spec (r10, VERDICT r9 #2): no fixture
+# double ever held NaN/±Inf/-0.0/subnormal, so nine rounds of strict
+# hashes never executed either engine's special-value paths — NaN-largest
+# sort order, NaN=NaN grouping, IEEE propagation through sums vs the
+# DECIMAL-exact path (which can't represent specials at all), ROUND /
+# floor / to_json / percentile of non-finite input, signed-zero
+# formatting. Deterministic per-row draw baked into parquet so both
+# engines read identical bits. Injection targets are the MEASUREMENT
+# domains (telemetry value, money-shaped attributes, embeddings);
+# the five kinds spread evenly over the 2% draw window.
+SPECIAL_VALUES = (float("nan"), float("inf"), float("-inf"), -0.0, 5e-324)
+# float32 variants for the embedding column (min denormal float32; the
+# double 5e-324 would flush to zero under the array<float> round-trip)
+SPECIAL_VALUES_F32 = (
+    float("nan"), float("inf"), float("-inf"), -0.0, 1.401298464324817e-45,
+)
+SPECIAL_SPEC = {
+    "lineitem": (
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    ),
+    "orders": (["o_orderkey"], ["o_totalprice"]),
+    "events": (["event_id"], ["value"]),
+    "customer": (["c_custkey"], ["c_acctbal"]),
+}
+# Hash draws are blind to operator-level magic row ranges (the FORCE_NULL
+# lesson): pin specials into two knn QUERY vectors (vec_id < N_QUERIES)
+# so the null-query... special-query path is guaranteed exercised.
+FORCE_SPECIAL_VEC = {3: (5, 0), 13: (7, 1)}  # vec_id: (dim, kind index)
+
+
+def build_special_facts(spark) -> str:
+    """sf0.1 tables with DETERMINISTIC IEEE specials injected per
+    SPECIAL_SPEC: column c of a row goes special when
+    pmod(xxhash64(pk..., c, 'special'), 1000) < 20 (2%), the kind chosen
+    by draw % 5 — NaN, +Inf, -Inf, -0.0, min-subnormal. embeddings get a
+    lighter per-ELEMENT draw (0.5%) plus the FORCE_SPECIAL_VEC pins.
+    100 TB of telemetry always carries the garbage floats upstream float
+    math produces; sort/group/agg/round behavior over them differs
+    between engines in ways a specials-free fixture can never surface."""
+    out = f"{WORK}/specials"
+    if os.path.exists(os.path.join(out, "_OK")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    kinds = F.array(*[F.lit(v) for v in SPECIAL_VALUES])
+    for name, (pk, cols) in SPECIAL_SPEC.items():
+        df = load_table(spark, SRC, name)
+        for c in cols:
+            draw = F.pmod(
+                F.xxhash64(*[F.col(p) for p in pk], F.lit(c), F.lit("special")),
+                F.lit(1000),
+            )
+            df = df.withColumn(
+                c,
+                F.when(
+                    draw < 20,
+                    F.element_at(kinds, (F.pmod(draw, F.lit(5)) + 1).cast("int")),
+                ).otherwise(F.col(c)),
+            )
+        df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+
+    kinds32 = F.array(*[F.lit(v) for v in SPECIAL_VALUES_F32])
+    emb = load_table(spark, SRC, "embeddings")
+
+    def elem(x, i):
+        draw = F.pmod(
+            F.xxhash64(F.col("vec_id"), i, F.lit("special")), F.lit(1000)
+        )
+        kind = F.pmod(draw, F.lit(5))
+        cond = draw < 5
+        for vid, (dim, kidx) in FORCE_SPECIAL_VEC.items():
+            hit = (F.col("vec_id") == vid) & (i == dim)
+            cond = cond | hit
+            kind = F.when(hit, F.lit(kidx)).otherwise(kind)
+        return F.when(
+            cond, F.element_at(kinds32, (kind + 1).cast("int"))
+        ).otherwise(x)
+
+    emb = emb.withColumn(
+        "embedding",
+        F.transform(F.col("embedding").cast("array<double>"), elem).cast(
+            "array<float>"
+        ),
+    )
+    emb.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+
+    for name in TABLE_NAMES:
+        dst = os.path.join(out, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, f"{name}.parquet"), dst)
+    open(os.path.join(out, "_OK"), "w").close()
+    return out
+
+
 DEGENERATE_PK = {
     "region": "r_regionkey", "nation": "n_nationkey",
     "customer": "c_custkey", "supplier": "s_suppkey", "part": "p_partkey",
