@@ -190,6 +190,25 @@ def norm_text(col: str = "text") -> Column:
     return F.replace(c, F.lit("ς"), F.lit("σ"))
 
 
+def dtrunc(fmt: str, col: Column | str) -> Column:
+    """date_trunc that PRESERVES wall-clock typing: Spark's date_trunc
+    returns instant TIMESTAMP even for TIMESTAMP_NTZ input, and an LTZ
+    output column shifts at the driver's collect() boundary on a
+    non-UTC host (r10 non-UTC sweep — 22 keys, every date_trunc-derived
+    day/week/month column). The NTZ cast back is exact under the
+    session.prepare UTC pin."""
+    return F.date_trunc(fmt, col).cast("timestamp_ntz")
+
+
+def epoch_us(col: Column) -> Column:
+    """Exact integer µs-since-epoch from a (NTZ) timestamp. unix_micros
+    rejects TIMESTAMP_NTZ outright, so route through an LTZ cast — exact
+    under the session.prepare UTC pin, and the LTZ value never reaches
+    the driver (only durations / ordering keys do). SQL mirror: DuckDB's
+    epoch_us()."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def bigint(col: Column) -> Column:
     """Spark's year()/month()/... return int32; DuckDB's return int64.
     Normalize every computed integer column to BIGINT on both sides."""

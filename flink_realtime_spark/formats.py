@@ -30,8 +30,11 @@ def write_text_format(df: DataFrame, path: str, fmt: str, **options) -> None:
         options.setdefault("header", "true")
     if fmt in ("csv", "json"):
         # Timestamps round-trip only with an explicit pattern incl. micros
-        # (both text writers default to millisecond precision).
+        # (both text writers default to millisecond precision). NTZ
+        # columns read their own option (timestampNTZFormat) — the r10
+        # wall-clock event-time contract makes ts NTZ, so pin both.
         options.setdefault("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        options.setdefault("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
     for k, v in options.items():
         w = w.option(k, v)
     w.save(path)
@@ -47,6 +50,7 @@ def read_text_format(
         options.setdefault("header", "true")
     if fmt in ("csv", "json"):
         options.setdefault("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        options.setdefault("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
     for k, v in options.items():
         r = r.option(k, v)
     return r.load(path)

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_realtime_spark.exprs import bigint, dsum, dsum_sql, nonfinite, nonfinite_sql
+from flink_realtime_spark.exprs import bigint, dsum, dsum_sql, dtrunc, nonfinite, nonfinite_sql
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse
 
@@ -93,9 +93,9 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.year("o_orderdate")).alias("yr"),
         bigint(F.month("o_orderdate")).alias("mo"),
         bigint(F.dayofmonth("o_orderdate")).alias("dy"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        dtrunc("month", "o_orderdate").alias("month_start"),
         F.date_add(F.col("o_orderdate").cast("date"), 30)
-        .cast("timestamp")
+        .cast("timestamp_ntz")
         .alias("due_date"),
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
         .cast("long")
@@ -128,7 +128,7 @@ def scalar_calendar_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = Warehouse(spark, sf_dir)
     return wh.events.select(
         "event_id",
-        F.date_trunc("week", "ts").alias("week_start"),
+        dtrunc("week", "ts").alias("week_start"),
         F.dayofweek("ts").cast("long").alias("dow_sun1"),
         (F.weekday("ts") + 1).cast("long").alias("dow_iso"),
         F.weekofyear("ts").cast("long").alias("iso_week"),

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_realtime_spark.exprs import (
+    dtrunc,
     NAN,
     bigint,
     davg,
@@ -470,7 +471,7 @@ def ads_daily_uv_pv(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches merge across days for rollups."""
     wh = Warehouse(spark, sf_dir)
     return wh.events.groupBy(
-        F.date_trunc("day", "ts").alias("day"), "event_type"
+        dtrunc("day", "ts").alias("day"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("pv"),
         F.countDistinct("user_id").alias("uv"),
@@ -532,7 +533,7 @@ def ads_layered_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(wh.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select(
-            F.date_trunc("day", "ts").alias("day"),
+            dtrunc("day", "ts").alias("day"),
             "n_name",
             "user_id",
             "value",
@@ -692,15 +693,15 @@ def agg_uv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checkable at test scale; production keeps just the sketch path.
     tests/test_llm_props.py keeps the numeric 5% assertion."""
     wh = Warehouse(spark, sf_dir)
-    daily = wh.events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+    daily = wh.events.groupBy(dtrunc("day", "ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
-    merged = daily.groupBy(F.date_trunc("week", "day").alias("week")).agg(
+    merged = daily.groupBy(dtrunc("week", "day").alias("week")).agg(
         bigint(F.hll_sketch_estimate(F.hll_union_agg("sk"))).alias("uv_est"),
         F.count(F.lit(1)).alias("n_days"),
     )
     exact = wh.events.groupBy(
-        F.date_trunc("week", F.date_trunc("day", "ts")).alias("week")
+        dtrunc("week", dtrunc("day", "ts")).alias("week")
     ).agg(F.count_distinct("user_id").alias("uv_exact"))
     return merged.join(exact, "week").select(
         "week",
@@ -742,7 +743,7 @@ def ads_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     event count, precisely because the distinct runs first."""
     wh = Warehouse(spark, sf_dir)
     days = wh.events.select(
-        "user_id", F.date_trunc("day", "ts").alias("d")
+        "user_id", dtrunc("day", "ts").alias("d")
     ).distinct()
     cohort = days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     return (
@@ -801,7 +802,7 @@ def ads_gmv_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wh = Warehouse(spark, sf_dir)
     daily = wh.orders.groupBy(
-        F.date_trunc("day", "o_orderdate").alias("day")
+        dtrunc("day", "o_orderdate").alias("day")
     ).agg(
         dsum(F.col("o_totalprice")).alias("gmv"),
         F.count(F.lit(1)).alias("n_orders"),
@@ -816,7 +817,7 @@ def ads_gmv_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(-6, Window.currentRow)
     )
-    wm = Window.partitionBy(F.date_trunc("month", "day")).orderBy(
+    wm = Window.partitionBy(dtrunc("month", "day")).orderBy(
         F.col("gmv").desc_nulls_last(), F.col("day")
     )
     return daily.select(

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_realtime_spark.exprs import dsum, dsum_over, dsum_over_sql, dsum_sql
+from flink_realtime_spark.exprs import dsum, dsum_over, dsum_over_sql, dsum_sql, epoch_us, epoch_us
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse
 
@@ -125,7 +125,10 @@ def over_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("prev_value"),
         F.coalesce(F.lead("event_type").over(w), F.lit("none")).alias("next_type"),
         F.coalesce(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w),
+            (epoch_us(F.col("ts")) / F.lit(1_000_000)).cast("long")
+            - F.lag(
+                (epoch_us(F.col("ts")) / F.lit(1_000_000)).cast("long")
+            ).over(w),
             F.lit(-1),
         )
         .cast("long")
@@ -313,7 +316,7 @@ def over_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = Warehouse(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(epoch_us(F.col("ts")))
         .rangeBetween(-3_600_000_000, 0)
     )
     return wh.events.select(

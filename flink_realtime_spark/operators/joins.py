@@ -20,7 +20,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_realtime_spark.exprs import dsum, dsum_sql
+from flink_realtime_spark.exprs import dsum, dsum_sql, epoch_us
 from flink_realtime_spark.plans.asof import asof_join
 from flink_realtime_spark.plans.rangejoin import binned_range_join
 from flink_realtime_spark.registry import query
@@ -242,7 +242,8 @@ def join_interval_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "purchase_id",
         (
-            F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")
+            ((epoch_us(F.col("purchase_ts")) / F.lit(1_000_000)).cast("long")
+             - (epoch_us(F.col("click_ts")) / F.lit(1_000_000)).cast("long"))
         ).alias("lag_sec"),
     )
 
@@ -297,7 +298,8 @@ def join_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.coalesce("purchase_id", F.lit(-1)).cast("long").alias("purchase_id"),
         F.coalesce(
-            F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long"),
+            ((epoch_us(F.col("purchase_ts")) / F.lit(1_000_000)).cast("long")
+             - (epoch_us(F.col("click_ts")) / F.lit(1_000_000)).cast("long")),
             F.lit(-1),
         )
         .cast("long")

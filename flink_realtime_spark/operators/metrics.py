@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_realtime_spark.exprs import (
+    dtrunc,
+    epoch_us,
     bigint,
     dsum,
     dsum_over,
@@ -70,7 +72,7 @@ def agg_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     active-days rows, not raw events."""
     wh = Warehouse(spark, sf_dir)
     days = (
-        wh.events.select("user_id", F.date_trunc("day", "ts").alias("d"))
+        wh.events.select("user_id", dtrunc("day", "ts").alias("d"))
         .distinct()
     )
     coh = days.groupBy("user_id").agg(F.min("d").alias("d0"))
@@ -395,8 +397,8 @@ def ads_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
         )
         .select(
-            F.date_trunc("day", "first_ts").alias("day"),
-            (F.unix_micros("last_ts") - F.unix_micros("first_ts")).alias(
+            dtrunc("day", "first_ts").alias("day"),
+            (epoch_us(F.col("last_ts")) - epoch_us(F.col("first_ts"))).alias(
                 "dur_us"
             ),
             "n_events",
@@ -558,9 +560,9 @@ def dq_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition metadata rather than raw rows."""
     wh = Warehouse(spark, sf_dir)
     return (
-        wh.events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        wh.events.groupBy(dtrunc("day", "ts").alias("day"))
         .agg(
-            F.countDistinct(F.date_trunc("hour", "ts")).alias("observed_hours")
+            F.countDistinct(dtrunc("hour", "ts")).alias("observed_hours")
         )
         .select(
             "day",
@@ -712,7 +714,7 @@ def ads_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     is preserved too."""
     wh = Warehouse(spark, sf_dir)
     monthly = (
-        wh.orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        wh.orders.groupBy(dtrunc("month", "o_orderdate").alias("month"))
         .agg(
             dsum(F.col("o_totalprice")).alias("gmv"),
             F.count(F.lit(1)).alias("n_orders"),
@@ -762,7 +764,7 @@ def ads_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle for first-day, one join, one day rollup."""
     wh = Warehouse(spark, sf_dir)
     daily = (
-        wh.events.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        wh.events.select("user_id", dtrunc("day", "ts").alias("day"))
         .distinct()
     )
     first_day = daily.groupBy("user_id").agg(F.min("day").alias("d0"))
@@ -816,7 +818,7 @@ def over_streak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, day) relation."""
     wh = Warehouse(spark, sf_dir)
     daily = (
-        wh.events.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        wh.events.select("user_id", dtrunc("day", "ts").alias("day"))
         .distinct()
     )
     w = Window.partitionBy("user_id").orderBy("day")
@@ -887,9 +889,9 @@ def ads_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     conv = u.filter(F.col("first_purchase") > F.col("first_view")).select(
-        F.date_trunc("day", "first_purchase").alias("conv_day"),
+        dtrunc("day", "first_purchase").alias("conv_day"),
         (
-            F.unix_micros("first_purchase") - F.unix_micros("first_view")
+            epoch_us(F.col("first_purchase")) - epoch_us(F.col("first_view"))
         ).alias("dur_us"),
     )
     return conv.groupBy("conv_day").agg(
@@ -989,7 +991,7 @@ def dq_illegal_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w), F.lit(">"), F.col("event_type")
     )
     seq = wh.events.select(
-        F.date_trunc("day", "ts").alias("d"),
+        dtrunc("day", "ts").alias("d"),
         trans.alias("trans"),
     ).filter(F.col("trans").isNotNull())
     illegal = ~F.col("trans").isin(_FSM_ALLOWED)
@@ -1041,7 +1043,7 @@ def ads_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_uv_sketch_rollup pattern)."""
     wh = Warehouse(spark, sf_dir)
     days = (
-        wh.events.select("user_id", F.date_trunc("day", "ts").alias("d"))
+        wh.events.select("user_id", dtrunc("day", "ts").alias("d"))
         .distinct()
     )
     cal = days.select("d").distinct().select(F.col("d").alias("cd"))
@@ -1113,7 +1115,7 @@ def ads_stickiness_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-explode equi-join shape as ads_stickiness_dau_wau."""
     wh = Warehouse(spark, sf_dir)
     days = (
-        wh.events.select("user_id", F.date_trunc("day", "ts").alias("d"))
+        wh.events.select("user_id", dtrunc("day", "ts").alias("d"))
         .distinct()
     )
     cal = days.select("d").distinct().select(F.col("d").alias("cd"))

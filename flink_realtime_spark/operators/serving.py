@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_realtime_spark.exprs import (
+    dtrunc,
+    epoch_us,
     davg,
     davg_sql,
     dsum,
@@ -92,7 +94,7 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         nf = nonfinite(p)
         return (
             df.groupBy(
-                F.date_trunc("month", "o_orderdate").alias("mv_month"),
+                dtrunc("month", "o_orderdate").alias("mv_month"),
                 "o_orderstatus",
             ).agg(
                 F.count(F.lit(1)).alias("n_orders"),
@@ -184,7 +186,7 @@ def state_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("value") > F.col("threshold"))
         .groupBy(
             "event_type",
-            F.date_trunc("day", "ts").alias("d"),
+            dtrunc("day", "ts").alias("d"),
             "threshold",
         )
         .agg(
@@ -215,7 +217,7 @@ def mv_partial_events(df: DataFrame) -> DataFrame:
     """Partial MV state for a slice of events: (day, type) → commutative
     (count, exact-decimal sum, max)."""
     return df.groupBy(
-        F.date_trunc("day", "ts").alias("d"), "event_type"
+        dtrunc("day", "ts").alias("d"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,4)"))
@@ -428,7 +430,7 @@ def _swap_in(merged: DataFrame, mv_dir: str) -> None:
 # crash-recovery discipline as the MV store.
 
 REFIRE_STATE_DDL = (
-    "win_start TIMESTAMP, n_on_time LONG, sum_on_dec DECIMAL(28,4), "
+    "win_start TIMESTAMP_NTZ, n_on_time LONG, sum_on_dec DECIMAL(28,4), "
     "n_refires LONG, n_final LONG, sum_final_dec DECIMAL(28,4)"
 )
 _REFIRE_WM_DDL = "wm_us LONG"
@@ -438,7 +440,7 @@ def _refire_delta(batch_df: DataFrame, wm_us: int | None) -> DataFrame:
     """Classify one micro-batch against the carried watermark and produce
     its per-window partial states. ``wm_us`` None = first batch (watermark
     unset → nothing can be late, Spark's own cold-start behavior)."""
-    ws = F.date_trunc("hour", F.col("ts"))
+    ws = dtrunc("hour", F.col("ts"))
     we = ws + F.expr("INTERVAL 1 HOUR")
     if wm_us is None:
         on_time, kept = F.lit(True), F.lit(True)
@@ -495,7 +497,7 @@ def late_refire_stream_writer(stream_df: DataFrame, store_dir: str):
             )
         )
         batch_max = batch_df.agg(
-            F.max(F.unix_micros(F.col("ts"))).alias("m")
+            F.max(epoch_us(F.col("ts"))).alias("m")
         ).collect()[0][0]
         new_wm = max(x for x in (wm_us, batch_max) if x is not None) if (
             wm_us is not None or batch_max is not None
@@ -618,7 +620,7 @@ def dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = Warehouse(spark, sf_dir)
     v = F.col("value")
     nf = nonfinite(v)
-    daily = wh.events.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+    daily = wh.events.groupBy(dtrunc("day", "ts").alias("d")).agg(
         F.sum(F.when(~nf, v).cast("decimal(18,4)")).alias("rev_dec"),
         F.sum(F.when(nf, v).otherwise(F.lit(0.0))).alias("rev_spec"),
     )
@@ -721,8 +723,8 @@ def ads_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = Warehouse(spark, sf_dir)
     ev = wh.events
     bounds = ev.agg(
-        F.date_trunc("day", F.min("ts")).alias("lo"),
-        F.date_trunc("day", F.max("ts")).alias("hi"),
+        dtrunc("day", F.min("ts")).alias("lo"),
+        dtrunc("day", F.max("ts")).alias("hi"),
     )
     days = bounds.select(
         F.explode(
@@ -732,7 +734,7 @@ def ads_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = ev.select("event_type").distinct()
     obs = (
         ev.filter(F.col("value") > _SPIKE_THR)
-        .groupBy(F.date_trunc("day", "ts").alias("d"), "event_type")
+        .groupBy(dtrunc("day", "ts").alias("d"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     grid = days.crossJoin(F.broadcast(types))

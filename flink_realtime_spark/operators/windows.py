@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_realtime_spark.exprs import dsum, dsum_over, dsum_over_sql, dsum_sql
+from flink_realtime_spark.exprs import dsum, dsum_over, dsum_over_sql, dsum_sql, dtrunc, epoch_us
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse
 
@@ -182,7 +182,7 @@ def win_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = Warehouse(spark, sf_dir)
     hourly = (
         wh.events.groupBy(
-            F.date_trunc("day", "ts").alias("day"),
+            dtrunc("day", "ts").alias("day"),
             F.window("ts", "1 hour").alias("w"),
         )
         .agg(
@@ -286,7 +286,11 @@ def win_late_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         late.alias("is_late"),
-        F.when(late, F.col("wm").cast("long") - F.col("ts").cast("long"))
+        F.when(
+            late,
+            (epoch_us(F.col("wm")) / F.lit(1_000_000)).cast("long")
+            - (epoch_us(F.col("ts")) / F.lit(1_000_000)).cast("long"),
+        )
         .otherwise(0)
         .cast("long")
         .alias("late_by_sec"),
@@ -372,7 +376,7 @@ def win_late_refire(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("arr_ts"), F.col("event_id")],
         prefixes=[Prefix("wm", F.col("ts"), "max")],
     )
-    ws = F.date_trunc("hour", F.col("ts"))
+    ws = dtrunc("hour", F.col("ts"))
     we = ws + F.expr("INTERVAL 1 HOUR")
     eff = F.col("wm") - F.expr("INTERVAL 10 MINUTES")
     on_time = eff < we

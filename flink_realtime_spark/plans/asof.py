@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_realtime_spark.exprs import epoch_us
+
 _TAG = "__asof_tag"
 
 
@@ -131,8 +133,8 @@ def asof_join(
             *fills("backward", "__b_"),
             *fills("forward", "__f_"),
         )
-        d_back = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__b___ts"))
-        d_fwd = F.unix_micros(F.col("__f___ts")) - F.unix_micros(F.col("__ts"))
+        d_back = epoch_us(F.col("__ts")) - epoch_us(F.col("__b___ts"))
+        d_fwd = epoch_us(F.col("__f___ts")) - epoch_us(F.col("__ts"))
         use_back = F.col("__f___ts").isNull() | (
             F.col("__b___ts").isNotNull() & (d_back <= d_fwd)
         )

@@ -35,12 +35,10 @@ def kafka_json_payload(df: DataFrame) -> DataFrame:
     timestamps (the to_json default truncates to ms — the payload must
     roundtrip through kafka_json_source losslessly; tested in
     tests/test_streaming.py)."""
-    from flink_realtime_spark.streaming.sources import JSON_TS_FMT
+    from flink_realtime_spark.streaming.sources import JSON_TS_OPTS
 
     return df.select(
-        F.to_json(
-            F.struct(*df.columns), {"timestampFormat": JSON_TS_FMT}
-        ).alias("value")
+        F.to_json(F.struct(*df.columns), JSON_TS_OPTS).alias("value")
     )
 
 

@@ -32,10 +32,23 @@ EVENTS_DDL = (
     "event_type STRING, value DOUBLE, props STRING"
 )
 
-# JSON timestamp pattern for Kafka payloads: the to_json/from_json default
+# Batch-ingest twin of EVENTS_DDL: the driver-facing surface carries
+# wall-clock TIMESTAMP_NTZ event time (tables.normalize_event_ts, r10
+# non-UTC contract); text-format ingest declares the same type so a
+# roundtrip reproduces load_table's schema exactly.
+EVENTS_DDL_NTZ = EVENTS_DDL.replace("ts TIMESTAMP", "ts TIMESTAMP_NTZ")
+
+# JSON timestamp patterns for Kafka payloads: the to_json/from_json default
 # is millisecond precision, which silently truncates µs event times on the
-# producer AND consumer side — pin a microsecond pattern on both.
+# producer AND consumer side — pin a microsecond pattern on both. NTZ
+# columns (the batch surface's wall-clock event time, r10) use their own
+# option/pattern — no zone offset to print.
 JSON_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+JSON_TS_NTZ_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+JSON_TS_OPTS = {
+    "timestampFormat": JSON_TS_FMT,
+    "timestampNTZFormat": JSON_TS_NTZ_FMT,
+}
 
 
 def kafka_json_source(
@@ -64,7 +77,7 @@ def kafka_json_source(
         F.from_json(
             F.col("value").cast("string"),
             schema_ddl,
-            {"timestampFormat": JSON_TS_FMT},
+            JSON_TS_OPTS,
         ).alias("j"),
     ).select("kafka_ts", "j.*")
 
@@ -99,9 +112,13 @@ def file_stream_source(
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table replayed as a stream. The file stores
     TIMESTAMP(NANOS); declaring ``ts TIMESTAMP`` makes the scan itself
-    truncate to µs (exact for this fixture — no sub-µs components), so the
-    stream carries the same TimestampType as tables.load_table's batch
-    read without any per-row conversion.
+    truncate to µs (exact for this fixture — no sub-µs components).
+    Streams MUST keep instant TIMESTAMP: Spark's watermark machinery
+    rejects TIMESTAMP_NTZ outright (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE),
+    so the r10 wall-clock NTZ contract applies to the BATCH surface the
+    driver hashes (EVENTS_DDL_NTZ below is the batch-ingest twin); the
+    stream-exec keys are rows-only by design and their collected values
+    agree with the batch twins on a UTC host.
 
     The fixture stores events.parquet as a single FILE, selected via
     pathGlobFilter; a Spark-written table (the scale-probe ×k replicas) is

@@ -47,19 +47,32 @@ def path_for(sf_dir: str, name: str) -> str:
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS), which different Spark builds
     surface differently: as ns-since-epoch BIGINT (legacy nanosAsLong path)
-    or as TIMESTAMP_NTZ truncated to µs (native nanos read). Normalize both
-    to microsecond TimestampType — the session timezone is pinned to UTC
-    (session.prepare), so the NTZ→LTZ cast is an exact reinterpretation and
-    every downstream plan sees one type regardless of Spark version."""
+    or as TIMESTAMP_NTZ truncated to µs (native nanos read); Spark-rewritten
+    scale fixtures carry instant TIMESTAMP. Normalize ALL of them to
+    microsecond TIMESTAMP_NTZ — the engine's event-time contract is
+    WALL-CLOCK (naive), matching the DuckDB oracle's TIMESTAMP and, more
+    importantly, the driver boundary: pyspark's collect() renders an
+    instant TIMESTAMP through the Python process's LOCAL zone (ignoring
+    the session tz pin), so any LTZ output column shifts by the host's
+    UTC offset on a non-UTC driver box (r10 non-UTC sweep: 38 keys, every
+    ts-derived output, 5 h off under TZ=America/New_York). NTZ values
+    collect as the same naive datetime under any host zone. The LTZ→NTZ /
+    micros→NTZ casts are exact reinterpretations under the session.prepare
+    UTC pin, which is active whenever this runs (load_table prepares
+    first)."""
     dt = dict(df.dtypes).get(col)
     if dt == "bigint":
         # Integer DIV keeps the conversion exact (ns-since-epoch exceeds
         # double's 2^53 mantissa).
         df = df.withColumn(
-            col, F.expr(f"timestamp_micros(CAST({col} DIV 1000 AS LONG))")
+            col,
+            F.expr(
+                f"CAST(timestamp_micros(CAST({col} DIV 1000 AS LONG)) "
+                "AS TIMESTAMP_NTZ)"
+            ),
         )
-    elif dt == "timestamp_ntz":
-        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    elif dt == "timestamp":
+        df = df.withColumn(col, F.col(col).cast("timestamp_ntz"))
     return df
 
 

@@ -10,7 +10,7 @@ import tempfile
 import pytest
 
 from flink_realtime_spark.formats import read_text_format, write_text_format
-from flink_realtime_spark.streaming.sources import EVENTS_DDL
+from flink_realtime_spark.streaming.sources import EVENTS_DDL_NTZ
 from flink_realtime_spark.tables import load_table
 from tests.conftest import SF_DIR
 
@@ -21,7 +21,7 @@ def test_events_roundtrip(spark, fmt):
     d = tempfile.mkdtemp(prefix=f"fmt_{fmt}_")
     try:
         write_text_format(ev, d, fmt)
-        back = read_text_format(spark, d, fmt, EVENTS_DDL)
+        back = read_text_format(spark, d, fmt, EVENTS_DDL_NTZ)
         assert back.schema == ev.schema
         a = sorted(map(tuple, ev.collect()))
         b = sorted(map(tuple, back.collect()))

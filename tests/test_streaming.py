@@ -23,6 +23,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from flink_realtime_spark import registry
+from flink_realtime_spark.exprs import epoch_us
 from flink_realtime_spark.streaming.sources import (
     EVENTS_DDL,
     events_stream,
@@ -185,7 +186,9 @@ def test_transform_with_state_latest_image_multibatch(spark, chunked_events_dir)
             "last_event_id",
             "last_type",
             "last_value",
-            F.col("last_ts").cast("long").alias("last_ts_s"),
+            (epoch_us(F.col("last_ts")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("last_ts_s"),
         )
         .toPandas()
         .sort_values("user_id")
@@ -1290,8 +1293,8 @@ def test_scd2_stream_matches_batch_history(spark, chunked_events_dir):
             "user_id",
             "version_id",
             "value",
-            F.unix_micros(F.col("valid_from")).alias("valid_from_us"),
-            F.unix_micros(F.col("valid_to")).alias("valid_to_us"),
+            epoch_us(F.col("valid_from")).alias("valid_from_us"),
+            epoch_us(F.col("valid_to")).alias("valid_to_us"),
             "is_current",
         )
         .toPandas()
@@ -1317,12 +1320,15 @@ def test_kafka_sink_payload_roundtrips(spark):
     roundtrip through from_json with the declared schema — the producer/
     consumer contract the broker would carry, testable without one."""
     from flink_realtime_spark.streaming.sinks import kafka_json_payload
-    from flink_realtime_spark.streaming.sources import JSON_TS_FMT
+    from flink_realtime_spark.streaming.sources import (
+        EVENTS_DDL_NTZ,
+        JSON_TS_OPTS,
+    )
 
     ev = load_table(spark, SF_DIR, "events").limit(500)
     payload = kafka_json_payload(ev)
     back = payload.select(
-        F.from_json("value", EVENTS_DDL, {"timestampFormat": JSON_TS_FMT}).alias("j")
+        F.from_json("value", EVENTS_DDL_NTZ, JSON_TS_OPTS).alias("j")
     ).select("j.*")
     assert back.schema == ev.schema
     a = sorted(map(tuple, ev.collect()))
