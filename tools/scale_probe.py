@@ -581,6 +581,230 @@ def build_degenerate(spark, kind: str) -> str:
     return out
 
 
+# The extremes tier's injection spec (r10, the DOMAIN-BOUNDARY axis):
+# every fixture value lives in a benign band — events.value >= 0,
+# quantities in [1, 50], discounts in [0, 0.1], event time confined to
+# one month of 2024, order/ship dates to 1995-2001, doc texts <= 553
+# ASCII chars, props always '{"k": <small int>}' — so ten rounds of
+# strict hashes never executed either engine's boundary paths: negative
+# measures (sign/abs/sqrt/log/guard branches), epoch-NEGATIVE and
+# parquet-nanos-boundary timestamps (floor-vs-truncate bucket division
+# only diverges below 1970), leap-day and century dates, megabyte
+# documents, zero-length / whitespace-only / control-character (incl.
+# NUL) text, and adversarial JSON (int64 overflow, double overflow,
+# duplicate keys, type switches, malformed fragments). 100 TB of
+# telemetry + crawl data carries ALL of these; probes (this file's
+# design session) confirmed the engines genuinely differ here — DuckDB
+# ERRORS on malformed-JSON extraction, sqrt/ln of negatives, and casts
+# that Spark NULLs or NaNs, DuckDB's yyjson re-stringifies >uint64
+# integers through double while Spark returns the raw literal, and
+# duplicate-key extraction is first-match vs last-match.
+EXTREME_TS = (
+    "1677-09-22 00:12:44",  # just inside parquet-nanos MIN (epoch < 0)
+    "2262-04-10 23:47:16",  # just inside parquet-nanos MAX
+    "2000-02-29 12:34:56.789012",  # leap day, sub-second µs
+    "1900-01-01 00:00:00",  # century non-leap year, epoch < 0
+)
+EXTREME_DATE = (
+    "1677-09-22 00:00:00",
+    "2262-04-10 00:00:00",
+    "2000-02-29 00:00:00",
+    "1900-02-28 00:00:00",
+)
+# money/measure magnitudes: the largest value whose per-row
+# DECIMAL(18,4) exactness cast still fits (|x| < 1e14), a 17-sig-digit
+# repr-boundary value, and a sub-quantum positive that rounds to 0.0000
+EXTREME_MONEY = (9.9e12, -9.9e12, 123456789.0001, 1e-12)
+EXTREME_RATE = (1.5, -0.5, 0.9999, 1e-12)  # discount/tax beyond [0, 0.1]
+EXTREME_PROPS = (
+    '{"k": 9223372036854775807}',   # int64 max (exact in both engines?)
+    '{"k": -9223372036854775808}',  # int64 min
+    '{"k": 18446744073709551616}',  # 2^64 — beyond any integer type
+    '{"k": 1.7976931348623157e308}',  # double max
+    '{"k": 1e309}',                 # overflows double (Infinity)
+    '{"k": 0.30000000000000004}',   # shortest-repr boundary double
+    '{"k": "42"}',                  # type switch: string-valued k
+    '{"k": [1, 2, 3]}',             # type switch: array-valued k
+    '{"k": 2, "k": 3}',             # DUPLICATE key (first- vs last-wins)
+    '{"k": 5',                      # malformed (truncated) JSON
+)
+# Forced doc replacements (the FORCE_NULL lesson: draws are blind to
+# magic rows, so the interesting shapes are pinned). All ids verified
+# near-dup-SINGLETONS in the base corpus (trigram-jaccard >= 0.25
+# members recomputed at build time) so whole-text replacement cannot
+# perturb an LSH-vs-exact pair; replacement vocab ('zq####') is
+# disjoint from the fixture's English words, so new pairs can't form.
+EXTREME_DOC_IDS = {
+    "mega": 16,        # ~1 MB, 140k words, newline every 12 words
+    "giant_word": 923,  # 100k chars, no whitespace at all
+    "control": 1531,   # tab/CR/LF/NUL/US/VT/FF/DEL between letters
+    "empty": 2048,     # zero-length text ('' is not NULL)
+    "ws_only": 2049,   # whitespace-only text
+    "self_rep": 3777,  # one 2-word phrase repeated 3500×
+    "punct": 4444,     # punctuation/digit tokens, no letters
+}
+
+
+def _extreme_doc_texts() -> dict:
+    """Deterministic replacement texts (pure-Python LCG, no RNG state)."""
+    words = []
+    x = 4242
+    for _ in range(140_000):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        words.append("zq%04d" % (x % 9999))
+    mega = "\n".join(
+        " ".join(words[i : i + 12]) for i in range(0, len(words), 12)
+    )
+    giant = "zqg" + "abcdefghij" * 9_997 + "end"  # 100,006 chars, 1 token
+    control = "ctl\ta\rb\nc\x00d\x1fe\x0bf\x0cg\x7fh " * 40
+    return {
+        EXTREME_DOC_IDS["mega"]: mega,
+        EXTREME_DOC_IDS["giant_word"]: giant,
+        EXTREME_DOC_IDS["control"]: control,
+        EXTREME_DOC_IDS["empty"]: "",
+        EXTREME_DOC_IDS["ws_only"]: " \t\r\n  ",
+        EXTREME_DOC_IDS["self_rep"]: "zqrep zqalpha " * 3500,
+        EXTREME_DOC_IDS["punct"]: "!!! ??? ... ;;; ::: --- %%% $$$ @@@ ### 12 34",
+    }
+
+
+def build_extreme_facts(spark) -> str:
+    """sf0.1 tables with DETERMINISTIC domain-boundary values injected per
+    the EXTREME_* specs above: per (pk, column, salt) xxhash64 draws pick
+    ~0.5% of timestamps/dates/magnitudes, ~1% negations and adversarial
+    props, all baked into parquet so both engines read identical bytes;
+    seven forced document replacements carry the text shapes. This is
+    the DOMAIN-BOUNDARY axis — the never-executed-path class that made
+    the nulls (18 finds), uni (11) and specials (27) tiers pay."""
+    out = f"{WORK}/extremes"
+    if os.path.exists(os.path.join(out, "_OK")):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    def draw(pk_cols, salt, mod):
+        return F.pmod(
+            F.xxhash64(*[F.col(p) for p in pk_cols], F.lit(salt)), F.lit(mod)
+        )
+
+    def pick(kinds_col, d, n):
+        return F.element_at(kinds_col, (F.pmod(d, F.lit(n)) + 1).cast("int"))
+
+    def inj_ts(df, pk, col, kinds, rate_per_mille=5):
+        dtype = dict(df.dtypes)[col]
+        arr = F.array(
+            *[F.to_timestamp(F.lit(s)).cast(dtype) for s in kinds]
+        )
+        d = draw(pk, f"x_{col}", 1000)
+        return df.withColumn(
+            col,
+            F.when(d < rate_per_mille, pick(arr, d, len(kinds))).otherwise(
+                F.col(col)
+            ),
+        )
+
+    def inj_mag(df, pk, col, kinds, neg=True):
+        arr = F.array(*[F.lit(v) for v in kinds])
+        d = draw(pk, f"xmag_{col}", 1000)
+        out_col = F.when(d < 5, pick(arr, d, len(kinds))).otherwise(
+            F.col(col)
+        )
+        if neg:
+            nd = draw(pk, f"xneg_{col}", 100)
+            out_col = F.when((d >= 5) & (nd < 1), -F.col(col)).otherwise(
+                out_col
+            )
+        return df.withColumn(col, out_col)
+
+    ev = load_table(spark, SRC, "events")
+    ev = inj_ts(ev, ["event_id"], "ts", EXTREME_TS)
+    ev = inj_mag(ev, ["event_id"], "value", EXTREME_MONEY)
+    parr = F.array(*[F.lit(s) for s in EXTREME_PROPS])
+    pd_ = draw(["event_id"], "xprops", 1000)
+    ev = ev.withColumn(
+        "props",
+        F.when(pd_ < 10, pick(parr, pd_, len(EXTREME_PROPS))).otherwise(
+            F.col("props")
+        ),
+    )
+    ev.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+
+    li = load_table(spark, SRC, "lineitem")
+    lpk = ["l_orderkey", "l_linenumber"]
+    li = inj_ts(li, lpk, "l_shipdate", EXTREME_DATE)
+    li = inj_mag(li, lpk, "l_quantity", EXTREME_MONEY)
+    li = inj_mag(li, lpk, "l_extendedprice", EXTREME_MONEY)
+    li = inj_mag(li, lpk, "l_discount", EXTREME_RATE, neg=False)
+    li = inj_mag(li, lpk, "l_tax", EXTREME_RATE, neg=False)
+    li.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+
+    od = load_table(spark, SRC, "orders")
+    od = inj_ts(od, ["o_orderkey"], "o_orderdate", EXTREME_DATE)
+    od = inj_mag(od, ["o_orderkey"], "o_totalprice", EXTREME_MONEY)
+    od.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+
+    cu = load_table(spark, SRC, "customer")
+    cu = inj_mag(cu, ["c_custkey"], "c_acctbal", EXTREME_MONEY, neg=False)
+    cu.write.mode("overwrite").parquet(os.path.join(out, "customer.parquet"))
+
+    # Forced doc replacements — re-verify the singleton precondition
+    # against the live base corpus before substituting (the uni builder's
+    # pair-coherence lesson: an LSH-vs-exact pair must never lose one
+    # member to a rewrite).
+    import duckdb as _duckdb
+
+    mem = {
+        r[0]
+        for r in _duckdb.sql(
+            r"""
+            WITH ws AS MATERIALIZED (
+              SELECT doc_id, str_split(lower(trim(regexp_replace(
+                         text, '\s+', ' ', 'g'))), ' ') AS w
+              FROM read_parquet('"""
+            + SRC
+            + r"""/documents.parquet')),
+            s AS MATERIALIZED (
+              SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+                list_distinct(list_transform(generate_series(1, len(w)-2),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [] END AS sh FROM ws),
+            u AS (SELECT doc_id, unnest(sh) AS g FROM s),
+            shr AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) shared
+                    FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+            sz AS (SELECT doc_id, len(sh) n FROM s WHERE len(sh) > 0),
+            hits AS (SELECT da, db FROM shr c
+                     JOIN sz sa ON sa.doc_id = c.da
+                     JOIN sz sb ON sb.doc_id = c.db
+                     WHERE c.shared >= 0.25 * (sa.n + sb.n - c.shared))
+            SELECT da FROM hits UNION SELECT db FROM hits
+            """
+        ).fetchall()
+    }
+    texts = _extreme_doc_texts()
+    clash = sorted(set(texts) & mem)
+    assert not clash, f"extreme doc ids are near-dup members: {clash}"
+    repl = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id BIGINT, xtext STRING"
+    )
+    docs = (
+        load_table(spark, SRC, "documents")
+        .join(F.broadcast(repl), "doc_id", "left")
+        .withColumn("text", F.coalesce("xtext", "text"))
+        .withColumn("n_chars", F.length("text").cast("bigint"))
+        .drop("xtext")
+    )
+    docs.write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+
+    for name in TABLE_NAMES:
+        dst = os.path.join(out, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, f"{name}.parquet"), dst)
+    open(os.path.join(out, "_OK"), "w").close()
+    return out
+
+
 def build_zipf_docs(spark, k: int) -> str:
     """documents REGENERATED (not replicated) with a ZIPFIAN word
     distribution at k× the sf0.1 count — the natural-language df shape the
