@@ -99,8 +99,8 @@ def dsum_over_sql(expr: str, over: str, scale: int = 4) -> str:
     ssum = f"SUM(CASE WHEN {nf} THEN {expr} ELSE 0.0 END) OVER {over}"
     exact = (
         f"CAST(CAST(SUM(CASE WHEN NOT {nf} "
-        f"THEN CAST({expr} AS DECIMAL(18,{scale})) END) OVER {over} "
-        f"AS STRING) AS DOUBLE)"
+        f"THEN CAST(CAST({expr} AS STRING) AS DECIMAL(18,{scale})) END) "
+        f"OVER {over} AS STRING) AS DOUBLE)"
     )
     return (
         f"CASE WHEN isnan({ssum}) OR {ssum} != 0.0 THEN {ssum} "
@@ -133,11 +133,23 @@ def dsum_sql(expr: str, scale: int = 4) -> str:
     # BigDecimal→double is already correct, so the string route makes the
     # conversion agree at every magnitude. The specials branch mirrors
     # dsum: IEEE propagation when the group holds NaN/±Inf.
+    #
+    # The PER-ROW double→decimal cast goes via STRING for the mirror
+    # reason (extremes tier, r10): Spark quantizes the SHORTEST REPR
+    # (BigDecimal.valueOf) while DuckDB's direct cast rounds the BINARY
+    # value — once the summed expression is a COMPUTED double carrying
+    # ~17 significant digits (a per-day gmv of 9.9e12 + cents), the two
+    # land on different scale-4 decimals (…281.2200 repr vs …281.2208
+    # binary). Both engines render the shortest repr in their
+    # double→string cast, so the string route pins quantize-the-repr on
+    # both sides; raw parquet values (true scale <= cast scale) are
+    # unchanged, so every pre-r10 tier hash holds.
     nf = _nonfinite_sql(expr)
     ssum = f"SUM(CASE WHEN {nf} THEN {expr} ELSE 0.0 END)"
     exact = (
         f"CAST(CAST(SUM(CASE WHEN NOT {nf} "
-        f"THEN CAST({expr} AS DECIMAL(18,{scale})) END) AS STRING) AS DOUBLE)"
+        f"THEN CAST(CAST({expr} AS STRING) AS DECIMAL(18,{scale})) END) "
+        f"AS STRING) AS DOUBLE)"
     )
     return (
         f"CASE WHEN isnan({ssum}) OR {ssum} != 0.0 THEN {ssum} "
@@ -150,8 +162,8 @@ def davg_sql(expr: str, scale: int = 4) -> str:
     ssum = f"SUM(CASE WHEN {nf} THEN {expr} ELSE 0.0 END)"
     exact = (
         f"CAST(CAST(CAST(SUM(CASE WHEN NOT {nf} "
-        f"THEN CAST({expr} AS DECIMAL(18,{scale})) END) AS STRING) AS DOUBLE)"
-        f" / COUNT({expr}) AS DOUBLE)"
+        f"THEN CAST(CAST({expr} AS STRING) AS DECIMAL(18,{scale})) END) "
+        f"AS STRING) AS DOUBLE) / COUNT({expr}) AS DOUBLE)"
     )
     return (
         f"CASE WHEN isnan({ssum}) OR {ssum} != 0.0 "
@@ -173,13 +185,21 @@ def davg_sql(expr: str, scale: int = 4) -> str:
 # divergent LOWERCASE mappings under Locale.ROOT (the remaining
 # SpecialCasing rules are locale-gated or upper-only); ASCII text is
 # untouched, so every pre-r09 tier hash is unchanged.
+#
+# WHITESPACE is pinned to Java's \s set [ \t\n\x0B\f\r] (extremes tier,
+# r10): RE2's \s is the POSIX [ \t\n\f\r] — it EXCLUDES vertical tab —
+# so a doc carrying \x0B normalized differently in the two engines
+# (Spark collapsed it, DuckDB kept it, diverging every downstream
+# shingle/hash). The Spark form keeps \s (it IS that 6-char set in
+# Java); the DuckDB mirror spells the class out. Consistent with the
+# uni-tier contract that NBSP/ZWSP are NOT whitespace.
 NORM_TEXT_SPARK = (
     "replace(lower(trim(regexp_replace(replace(text, 'İ', 'i'), "
     "'\\\\s+', ' '))), 'ς', 'σ')"
 )
 NORM_TEXT_DUCK = (
     "replace(lower(trim(regexp_replace(replace(text, 'İ', 'i'), "
-    "'\\s+', ' ', 'g'))), 'ς', 'σ')"
+    "'[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ')"
 )
 
 

@@ -1387,17 +1387,70 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_dedup_two_stage", _CLUSTER_ORACLE)
+# two_stage's DEDICATED oracle (extremes tier, r10): _CLUSTER_ORACLE's
+# edge set is the shingle-derived pair graph, which cannot see exact
+# duplicates whose normalized text yields NO shingles (< 3 words — e.g.
+# the empty and whitespace-only docs both normalize to ''). The collapse
+# stage merges those BEFORE shingling, so the faithful mirror extends
+# the component edges with one star edge per doc to its exact-norm-group
+# minimum (linear in docs, never quadratic in copy count). Components
+# then match the operator exactly: an LSH pair between non-reps connects
+# the same components their reps do (norm-equal docs have equal shingle
+# sets), and the component minimum is always its own exact-group rep.
+_TWO_STAGE_ORACLE = f"""
+    WITH RECURSIVE
+    {_PAIRS_CTE_DUCK},
+    xg AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5({_NORM_DUCK})) AS rep_exact
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    e AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+      UNION ALL
+      SELECT doc_id AS u, rep_exact AS v FROM xg WHERE doc_id != rep_exact
+      UNION ALL
+      SELECT rep_exact AS u, doc_id AS v FROM xg WHERE doc_id != rep_exact
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, reach.r FROM reach JOIN e ON e.v = reach.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(r) AS rep_id FROM reach GROUP BY node
+    )
+    SELECT
+      c.doc_id,
+      c.rep_id,
+      n.cluster_size,
+      c.doc_id = c.rep_id AS is_canonical
+    FROM comp c
+    JOIN (
+      SELECT rep_id, COUNT(*) AS cluster_size FROM comp GROUP BY rep_id
+    ) n USING (rep_id)
+"""
+
+
+@query("llm_dedup_two_stage", _TWO_STAGE_ORACLE)
 def llm_dedup_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production dedup ordering (SCALE.md dedup stress): collapse exact
     duplicates FIRST (hash groups — flat cost, linear output), run
     MinHash+clustering over one representative per exact group, then
     expand cluster labels back over all copies. Semantically identical to
-    llm_dedup_cluster on any corpus — an exact duplicate is a Jaccard-1
-    near-dup, so components merge the same either way and the component
-    minimum is always an exact-group representative — but pair volume now
-    reflects true near-dups, not copy multiplicity: measured 18 s → ~6 s
-    at 10× duplication, and the gap widens with dup rate."""
+    llm_dedup_cluster on any corpus of shingle-BEARING docs — an exact
+    duplicate is a Jaccard-1 near-dup, so components merge the same
+    either way and the component minimum is always an exact-group
+    representative — but pair volume now reflects true near-dups, not
+    copy multiplicity: measured 18 s → ~6 s at 10× duplication, and the
+    gap widens with dup rate. The one semantic difference (extremes
+    tier, r10): exact duplicates TOO SHORT to shingle (e.g. two docs
+    both normalizing to '') still collapse here, while the pairs-only
+    cluster operator keeps them singletons — hence the dedicated oracle
+    above."""
     wh = Warehouse(spark, sf_dir)
     docs = wh.documents.select(
         "doc_id", "text", F.expr(f"md5({_NORM_SPARK})").alias("h")

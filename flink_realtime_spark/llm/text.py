@@ -18,8 +18,13 @@ from flink_realtime_spark.tables import Warehouse, rebalance
 
 _STOPWORDS = ["the", "a", "of", "and", "to", "in", "on", "for", "with", "by"]
 _SW_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
-# BPE-ish token regex: letter runs, digit runs, or single non-space symbols.
-_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+# BPE-ish token regex: letter runs, digit runs, or single non-space
+# symbols. Whitespace is the EXPLICIT Java-\s set [ \t\n\x0B\f\r]: RE2's
+# \s lacks \x0B (vertical tab), so the shared literal must spell the
+# class out or DuckDB counts every VT as a symbol token (extremes tier,
+# r10 — 40 VTs in the control doc = +40 re_tokens on the oracle side).
+# Each engine parses its own escape sequences; the class is identical.
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 
 
 @query(
@@ -318,25 +323,41 @@ _BIGRAMS_DUCK = """
         i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1])
 """
 
+# Two DuckDB quadratic traps dodged here (extremes tier, r10 — the
+# oracle-side twins of SCALE.md's CollapseProject lesson, both ground
+# 20+ minutes on one 1 MB document):
+# 1. ws is a MATERIALIZED CTE so w[i] in the bigram lambda reads a
+#    stored list — inlining str_split(text, ' ') into the lambda
+#    re-splits the whole text PER ELEMENT (O(words × chars) per doc).
+# 2. the per-doc scalars (n_words, n_unique) live in their own CTE and
+#    join back on doc_id: DuckDB evaluates unnest SIBLING expressions
+#    once per OUTPUT row, so len(list_distinct(w)) as a sibling is
+#    O(words) × words rows.
 _REPETITION_ORACLE = f"""
-WITH grams AS (
-  SELECT doc_id,
-         len(str_split(text, ' ')) AS n_words,
-         len(list_distinct(str_split(text, ' '))) AS n_unique,
-         unnest({_BIGRAMS_DUCK}) AS bg
+WITH ws AS MATERIALIZED (
+  SELECT doc_id, str_split(text, ' ') AS w
   FROM documents
   WHERE len(str_split(text, ' ')) >= 2
 ),
+st AS MATERIALIZED (
+  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_unique
+  FROM ws
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM ws
+),
 bg_counts AS (
-  SELECT doc_id, n_words, n_unique, bg, COUNT(*) AS c
-  FROM grams GROUP BY doc_id, n_words, n_unique, bg
-)
+  SELECT doc_id, bg, COUNT(*) AS c FROM grams GROUP BY doc_id, bg
+),
+mx AS (SELECT doc_id, MAX(c) AS max_c FROM bg_counts GROUP BY doc_id)
 SELECT
-  doc_id,
+  st.doc_id,
   ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_words, 6) AS dup_word_frac,
-  ROUND(CAST(MAX(c) AS DOUBLE) / (n_words - 1), 6) AS top_bigram_frac
-FROM bg_counts
-GROUP BY doc_id, n_words, n_unique
+  ROUND(CAST(max_c AS DOUBLE) / (n_words - 1), 6) AS top_bigram_frac
+FROM st JOIN mx USING (doc_id)
 """
 
 
@@ -354,18 +375,29 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(ws, 2, F.size(ws) - 1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    grams = rebalance(wh.documents.filter(F.size(ws) >= 2), "doc_id").select(
+    docs = rebalance(wh.documents.filter(F.size(ws) >= 2), "doc_id")
+    # n_words / n_unique live in their OWN per-doc projection and come
+    # back via a doc_id join: carrying them as SELECT siblings of the
+    # explode lets CollapseProject inline size(split(text)) and
+    # size(array_distinct(split(text))) into the downstream aggregate's
+    # GROUP KEYS, re-evaluated per exploded bigram row — O(words × chars)
+    # per doc, 20+ CPU-minutes on one 1 MB document (extremes tier, r10;
+    # the explode+groupBy sibling of SCALE.md's CollapseProject lambda
+    # lesson). Both aggregates are per-doc-bounded; the join keys are
+    # post-aggregate doc_id rows, co-partitioned by the same key.
+    stats = docs.select(
         "doc_id",
         F.size(ws).alias("n_words"),
         F.size(F.array_distinct(ws)).alias("n_unique"),
-        F.explode(bigrams).alias("bg"),
     )
-    bg_counts = grams.groupBy("doc_id", "n_words", "n_unique", "bg").agg(
-        F.count(F.lit(1)).alias("c")
+    grams = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    bg_max = (
+        grams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_c"))
     )
-    return bg_counts.groupBy("doc_id", "n_words", "n_unique").agg(
-        F.max("c").alias("max_c")
-    ).select(
+    return stats.join(bg_max, "doc_id").select(
         "doc_id",
         F.round(1.0 - F.col("n_unique").cast("double") / F.col("n_words"), 6).alias(
             "dup_word_frac"
@@ -379,19 +411,36 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_SIZE = 40
 CHUNK_STRIDE = 30
 
+# Linear positional-group form (extremes tier, r10): every slicing
+# variant ground on megabyte docs — per-chunk list_slice over an
+# inlined split is O(chunks × chars), and even over a materialized list
+# the lambda's capture of `w` re-materializes the word list per chunk
+# (measured 179 s at one 1 MB doc). Fanning each word to its <= 2
+# containing chunks and string_agg-ing ORDER BY position is O(words),
+# the exact mirror of the Spark side's rework.
 _CHUNK_ORACLE = f"""
+WITH ws AS MATERIALIZED (
+  SELECT doc_id, str_split(text, ' ') AS w FROM documents
+),
+words AS MATERIALIZED (
+  SELECT doc_id, unnest(w) AS word,
+         unnest(generate_series(1, len(w))) AS p
+  FROM ws
+),
+fan AS (
+  SELECT doc_id, word, p,
+         unnest(generate_series(
+           greatest(0, (p - {CHUNK_SIZE - CHUNK_STRIDE + 1}) // {CHUNK_STRIDE}),
+           (p - 1) // {CHUNK_STRIDE})) AS j
+  FROM words
+)
 SELECT
   doc_id,
-  CAST(s AS BIGINT) AS chunk_start,
-  CAST(len(list_slice(str_split(text, ' '), s, s + {CHUNK_SIZE - 1})) AS BIGINT)
-    AS n_tokens,
-  array_to_string(list_slice(str_split(text, ' '), s, s + {CHUNK_SIZE - 1}), ' ')
-    AS chunk_text
-FROM (
-  SELECT doc_id, text,
-         unnest(generate_series(1, len(str_split(text, ' ')), {CHUNK_STRIDE})) AS s
-  FROM documents
-)
+  CAST(j * {CHUNK_STRIDE} + 1 AS BIGINT) AS chunk_start,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  string_agg(word, ' ' ORDER BY p) AS chunk_text
+FROM fan
+GROUP BY doc_id, j
 """
 
 
@@ -399,21 +448,55 @@ FROM (
 def llm_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (40-word chunks, stride 30, so
     consecutive chunks overlap by 10 words) — the context-window packing
-    step of a training-data pipeline. One
-    narrow explode of the start-position sequence; slice clamps the final
-    partial chunk identically in both engines. Scales embarrassingly: no
-    shuffle, output rows ≈ corpus_words / stride."""
+    step of a training-data pipeline.
+
+    Shape (reworked r10, extremes tier): posexplode the words once, fan
+    each word out to the ≤2 chunks containing it (pure position
+    arithmetic — membership needs no document length), and rebuild chunk
+    text with one keyed aggregation. The previous zero-shuffle form
+    (explode starts, slice(split(text), s) per chunk row) re-ran the
+    split once per CHUNK — O(chunks × chars) per doc, the explode-sibling
+    face of SCALE.md's CollapseProject lesson; a 1 MB doc paid seconds,
+    a 10 MB doc minutes. This form is O(words) per doc and the chunk
+    groups are ≤ {CHUNK_SIZE} rows each, so the added shuffle is flat and
+    the skew ceiling is the chunk size, not the document size."""
     wh = Warehouse(spark, sf_dir)
     ws = F.split("text", " ")
-    starts = F.sequence(F.lit(1), F.size(ws), F.lit(CHUNK_STRIDE))
-    chunk = F.slice(ws, F.col("s"), CHUNK_SIZE)
+    words = wh.documents.select(
+        "doc_id", F.posexplode(ws).alias("p0", "w")
+    ).select(
+        "doc_id", "w", (F.col("p0") + 1).alias("p")
+    )
+    # 1-based word position p belongs to chunk index j (start = j*T + 1)
+    # iff j*T + 1 <= p <= j*T + K, i.e. j in [ceil((p-K)/T), floor((p-1)/T)]
+    # — at most ceil(K/T) = 2 chunks. Integer forms below avoid floor-vs-
+    # truncate trouble: operands are non-negative after the clamp.
+    K, T = CHUNK_SIZE, CHUNK_STRIDE
+    jmin = F.greatest(
+        F.lit(0), ((F.col("p") - F.lit(K - T + 1)) / T).cast("long")
+    )
+    jmax = ((F.col("p") - 1) / T).cast("long")
+    fan = words.select(
+        "doc_id", "p", "w",
+        F.explode(F.sequence(jmin, jmax)).alias("j"),
+    )
     return (
-        wh.documents.select("doc_id", "text", F.explode(starts).alias("s"))
+        fan.groupBy("doc_id", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "w"))),
+                    lambda x: x.getField("w"),
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
         .select(
             "doc_id",
-            F.col("s").cast("long").alias("chunk_start"),
-            F.size(chunk).cast("long").alias("n_tokens"),
-            F.array_join(chunk, " ").alias("chunk_text"),
+            (F.col("j") * T + 1).cast("long").alias("chunk_start"),
+            F.col("n_tokens").cast("long"),
+            "chunk_text",
         )
     )
 

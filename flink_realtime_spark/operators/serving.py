@@ -563,24 +563,34 @@ _Z_FLAG = 1.5
       FROM events GROUP BY 1
     ),
     fdaily AS (
+      -- every decimal<->double conversion routes VIA STRING (the
+      -- exprs.dsum_sql rationale, both directions): with 9.9e12-scale
+      -- injected values the daily sums carry 17-18 significant digits,
+      -- where DuckDB's direct DECIMAL->DOUBLE double-rounds 1 ulp off
+      -- and its direct DOUBLE->DECIMAL rounds the binary value where
+      -- Spark quantizes the shortest repr (extremes tier, r10)
       SELECT d, rev_dec,
         NOT (isnan(rev_spec) OR rev_spec != 0.0) AS is_fin,
         CASE WHEN isnan(rev_spec) OR rev_spec != 0.0 THEN rev_spec
-             ELSE CAST(rev_dec AS DOUBLE) END AS revenue
+             ELSE CAST(CAST(rev_dec AS STRING) AS DOUBLE) END AS revenue
       FROM daily
     ),
     stats AS (
       SELECT
-        CAST(SUM(CASE WHEN is_fin THEN rev_dec END) AS DOUBLE)
+        CAST(CAST(SUM(CASE WHEN is_fin THEN rev_dec END) AS STRING)
+             AS DOUBLE)
           / NULLIF(COUNT(CASE WHEN is_fin THEN 1 END), 0) AS mean_rev,
         sqrt(
-          CAST(SUM(CASE WHEN is_fin THEN CAST(
-            CAST(rev_dec AS DOUBLE) * CAST(rev_dec AS DOUBLE)
-            AS DECIMAL(38,8)) END) AS DOUBLE)
+          CAST(CAST(SUM(CASE WHEN is_fin THEN CAST(CAST(
+            CAST(CAST(rev_dec AS STRING) AS DOUBLE)
+            * CAST(CAST(rev_dec AS STRING) AS DOUBLE)
+            AS STRING) AS DECIMAL(38,8)) END) AS STRING) AS DOUBLE)
             / NULLIF(COUNT(CASE WHEN is_fin THEN 1 END), 0)
-          - (CAST(SUM(CASE WHEN is_fin THEN rev_dec END) AS DOUBLE)
+          - (CAST(CAST(SUM(CASE WHEN is_fin THEN rev_dec END) AS STRING)
+                  AS DOUBLE)
              / NULLIF(COUNT(CASE WHEN is_fin THEN 1 END), 0))
-            * (CAST(SUM(CASE WHEN is_fin THEN rev_dec END) AS DOUBLE)
+            * (CAST(CAST(SUM(CASE WHEN is_fin THEN rev_dec END) AS STRING)
+                    AS DOUBLE)
                / NULLIF(COUNT(CASE WHEN is_fin THEN 1 END), 0))
         ) AS std_rev
       FROM fdaily
