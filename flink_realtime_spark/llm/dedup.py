@@ -1174,14 +1174,26 @@ def llm_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_N = 4  # word n-gram size; the fixture vocabulary is small, so 4-grams
 _EVAL_MOD = 20  # doc_id % 20 == 0 -> held-out eval split (deterministic)
 
+# Oracle 4-gram built from per-element list ACCESSES inside the unnest
+# argument (extremes tier, r10): the previous lateral form projected
+# array_to_string(ws[i:i+3]) beside the UNNEST — DuckDB evaluates unnest
+# siblings once per OUTPUT row, and a list slice re-materializes the
+# whole word list each time, so one 1 MB document ground the gram CTE at
+# 22 GB for minutes. Element accesses on the captured list are O(1).
+_GRAM_EXPR = " || ' ' || ".join(f"ws[i+{k}]" for k in range(_DECON_N))
+_GRAM_UNNEST = (
+    f"unnest(list_transform(range(1, greatest(len(ws) - {_DECON_N - 2}, 1)),"
+    f" i -> {_GRAM_EXPR}))"
+)
+
 _DECON_ORACLE = f"""
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
     ),
     g AS (
       SELECT DISTINCT doc_id,
-             array_to_string(ws[i:i+{_DECON_N - 1}], ' ') AS gram
-      FROM w, UNNEST(range(1, greatest(len(ws) - {_DECON_N - 2}, 1))) AS t(i)
+             {_GRAM_UNNEST} AS gram
+      FROM w
     ),
     ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_EVAL_MOD} = 0),
     tr AS (SELECT doc_id, gram FROM g WHERE doc_id % {_EVAL_MOD} <> 0),
@@ -1256,8 +1268,8 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     g AS (
       SELECT DISTINCT doc_id,
-             array_to_string(ws[i:i+{_DECON_N - 1}], ' ') AS gram
-      FROM w, UNNEST(range(1, greatest(len(ws) - {_DECON_N - 2}, 1))) AS t(i)
+             {_GRAM_UNNEST} AS gram
+      FROM w
     ),
     dfreq AS (SELECT gram, COUNT(*) AS ndocs FROM g GROUP BY gram),
     tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
@@ -1661,8 +1673,8 @@ def llm_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     g AS (
       SELECT DISTINCT source,
-             array_to_string(ws[i:i+{_DECON_N - 1}], ' ') AS gram
-      FROM w, UNNEST(range(1, greatest(len(ws) - {_DECON_N - 2}, 1))) AS t(i)
+             {_GRAM_UNNEST} AS gram
+      FROM w
     )
     SELECT
       a.source AS source_a,
