@@ -2064,6 +2064,67 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_L = 30  # anchor length = minimum duplicated-run length, chars
 
+# Segmented gram mining (extremes tier, r10): exploding one offset row
+# per character position CARRIES THE DOCUMENT per output row — Spark's
+# Generate materializes the full text into every position row (a 1 MB
+# doc costs ~1 TB of row copies in one task) and DuckDB's LATERAL (and
+# even a substr-in-lambda capture) re-materializes the string per
+# element the same way. Slicing the doc into overlapping segments of
+# _SEG_S positions (overlap L-1 so every gram lives wholly in one
+# segment) bounds the copy to len²/S at the segment explode and S+L per
+# position row — ~2 GB total for a 1 MB doc instead of 1 TB — and a
+# single huge document parallelizes across SEGMENTS instead of pinning
+# one task.
+_SEG_S = 1024  # positions per segment
+
+# Shared oracle gram CTE (llm_dedup_substring / llm_substring_clean /
+# llm_top_boilerplate): g(doc_id, n_chars, p, gram).
+_SPAN_G_CTE = f"""
+    gsegs AS MATERIALIZED (
+      SELECT doc_id, n_chars, segi,
+             substr(text, segi * {_SEG_S} + 1, {_SEG_S + _SPAN_L - 1}) AS seg,
+             least({_SEG_S}, length(text) - {_SPAN_L} + 1 - segi * {_SEG_S})
+               AS npos
+      FROM documents,
+           LATERAL unnest(range(0, CAST(ceil(
+             (length(text) - {_SPAN_L} + 1) / {_SEG_S}.0) AS BIGINT)))
+             AS t(segi)
+      WHERE length(text) >= {_SPAN_L}
+    ),
+    g AS (
+      SELECT doc_id, n_chars, segi * {_SEG_S} + lp AS p,
+             substr(seg, lp + 1, {_SPAN_L}) AS gram
+      FROM gsegs, LATERAL unnest(range(0, npos)) AS u(lp)
+    )
+"""
+
+
+def _doc_segments(base: DataFrame, L: int) -> DataFrame:
+    """Overlapping text segments (doc_id, n_chars, segi, seg, npos): seg
+    covers global positions [segi·S, segi·S + npos), npos ≤ S, with L-1
+    chars of overlap so every L-gram lies wholly inside one segment.
+    ``base`` must already be filtered to length(text) >= L."""
+    S = _SEG_S
+    return base.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.expr(
+                f"sequence(0, CAST(ceil((length(text) - {L} + 1) / {S}.0)"
+                f" AS INT) - 1)"
+            )
+        ).alias("segi"),
+        "text",
+    ).select(
+        "doc_id",
+        "n_chars",
+        "segi",
+        F.expr(f"substring(text, segi * {S} + 1, {S + L - 1})").alias("seg"),
+        F.expr(
+            f"least({S}, length(text) - {L} + 1 - segi * {S})"
+        ).alias("npos"),
+    )
+
 
 def duplicated_spans(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
     """Per-document merged duplicated-substring spans (start s0 inclusive,
@@ -2098,7 +2159,20 @@ def duplicated_spans(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
     memory-bounded at 100 TB duplicated-gram cardinalities, and the
     merge join is (same rationale as the text join below)."""
     base = docs.filter(F.length("text") >= L)
-    g = base.select(
+    # Segmented mining (_SEG_S rationale above): the position explode
+    # must NOT carry an UNBOUNDED document — Generate materializes every
+    # carried column into each output row, so offsets-beside-text costs
+    # len × len row bytes (1 TB for one 1 MB doc, in one task; extremes
+    # tier, r10). Docs that fit one segment (len < L + S — every doc of
+    # a normal crawl distribution, and the whole fixture corpus) keep
+    # the direct explode: its per-row copy is bounded by S + L chars BY
+    # THE FILTER, and it skips the extra Generate (+40% on the sf0.1
+    # corpus, measured). Longer docs go through segments, bounding the
+    # copy to len²/S + len·(S+L) and spreading one giant doc across
+    # tasks at the segment shuffle instead of pinning a single task.
+    S = _SEG_S
+    is_long = F.length("text") >= L + S
+    g_short = base.filter(~is_long).select(
         "doc_id",
         "n_chars",
         F.explode(F.expr(f"sequence(0, length(text) - {L})")).alias("p"),
@@ -2106,9 +2180,23 @@ def duplicated_spans(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
     ).select(
         "doc_id",
         "n_chars",
-        "p",
+        F.col("p").cast("long").alias("p"),
         F.xxhash64(F.expr(f"substring(text, p + 1, {L})")).alias("gh"),
     )
+    segs = _doc_segments(base.filter(is_long), L)
+    g_long = segs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.expr("sequence(0, npos - 1)")).alias("lp"),
+        "segi",
+        "seg",
+    ).select(
+        "doc_id",
+        "n_chars",
+        (F.col("segi").cast("long") * S + F.col("lp")).alias("p"),
+        F.xxhash64(F.expr(f"substring(seg, lp + 1, {L})")).alias("gh"),
+    )
+    g = g_short.unionByName(g_long)
     # dup_gh sits above an aggregate (underestimated) and scales with the
     # corpus's dup rate — merge hint for the same bounded-memory rationale
     # as the text join below.
@@ -2127,12 +2215,34 @@ def duplicated_spans(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
     # that is actually ~every gram position (500k-doc probe: ~100M rows,
     # OOM on an 8g heap). Sort-merge is the only join whose memory stays
     # bounded whatever the dup rate turns out to be (SCALE.md Lessons).
-    cg = cand.join(base.select("doc_id", "text").hint("merge"), "doc_id").select(
+    # The exact-gram recompute mirrors the short/long split: short-doc
+    # candidates join their (bounded) text directly; long-doc candidates
+    # join their SEGMENT on (doc_id, segi) — a fully-duplicated giant
+    # doc would otherwise replicate its text once per candidate position.
+    cg_short = cand.join(
+        base.filter(~is_long).select("doc_id", "text").hint("merge"),
+        "doc_id",
+        "inner",
+    ).select(
         "doc_id",
         "n_chars",
         "p",
         F.expr(f"substring(text, p + 1, {L})").alias("gram"),
     )
+    cg_long = cand.withColumn(
+        "segi", F.expr(f"CAST(p div {S} AS INT)")
+    ).join(
+        _doc_segments(base.filter(is_long), L)
+        .select("doc_id", "segi", "seg")
+        .hint("merge"),
+        ["doc_id", "segi"],
+    ).select(
+        "doc_id",
+        "n_chars",
+        "p",
+        F.expr(f"substring(seg, p - segi * {S} + 1, {L})").alias("gram"),
+    )
+    cg = cg_short.unionByName(cg_long)
     dup_gram = (
         cg.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("c2"))
@@ -2162,12 +2272,7 @@ def duplicated_spans(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
 @query(
     "llm_dedup_substring",
     f"""
-    WITH g AS (
-      SELECT doc_id, n_chars, p, substr(text, p + 1, {_SPAN_L}) AS gram
-      FROM documents,
-           LATERAL unnest(range(0, length(text) - {_SPAN_L} + 1)) AS t(p)
-      WHERE length(text) >= {_SPAN_L}
-    ),
+    WITH {_SPAN_G_CTE},
     c AS (
       SELECT doc_id, n_chars, p,
              COUNT(*) OVER (PARTITION BY gram) AS cnt
@@ -2226,12 +2331,7 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_substring_clean",
     f"""
-    WITH g AS (
-      SELECT doc_id, p, substr(text, p + 1, {_SPAN_L}) AS gram
-      FROM documents,
-           LATERAL unnest(range(0, length(text) - {_SPAN_L} + 1)) AS t(p)
-      WHERE length(text) >= {_SPAN_L}
-    ),
+    WITH {_SPAN_G_CTE},
     c AS (
       SELECT doc_id, p, COUNT(*) OVER (PARTITION BY gram) AS cnt FROM g
     ),
@@ -2334,7 +2434,9 @@ def substring_clean(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
         F.when(F.col("sp").isNull(), F.lit(0).cast("long"))
         .otherwise(
             F.aggregate(
-                "sp", F.lit(0), lambda a, x: a + (x["e0"] - x["s0"])
+                "sp",
+                F.lit(0).cast("long"),
+                lambda a, x: a + (x["e0"] - x["s0"]),
             ).cast("long")
         )
         .alias("n_removed"),
@@ -2347,12 +2449,7 @@ def substring_clean(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
 @query(
     "llm_top_boilerplate",
     f"""
-    WITH g AS (
-      SELECT doc_id, p, substr(text, p + 1, {_SPAN_L}) AS gram
-      FROM documents,
-           LATERAL unnest(range(0, length(text) - {_SPAN_L} + 1)) AS t(p)
-      WHERE length(text) >= {_SPAN_L}
-    ),
+    WITH {_SPAN_G_CTE},
     c AS (
       SELECT doc_id, p, COUNT(*) OVER (PARTITION BY gram) AS cnt FROM g
     ),
