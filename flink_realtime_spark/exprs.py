@@ -233,3 +233,110 @@ def bigint(col: Column) -> Column:
     """Spark's year()/month()/... return int32; DuckDB's return int64.
     Normalize every computed integer column to BIGINT on both sides."""
     return col.cast("long")
+
+
+# ---- Portable JSON k-extraction contracts (extremes tier, r10).
+# Adversarial payloads (int64/double overflow, duplicate keys, type
+# switches, fractional numbers, malformed fragments) expose that the
+# three extraction routes have genuinely different semantics, and that
+# the naive oracle mirror (CAST(json_extract_string(...) AS BIGINT))
+# matches NONE of them — DuckDB's yyjson re-stringifies >uint64 integers
+# through double, its TRY_CAST rounds fractional STRINGS to integers
+# where Spark's integral parse NULLs, it keeps the FIRST duplicate key
+# where Jackson's DOM parse keeps the LAST, and raw extraction ERRORS on
+# malformed input where Spark yields NULL. Each route below is one
+# pinned cross-engine contract: the Spark expression and the DuckDB SQL
+# are generated together.
+
+_JSON_INT_RE = "^-?[0-9]+$"
+
+
+def json_k_path_sql(col: str, path: str = "$.k") -> str:
+    """DuckDB mirror of ``get_json_object(col, path).try_cast('long')``:
+    lenient path extraction (first duplicate wins in both engines),
+    integral-string-only cast (Spark's long parse rejects fractions —
+    the regexp guard stops DuckDB's TRY_CAST from rounding '0.3' to 0,
+    and rejects yyjson's doubleized '1.8e19...0' re-stringification the
+    same way Spark's overflow check NULLs the raw literal), NULL on
+    malformed documents."""
+    s = f"json_extract_string({col}, '{path}')"
+    return (
+        f"(CASE WHEN json_valid({col}) THEN "
+        f"(CASE WHEN regexp_matches({s}, '{_JSON_INT_RE}') "
+        f"THEN TRY_CAST({s} AS BIGINT) END) END)"
+    )
+
+
+def json_strict_unique_sql(col: str) -> str:
+    """DuckDB predicate for Spark's VARIANT strict validity
+    (``try_parse_json(col) IS NOT NULL``): well-formed JSON with UNIQUE
+    object keys — Spark's variant builder rejects duplicate keys.
+    NESTED CASE, not AND: DuckDB's vectorized AND does not short-circuit
+    and json_keys() ERRORS on malformed input, so the uniqueness check
+    must be conditionally evaluated behind json_valid."""
+    return (
+        f"(CASE WHEN json_valid({col}) "
+        f"THEN len(json_keys({col})) = len(list_distinct(json_keys({col}))) "
+        f"ELSE FALSE END)"
+    )
+
+
+def json_k_struct_sql(col: str, path: str = "$.k") -> str:
+    """DuckDB mirror of the STRICT schema parse
+    ``when(try_parse_json(col).isNotNull(),
+    from_json(col, 'k LONG').getField('k'))``: NULL unless the document
+    is strictly valid (unique keys) AND the value is an integral JSON
+    number in int64 range (type switches and fractional numbers yield
+    NULL, never a coercion). json_type stays behind the strict CASE —
+    it errors on malformed input (no AND short-circuit in DuckDB)."""
+    s = f"json_extract_string({col}, '{path}')"
+    return (
+        f"(CASE WHEN {json_strict_unique_sql(col)} THEN "
+        f"(CASE WHEN json_type({col}, '{path}') IN ('BIGINT', 'UBIGINT') "
+        f"THEN TRY_CAST({s} AS BIGINT) END) END)"
+    )
+
+
+def json_k_variant_sql(col: str, path: str = "$.k") -> str:
+    """DuckDB mirror of
+    ``try_variant_get(try_parse_json(col), path, 'long')``: strict parse
+    (unique keys), then the variant NUMERIC COERCION — integral numbers
+    cast, doubles round (out-of-range → NULL), integral strings coerce,
+    arrays/objects/fractional strings → NULL."""
+    s = f"json_extract_string({col}, '{path}')"
+    t = f"json_type({col}, '{path}')"
+    return (
+        f"(CASE WHEN {json_strict_unique_sql(col)} THEN "
+        f"(CASE WHEN {t} IN ('BIGINT', 'UBIGINT') "
+        f"THEN TRY_CAST({s} AS BIGINT) "
+        f"WHEN {t} = 'DOUBLE' "
+        f"THEN TRY_CAST(TRY_CAST({s} AS DOUBLE) AS BIGINT) "
+        f"WHEN {t} = 'VARCHAR' AND regexp_matches({s}, '{_JSON_INT_RE}') "
+        f"THEN TRY_CAST({s} AS BIGINT) END) END)"
+    )
+
+
+def sum_bigint_safe(col: Column) -> Column:
+    """Overflow-safe BIGINT sum with a DETERMINISTIC NULL contract: sum
+    in DECIMAL(38,0) (cannot overflow at any feasible row count), NULL
+    iff the FINAL value leaves int64 range. Spark's own try_sum is NOT
+    usable here: it NULLs on intermediate partial-sum overflow, which
+    depends on partitioning order when +int64max and -int64max coexist
+    in one group — nondeterministic under the driver's hash."""
+    s = F.sum(col.cast("decimal(38,0)"))
+    return F.when(
+        s.between(
+            F.lit(-9223372036854775808), F.lit(9223372036854775807)
+        ),
+        s.cast("long"),
+    )
+
+
+def try_sum_bigint_sql(expr: str) -> str:
+    """DuckDB mirror of sum_bigint_safe: DuckDB's SUM(BIGINT) is HUGEINT
+    and never overflows, so the final-value int64 range check is the
+    whole contract."""
+    return (
+        f"(CASE WHEN SUM({expr}) BETWEEN -9223372036854775808 "
+        f"AND 9223372036854775807 THEN CAST(SUM({expr}) AS BIGINT) END)"
+    )

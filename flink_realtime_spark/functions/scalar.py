@@ -20,7 +20,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_realtime_spark.exprs import bigint, dsum, dsum_sql, dtrunc, nonfinite, nonfinite_sql
+from flink_realtime_spark.exprs import (
+    bigint,
+    dsum,
+    dsum_sql,
+    dtrunc,
+    json_k_path_sql,
+    json_k_struct_sql,
+    json_k_variant_sql,
+    json_strict_unique_sql,
+    nonfinite,
+    nonfinite_sql,
+    sum_bigint_safe,
+    try_sum_bigint_sql,
+)
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse
 
@@ -321,12 +334,12 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_json_props",
-    """
+    f"""
     SELECT
       event_id,
-      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
-      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
-      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_variant,
+      {json_k_path_sql('props')} AS k_path,
+      {json_k_struct_sql('props')} AS k_struct,
+      {json_k_variant_sql('props')} AS k_variant,
       CAST(to_json(struct_pack(user_id := user_id, event_type := event_type))
            AS VARCHAR) AS rowjson
     FROM events
@@ -335,14 +348,24 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON family — the ODS→DWD signature op: path extraction
     (get_json_object), schema-ful parse (from_json), Spark 4 VARIANT
-    (parse_json + variant_get), and serialization (to_json). All three
-    extraction routes must agree with the oracle's json_extract."""
+    (try_parse_json + try_variant_get), and serialization (to_json).
+    On benign payloads the three extraction routes agree; on adversarial
+    ones (extremes tier, r10) they are three DIFFERENT pinned contracts
+    — lenient integral path / strict unique-key schema / variant numeric
+    coercion (exprs.json_k_*_sql document each mirror). parse_json is
+    the try_ form because Spark's variant builder THROWS on duplicate
+    object keys."""
     wh = Warehouse(spark, sf_dir)
     return wh.events.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k_path"),
-        F.from_json("props", "k LONG").getField("k").alias("k_struct"),
-        F.try_variant_get(F.parse_json("props"), "$.k", "long").alias("k_variant"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("k_path"),
+        F.when(
+            F.try_parse_json("props").isNotNull(),
+            F.from_json("props", "k LONG").getField("k"),
+        ).alias("k_struct"),
+        F.try_variant_get(
+            F.try_parse_json("props"), "$.k", "long"
+        ).alias("k_variant"),
         # ignoreNullFields=false: Spark's to_json DROPS null fields by
         # default while SQL to_json serializes them as `"k":null` — the
         # payloads diverge the moment a field is nullable (nulls-tier
@@ -437,7 +460,7 @@ def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dwd_clean_route",
-    """
+    f"""
     WITH raw AS (
       SELECT event_type,
              CASE WHEN user_id % 7 = 0
@@ -447,23 +470,28 @@ def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       event_type,
-      COUNT(*) FILTER (WHERE json_valid(p)) AS n_clean,
-      COUNT(*) FILTER (WHERE NOT json_valid(p)) AS n_dirty,
-      CAST(SUM(CASE WHEN json_valid(p)
-               THEN CAST(p ->> 'k' AS BIGINT) END) AS BIGINT) AS k_sum
+      COUNT(*) FILTER (WHERE {json_strict_unique_sql('p')}) AS n_clean,
+      COUNT(*) FILTER (WHERE NOT {json_strict_unique_sql('p')}) AS n_dirty,
+      {try_sum_bigint_sql(json_k_variant_sql('p'))} AS k_sum
     FROM raw
     GROUP BY event_type
     """,
 )
 def dwd_clean_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ODS→DWD cleaning with dirty-data routing (the Flink side-output
-    pattern for malformed records): rows whose payload fails JSON parsing
-    are quarantined and counted instead of silently dropped. A seventh of
-    the rows are deterministically corrupted (truncated brace) to exercise
-    the dirty path; parse-failure detection tests payload validity itself
-    on BOTH sides — try_parse_json → NULL (Spark) vs json_valid (DuckDB),
-    independent mechanisms with genuinely equivalent predicates (a valid
-    payload with a missing/null "k" still counts clean on both). In
+    pattern for malformed records): rows whose payload fails the STRICT
+    parse are quarantined and counted instead of silently dropped. A
+    seventh of the rows are deterministically corrupted (truncated
+    brace) to exercise the dirty path; parse-failure detection tests
+    payload validity itself on BOTH sides — try_parse_json → NULL
+    (Spark) vs json_valid + unique-keys (DuckDB), independent mechanisms
+    with genuinely equivalent predicates (extremes tier, r10: strict
+    validity includes KEY UNIQUENESS — Spark's variant builder rejects
+    duplicate-key documents, so they route dirty; a valid payload with a
+    missing/null "k" still counts clean on both). k extraction is the
+    variant coercion contract and the sum is overflow-safe (the
+    wide-decimal sum_bigint_safe — an int64-max k in a group must NULL
+    the sum deterministically, not throw). In
     streaming this is two filtered branches of one DataFrame, the §1.1
     side-output mapping."""
     wh = Warehouse(spark, sf_dir)
@@ -480,39 +508,44 @@ def dwd_clean_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             v.isNotNull().alias("clean"),
             (p.isNotNull() & v.isNull()).alias("dirty"),
-            F.variant_get(v, "$.k", "long").alias("k"),
+            F.try_variant_get(v, "$.k", "long").alias("k"),
         )
         .groupBy("event_type")
         .agg(
             F.count(F.when(F.col("clean"), 1)).alias("n_clean"),
             F.count(F.when(F.col("dirty"), 1)).alias("n_dirty"),
-            F.sum(F.when(F.col("clean"), F.col("k"))).alias("k_sum"),
+            sum_bigint_safe(F.when(F.col("clean"), F.col("k"))).alias(
+                "k_sum"
+            ),
         )
     )
 
 
 @query(
     "scalar_variant",
-    """
+    f"""
     SELECT
       event_id,
-      CAST(props ->> 'k' AS BIGINT) AS k,
-      CAST(props ->> 'k' AS BIGINT) % 10 AS k_mod
+      {json_k_variant_sql('props')} AS k,
+      {json_k_variant_sql('props')} % 10 AS k_mod
     FROM events
     """,
 )
 def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4 VARIANT path for semi-structured data: parse_json once into
-    a VariantType column, then typed variant_get extraction — the
-    shredded-JSON answer to repeated get_json_object calls (each of which
-    re-parses the string). The oracle uses DuckDB's JSON operators; both
-    engines agree on the typed value."""
+    """Spark 4 VARIANT path for semi-structured data: try_parse_json once
+    into a VariantType column, then typed try_variant_get extraction —
+    the shredded-JSON answer to repeated get_json_object calls (each of
+    which re-parses the string). The try_ forms are load-bearing
+    (extremes tier, r10): plain parse_json THROWS on duplicate object
+    keys and plain variant_get on any non-coercible value (a double
+    beyond int64). The oracle mirrors the variant coercion contract
+    (exprs.json_k_variant_sql)."""
     wh = Warehouse(spark, sf_dir)
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     return wh.events.select(
         "event_id",
-        F.variant_get(v, "$.k", "bigint").alias("k"),
-        (F.variant_get(v, "$.k", "bigint") % 10).alias("k_mod"),
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+        (F.try_variant_get(v, "$.k", "bigint") % 10).alias("k_mod"),
     )
 
 
@@ -561,9 +594,7 @@ def scalar_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT
         event_type,
-        CASE WHEN json_valid(props)
-             THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-        END AS k,
+        {json_k_path_sql('props')} AS k,
         value
       FROM events
     )
@@ -571,7 +602,7 @@ def scalar_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
       event_type,
       COUNT(*) AS n_rows,
       COUNT(*) FILTER (WHERE k IS NULL) AS n_k_null,
-      CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k,
+      {try_sum_bigint_sql('k')} AS sum_k,
       COUNT(*) FILTER (WHERE k IS NULL OR k % 5 = 0) AS n_div_null,
       {dsum_sql("CASE WHEN k IS NOT NULL AND k % 5 <> 0 THEN value / (k % 5) END")}
         AS sum_ratio
@@ -585,9 +616,13 @@ def dwd_try_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
     return NULL instead, which is what a cleansing layer wants for dirty
     rows. get_json_object already yields NULL on invalid JSON; try_cast
     nulls non-numeric payloads; try_divide nulls the manufactured zero
-    divisors (k % 5). The oracle mirrors every null with explicit
-    json_valid/TRY_CAST/CASE guards. Per-row narrow ops + one two-phase
-    agg."""
+    divisors (k % 5). The oracle mirrors every null with the pinned
+    integral-path contract (exprs.json_k_path_sql). sum_k is the
+    overflow-safe wide-decimal sum (extremes tier, r10: an int64-max
+    payload must NULL the group's sum, not throw ANSI
+    ARITHMETIC_OVERFLOW — and Spark's own try_sum is partition-order
+    nondeterministic on mixed-sign overflow). Per-row narrow ops + one
+    two-phase agg."""
     wh = Warehouse(spark, sf_dir)
     # Column.try_cast is the API in this build (F.try_cast absent).
     k = F.get_json_object("props", "$.k").try_cast("long")
@@ -598,7 +633,7 @@ def dwd_try_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count(F.when(F.col("k").isNull(), 1)).alias("n_k_null"),
-            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("sum_k"),
+            sum_bigint_safe(F.col("k")).alias("sum_k"),
             F.count(
                 F.when(F.col("k").isNull() | (F.col("k") % 5 == 0), 1)
             ).alias("n_div_null"),

@@ -31,8 +31,11 @@ from flink_realtime_spark.exprs import (
     dsum_sql,
     finite_or_null,
     finite_sql,
+    json_k_path_sql,
     nonfinite,
     nonfinite_sql,
+    sum_bigint_safe,
+    try_sum_bigint_sql,
 )
 from flink_realtime_spark.registry import query
 from flink_realtime_spark.tables import Warehouse
@@ -488,7 +491,7 @@ WITH dwd AS (  -- ODS→DWD: parse the raw JSON payload, enrich with DIM
     n.n_name,
     e.user_id,
     e.value,
-    CAST(json_extract(e.props, '$.k') AS BIGINT) AS k
+    {json_k_path_sql('e.props')} AS k
   FROM events e
   JOIN customer c ON e.user_id = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -500,7 +503,7 @@ dws AS (  -- DWD→DWS: daily per-nation windowed aggregates
     COUNT(*) AS pv,
     COUNT(DISTINCT user_id) AS uv,
     {dsum_sql('value')} AS value_sum,
-    CAST(SUM(k) AS BIGINT) AS k_sum
+    {try_sum_bigint_sql('k')} AS k_sum
   FROM dwd
   GROUP BY day, n_name
 )
@@ -537,14 +540,16 @@ def ads_layered_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "user_id",
             "value",
-            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            # lenient integral path contract + overflow-safe sum
+            # (extremes tier, r10 — exprs.json_k_path_sql rationale)
+            F.get_json_object("props", "$.k").try_cast("long").alias("k"),
         )
     )
     dws = dwd.groupBy("day", "n_name").agg(
         F.count(F.lit(1)).alias("pv"),
         F.countDistinct("user_id").alias("uv"),
         dsum(F.col("value")).alias("value_sum"),
-        F.sum("k").alias("k_sum"),
+        sum_bigint_safe(F.col("k")).alias("k_sum"),
     )
     from pyspark.sql import Window
 
