@@ -37,7 +37,7 @@ def finite_or_null(col: Column) -> Column:
 _nonfinite = nonfinite  # internal alias used by dsum/davg below
 
 
-def dsum(col: Column, scale: int = 4) -> Column:
+def dsum(col: Column, scale: int = 4, prec: int = 18) -> Column:
     """Order-independent SUM of a double expression: exact decimal path
     for finite values, IEEE propagation for specials (specials tier, r10).
 
@@ -58,18 +58,18 @@ def dsum(col: Column, scale: int = 4) -> Column:
     stays deterministic under any partitioning. dsum_sql mirrors this."""
     nf = _nonfinite(col)
     ssum = F.sum(F.when(nf, col).otherwise(F.lit(0.0)))
-    exact = F.sum(F.when(~nf, col).cast(f"decimal(18,{scale})")).cast("double")
+    exact = F.sum(F.when(~nf, col).cast(f"decimal({prec},{scale})")).cast("double")
     return F.when(F.isnan(ssum) | (ssum != 0.0), ssum).otherwise(exact)
 
 
-def davg(col: Column, scale: int = 4) -> Column:
+def davg(col: Column, scale: int = 4, prec: int = 18) -> Column:
     """Order-independent AVG: exact decimal sum divided by count, one final
     double division (deterministic); IEEE propagation when the group holds
     NaN/±Inf (see dsum — ±Inf/count keeps its sign, NaN stays NaN)."""
     nf = _nonfinite(col)
     ssum = F.sum(F.when(nf, col).otherwise(F.lit(0.0)))
     exact = (
-        F.sum(F.when(~nf, col).cast(f"decimal(18,{scale})")).cast("double")
+        F.sum(F.when(~nf, col).cast(f"decimal({prec},{scale})")).cast("double")
         / F.count(col)
     ).cast("double")
     return F.when(
@@ -77,7 +77,7 @@ def davg(col: Column, scale: int = 4) -> Column:
     ).otherwise(exact)
 
 
-def dsum_over(col: Column, w, scale: int = 4) -> Column:
+def dsum_over(col: Column, w, scale: int = 4, prec: int = 18) -> Column:
     """Windowed dsum: the same finite-exact / IEEE-specials two-branch
     form over a window spec (running sums, moving averages, trailing
     frames). Deterministic for the same reason dsum is: the specials-only
@@ -85,21 +85,21 @@ def dsum_over(col: Column, w, scale: int = 4) -> Column:
     nf = _nonfinite(col)
     ssum = F.sum(F.when(nf, col).otherwise(F.lit(0.0))).over(w)
     exact = (
-        F.sum(F.when(~nf, col).cast(f"decimal(18,{scale})"))
+        F.sum(F.when(~nf, col).cast(f"decimal({prec},{scale})"))
         .over(w)
         .cast("double")
     )
     return F.when(F.isnan(ssum) | (ssum != 0.0), ssum).otherwise(exact)
 
 
-def dsum_over_sql(expr: str, over: str, scale: int = 4) -> str:
+def dsum_over_sql(expr: str, over: str, scale: int = 4, prec: int = 18) -> str:
     """SQL mirror of dsum_over; ``over`` is the full window text
     (\"(PARTITION BY ... ORDER BY ... ROWS ...)\" or a named window)."""
     nf = nonfinite_sql(expr)
     ssum = f"SUM(CASE WHEN {nf} THEN {expr} ELSE 0.0 END) OVER {over}"
     exact = (
         f"CAST(CAST(SUM(CASE WHEN NOT {nf} "
-        f"THEN CAST(CAST({expr} AS STRING) AS DECIMAL(18,{scale})) END) "
+        f"THEN CAST(CAST({expr} AS STRING) AS DECIMAL({prec},{scale})) END) "
         f"OVER {over} AS STRING) AS DOUBLE)"
     )
     return (
@@ -124,7 +124,7 @@ def finite_sql(expr: str) -> str:
 _nonfinite_sql = nonfinite_sql  # internal alias used by dsum_sql below
 
 
-def dsum_sql(expr: str, scale: int = 4) -> str:
+def dsum_sql(expr: str, scale: int = 4, prec: int = 18) -> str:
     # decimal→double goes VIA STRING: DuckDB's direct CAST(DECIMAL AS
     # DOUBLE) computes (double)int128 / (double)10^scale — TWO roundings,
     # observed 1 ulp off the correctly-rounded value once the sum reaches
@@ -148,7 +148,7 @@ def dsum_sql(expr: str, scale: int = 4) -> str:
     ssum = f"SUM(CASE WHEN {nf} THEN {expr} ELSE 0.0 END)"
     exact = (
         f"CAST(CAST(SUM(CASE WHEN NOT {nf} "
-        f"THEN CAST(CAST({expr} AS STRING) AS DECIMAL(18,{scale})) END) "
+        f"THEN CAST(CAST({expr} AS STRING) AS DECIMAL({prec},{scale})) END) "
         f"AS STRING) AS DOUBLE)"
     )
     return (
@@ -157,12 +157,12 @@ def dsum_sql(expr: str, scale: int = 4) -> str:
     )
 
 
-def davg_sql(expr: str, scale: int = 4) -> str:
+def davg_sql(expr: str, scale: int = 4, prec: int = 18) -> str:
     nf = _nonfinite_sql(expr)
     ssum = f"SUM(CASE WHEN {nf} THEN {expr} ELSE 0.0 END)"
     exact = (
         f"CAST(CAST(CAST(SUM(CASE WHEN NOT {nf} "
-        f"THEN CAST(CAST({expr} AS STRING) AS DECIMAL(18,{scale})) END) "
+        f"THEN CAST(CAST({expr} AS STRING) AS DECIMAL({prec},{scale})) END) "
         f"AS STRING) AS DOUBLE) / COUNT({expr}) AS DOUBLE)"
     )
     return (

@@ -45,7 +45,7 @@ SELECT
   r.r_name,
   o.o_orderpriority,
   l.l_returnflag,
-  {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+  {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 12, 38)} AS revenue,
   COUNT(*) AS n_items,
   {davg_sql('l.l_quantity')} AS avg_qty
 FROM lineitem l
@@ -77,7 +77,7 @@ def agg_star_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(wh.region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "o_orderpriority", "l_returnflag")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 12, 38).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
             davg(F.col("l_quantity")).alias("avg_qty"),
         )
@@ -178,29 +178,95 @@ _STATS_NF_QP = (
 )
 
 
+# Exact-decimal moment engine for agg_stats (extremes tier, r10): the
+# engines' native STDDEV/VAR/CORR use different accumulation formulas,
+# which agree to the last ulp on small values but drift ~100 ulps once
+# 9.9e12 magnitudes enter (variance ~1e23). The moments are therefore
+# computed from EXACT decimal power sums — per-row (24,4) quantize (24:
+# DuckDB's int64-backed (18,4) overflows in the d*d multiply), squares
+# exact at (38,8) — combined in one pinned IEEE sequence both engines
+# evaluate identically. greatest(.., 0) absorbs catastrophic-cancel
+# tiny negatives (a one-row group's s2 - s1²/n is not exactly 0.0 in
+# doubles); `+ 0` on corr normalizes DuckDB ROUND's -0.0.
+_STATS_DQ = (
+    f"(CASE WHEN NOT {_STATS_NF_Q} "
+    "THEN CAST(CAST(l_quantity AS STRING) AS DECIMAL(24,4)) END)"
+)
+_STATS_PAIR = (
+    f"(NOT {_STATS_NF_QP} AND l_quantity IS NOT NULL "
+    "AND l_extendedprice IS NOT NULL)"
+)
+_STATS_DX = (
+    f"(CASE WHEN {_STATS_PAIR} "
+    "THEN CAST(CAST(l_quantity AS STRING) AS DECIMAL(24,4)) END)"
+)
+_STATS_DY = (
+    f"(CASE WHEN {_STATS_PAIR} "
+    "THEN CAST(CAST(l_extendedprice AS STRING) AS DECIMAL(24,4)) END)"
+)
+
+
+def _dd(expr: str) -> str:
+    """Exact decimal sum of ``expr`` rendered to double via STRING."""
+    return f"CAST(CAST(SUM({expr}) AS STRING) AS DOUBLE)"
+
+
 @query(
     "agg_stats",
     f"""
+    WITH m AS (
+      SELECT
+        l_returnflag,
+        BOOL_OR({_STATS_NF_Q}) AS spec_q,
+        BOOL_OR({_STATS_NF_QP}) AS spec_qp,
+        COUNT({_STATS_DQ}) AS nq,
+        {_dd(_STATS_DQ)} AS s1,
+        {_dd(f'CAST({_STATS_DQ} * {_STATS_DQ} AS DECIMAL(38,8))')} AS s2,
+        COUNT({_STATS_DX}) AS n2,
+        {_dd(_STATS_DX)} AS sx,
+        {_dd(_STATS_DY)} AS sy,
+        {_dd(f'CAST({_STATS_DX} * {_STATS_DX} AS DECIMAL(38,8))')} AS sxx,
+        {_dd(f'CAST({_STATS_DY} * {_STATS_DY} AS DECIMAL(38,8))')} AS syy,
+        {_dd(f'CAST({_STATS_DX} * {_STATS_DY} AS DECIMAL(38,8))')} AS sxy,
+        ROUND(MEDIAN({finite_sql('l_quantity')}), 4) AS med_qty,
+        ROUND(QUANTILE_CONT({finite_sql('l_quantity')}, 0.9), 4) AS p90_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    -- ROUND is gated below 1e15: DuckDB's double ROUND goes through a
+    -- multiply/divide that PERTURBS values past the integer-exact range
+    -- (2.6487...56e23 came back ...52e23) where Spark's BigDecimal
+    -- round is an exact identity; above the gate the raw double is
+    -- already coarser than 4 decimals on both engines.
     SELECT
       l_returnflag,
-      CASE WHEN BOOL_OR({_STATS_NF_Q})
-           THEN CAST('NaN' AS DOUBLE)
-           ELSE ROUND(STDDEV_SAMP({finite_sql('l_quantity')}), 4)
+      CASE WHEN spec_q THEN CAST('NaN' AS DOUBLE)
+           WHEN nq > 1 THEN
+             CASE WHEN sqrt(greatest((s2 - s1 * s1 / nq) / (nq - 1), 0.0))
+                       < 1e15
+                  THEN ROUND(sqrt(greatest(
+                         (s2 - s1 * s1 / nq) / (nq - 1), 0.0)), 4)
+                  ELSE sqrt(greatest((s2 - s1 * s1 / nq) / (nq - 1), 0.0))
+             END
       END AS std_qty,
-      CASE WHEN BOOL_OR({_STATS_NF_Q})
-           THEN CAST('NaN' AS DOUBLE)
-           ELSE ROUND(VAR_SAMP({finite_sql('l_quantity')}), 4)
+      CASE WHEN spec_q THEN CAST('NaN' AS DOUBLE)
+           WHEN nq > 1 THEN
+             CASE WHEN greatest((s2 - s1 * s1 / nq) / (nq - 1), 0.0) < 1e15
+                  THEN ROUND(greatest((s2 - s1 * s1 / nq) / (nq - 1), 0.0), 4)
+                  ELSE greatest((s2 - s1 * s1 / nq) / (nq - 1), 0.0)
+             END
       END AS var_qty,
-      CASE WHEN BOOL_OR({_STATS_NF_QP})
-           THEN CAST('NaN' AS DOUBLE)
-           ELSE ROUND(CORR(
-             CASE WHEN NOT {_STATS_NF_QP} THEN l_quantity END,
-             CASE WHEN NOT {_STATS_NF_QP} THEN l_extendedprice END), 6)
+      CASE WHEN spec_qp THEN CAST('NaN' AS DOUBLE)
+           WHEN n2 > 1
+                AND greatest(sxx - sx * sx / n2, 0.0)
+                    * greatest(syy - sy * sy / n2, 0.0) > 0.0 THEN
+             ROUND((sxy - sx * sy / n2)
+                   / sqrt(greatest(sxx - sx * sx / n2, 0.0)
+                          * greatest(syy - sy * sy / n2, 0.0)), 6) + 0
       END AS corr_qty_price,
-      ROUND(MEDIAN({finite_sql('l_quantity')}), 4) AS med_qty,
-      ROUND(QUANTILE_CONT({finite_sql('l_quantity')}, 0.9), 4) AS p90_qty
-    FROM lineitem
-    GROUP BY l_returnflag
+      med_qty,
+      p90_qty
+    FROM m
     """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,27 +285,61 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     nf_q = nonfinite(F.col("l_quantity"))
     nf_qp = nf_q | nonfinite(F.col("l_extendedprice"))
     q_fin = finite_or_null(F.col("l_quantity"))
+    pair = (
+        ~nf_qp
+        & F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
     nan = F.lit(NAN)
-    return wh.lineitem.groupBy("l_returnflag").agg(
-        F.when(F.max(nf_q), nan)
-        .otherwise(F.round(F.stddev_samp(q_fin), 4))
-        .alias("std_qty"),
-        F.when(F.max(nf_q), nan)
-        .otherwise(F.round(F.var_samp(q_fin), 4))
-        .alias("var_qty"),
-        F.when(F.max(nf_qp), nan)
-        .otherwise(
-            F.round(
-                F.corr(
-                    F.when(~nf_qp, F.col("l_quantity")),
-                    F.when(~nf_qp, F.col("l_extendedprice")),
-                ),
-                6,
-            )
-        )
-        .alias("corr_qty_price"),
+    # Exact decimal power sums (see the oracle's rationale above): the
+    # native stddev/var/corr accumulators drift from DuckDB's at 1e23
+    # variance magnitudes. Spark's (18,4) quantize is repr-exact like
+    # the oracle's string route; squares are exact at (38,8).
+    dq = q_fin.cast("decimal(18,4)")
+    dx = F.when(pair, F.col("l_quantity")).cast("decimal(18,4)")
+    dy = F.when(pair, F.col("l_extendedprice")).cast("decimal(18,4)")
+    agg = wh.lineitem.groupBy("l_returnflag").agg(
+        F.max(nf_q).alias("spec_q"),
+        F.max(nf_qp).alias("spec_qp"),
+        F.count(dq).alias("nq"),
+        F.sum(dq).cast("double").alias("s1"),
+        F.sum((dq * dq).cast("decimal(38,8)")).cast("double").alias("s2"),
+        F.count(dx).alias("n2"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum((dx * dx).cast("decimal(38,8)")).cast("double").alias("sxx"),
+        F.sum((dy * dy).cast("decimal(38,8)")).cast("double").alias("syy"),
+        F.sum((dx * dy).cast("decimal(38,8)")).cast("double").alias("sxy"),
         F.round(F.median(q_fin), 4).alias("med_qty"),
         F.round(F.percentile(q_fin, 0.9), 4).alias("p90_qty"),
+    )
+    s1, s2, nq = F.col("s1"), F.col("s2"), F.col("nq")
+    sx, sy, n2 = F.col("sx"), F.col("sy"), F.col("n2")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    var_raw = F.greatest((s2 - s1 * s1 / nq) / (nq - 1), F.lit(0.0))
+    gx = F.greatest(sxx - sx * sx / n2, F.lit(0.0))
+    gy = F.greatest(syy - sy * sy / n2, F.lit(0.0))
+
+    def _round4(c):
+        # the oracle's ROUND gate (see SQL comment): identity past 1e15
+        return F.when(c < 1e15, F.round(c, 4)).otherwise(c)
+
+    return agg.select(
+        "l_returnflag",
+        F.when(F.col("spec_q"), nan)
+        .when(nq > 1, _round4(F.sqrt(var_raw)))
+        .alias("std_qty"),
+        F.when(F.col("spec_q"), nan)
+        .when(nq > 1, _round4(var_raw))
+        .alias("var_qty"),
+        F.when(F.col("spec_qp"), nan)
+        .when(
+            (n2 > 1) & (gx * gy > 0.0),
+            F.round((sxy - sx * sy / n2) / F.sqrt(gx * gy), 6) + F.lit(0),
+        )
+        .alias("corr_qty_price"),
+        "med_qty",
+        "p90_qty",
     )
 
 
@@ -567,7 +667,7 @@ def ads_layered_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q6_forecast",
     f"""
     SELECT
-      {dsum_sql('l_extendedprice * l_discount')} AS revenue_delta,
+      {dsum_sql('l_extendedprice * l_discount', 12, 38)} AS revenue_delta,
       COUNT(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -587,7 +687,7 @@ def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.03, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue_delta"),
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 12, 38).alias("revenue_delta"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -597,7 +697,7 @@ def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT
       l.l_orderkey,
-      {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+      {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 12, 38)} AS revenue,
       o.o_orderdate,
       o.o_orderpriority
     FROM customer c
@@ -622,7 +722,7 @@ def tpch_q3_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 12, 38).alias(
                 "revenue"
             )
         )

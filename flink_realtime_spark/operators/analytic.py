@@ -344,7 +344,7 @@ def over_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
       n_name,
       nation_rev,
       CAST(nation_rev /
-           {dsum_over_sql('nation_rev', '(PARTITION BY n_regionkey)')}
+           {dsum_over_sql('nation_rev', '(PARTITION BY n_regionkey)', 4, 38)}
            AS DOUBLE) AS region_share
     FROM nat
     """,
@@ -368,7 +368,10 @@ def over_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("o_totalprice")).alias("nation_rev"))
     )
     w = Window.partitionBy("n_regionkey")
-    denom = dsum_over(F.col("nation_rev"), w)
+    # prec 38: a nation's rev can exceed 1e14 once 9.9e12-magnitude
+    # orders exist (extremes tier, r10) — the per-row re-quantize of the
+    # window stage must not overflow DECIMAL(18,4)'s 1e14 cap.
+    denom = dsum_over(F.col("nation_rev"), w, 4, 38)
     return nat.select(
         "n_regionkey",
         "n_name",

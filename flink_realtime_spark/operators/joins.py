@@ -167,7 +167,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
       r.r_name,
       n.n_name,
       COUNT(*) AS n_lines,
-      {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+      {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 12, 38)} AS revenue
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -190,7 +190,7 @@ def join_dim_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 12, 38).alias(
                 "revenue"
             ),
         )
@@ -440,7 +440,26 @@ def _cogroup_profile(events_tbl, orders_tbl):
     if spec:
         sv = sum(spec)
     else:
-        sv = round(math.fsum(vals), 4) if vals else 0.0
+        # dsum's finite channel, kernel form (extremes tier, r10): a
+        # per-value quantize of the SHORTEST REPR then an exact decimal
+        # sum — round(fsum(...), 4) diverged from the oracle's decimal
+        # path once sums reached 17 significant digits. repr(v) is
+        # Python's shortest round-trip string, the exact analog of
+        # Spark's BigDecimal.valueOf quantize; float(Decimal) is
+        # correctly rounded, the analog of the oracle's string route.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.0001")
+        sv = (
+            float(
+                sum(
+                    Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP)
+                    for v in vals
+                )
+            )
+            if vals
+            else 0.0
+        )
     return pa.table(
         {
             # explicit int64: pa.table infers the NULL type from [None]
@@ -455,13 +474,13 @@ def _cogroup_profile(events_tbl, orders_tbl):
 
 @query(
     "cogroup_apply",
-    """
+    f"""
     SELECT
       COALESCE(e.k, o.k) AS key,
       COALESCE(e.n, 0) AS n_events,
       COALESCE(o.n, 0) AS n_orders,
       COALESCE(e.sv, 0.0) AS sum_value
-    FROM (SELECT user_id AS k, COUNT(*) AS n, ROUND(SUM(value), 4) AS sv
+    FROM (SELECT user_id AS k, COUNT(*) AS n, {dsum_sql('value')} AS sv
           FROM events GROUP BY user_id) e
     FULL JOIN (SELECT o_custkey AS k, COUNT(*) AS n
                FROM orders GROUP BY o_custkey) o

@@ -60,13 +60,13 @@ SELECT
   l_linestatus,
   {dsum_sql('l_quantity')} AS sum_qty,
   {dsum_sql('l_extendedprice')} AS sum_base_price,
-  {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {dsum_sql('l_extendedprice * (1 - l_discount)', 12, 38)} AS sum_disc_price,
   CASE WHEN isnan({_Q1_CHARGE_SSUM}) OR {_Q1_CHARGE_SSUM} != 0.0
        THEN {_Q1_CHARGE_SSUM}
        ELSE CAST(CAST(SUM(CASE WHEN NOT {_Q1_NF_CHARGE} THEN
-             CAST(l_extendedprice AS DECIMAL(12,2))
-           * (1 - CAST(l_discount AS DECIMAL(3,2)))
-           * (1 + CAST(l_tax AS DECIMAL(3,2))) END) AS STRING) AS DOUBLE)
+             CAST(l_extendedprice AS DECIMAL(24,4))
+           * (1 - CAST(l_discount AS DECIMAL(8,4)))
+           * (1 + CAST(l_tax AS DECIMAL(8,4))) END) AS STRING) AS DOUBLE)
   END AS sum_charge,
   {davg_sql('l_quantity')} AS avg_qty,
   {davg_sql('l_extendedprice')} AS avg_price,
@@ -91,8 +91,10 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal cast hits genuine midpoints where Spark's shortest-string
     HALF_UP and DuckDB's binary rounding disagree — one row in ~1e5,
     invisible at sf0.1 (the delta hid inside the final double's ulp by
-    luck) and caught by the ×10-facts hash sweep. Each FACTOR (2-decimal
-    true scale, tie distance 5e-3) casts deterministically, and the
+    luck) and caught by the ×10-facts hash sweep. Each FACTOR (4-decimal
+    true scale since the r10 extremes injection; (18,4)/(8,4) also hold
+    the 9.9e12 prices and the beyond-[0,1] rates) casts
+    deterministically, and the
     decimal multiplication is then exact in both engines at any scale."""
     wh = Warehouse(spark, sf_dir)
     li = wh.lineitem.filter(
@@ -109,9 +111,9 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         | nonfinite(F.col("l_tax"))
     )
     charge_exact = (
-        F.col("l_extendedprice").cast("decimal(12,2)")
-        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
-        * (F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(3,2)"))
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
+        * (F.lit(1).cast("decimal(8,4)") + F.col("l_tax").cast("decimal(8,4)"))
     )
     charge_dbl = (
         F.col("l_extendedprice")
@@ -140,7 +142,7 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q5_ORACLE = f"""
 SELECT
   n.n_name,
-  {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+  {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 12, 38)} AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -184,7 +186,7 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 12, 38).alias(
                 "revenue"
             )
         )
@@ -196,7 +198,7 @@ SELECT
   n1.n_name AS supp_nation,
   n2.n_name AS cust_nation,
   CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
-  {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS volume
+  {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 12, 38)} AS volume
 FROM supplier s
 JOIN lineitem l ON s.s_suppkey = l.l_suppkey
 JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -240,7 +242,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             bigint(F.year("l_shipdate")).alias("l_year"),
         )
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 12, 38).alias(
                 "volume"
             )
         )
@@ -253,7 +255,7 @@ FROM (
   SELECT
     c.c_custkey,
     c.c_name,
-    {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+    {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 12, 38)} AS revenue,
     c.c_acctbal,
     n.n_name
   FROM customer c
@@ -291,7 +293,7 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(wh.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 12, 38).alias(
                 "revenue"
             )
         )
@@ -309,7 +311,7 @@ _PROMO_CASE = (
 _Q14_ORACLE = f"""
 SELECT
   100.0 * {dsum_sql(_PROMO_CASE)}
-        / {dsum_sql('l_extendedprice * (1 - l_discount)')} AS promo_revenue_pct
+        / {dsum_sql('l_extendedprice * (1 - l_discount)', 12, 38)} AS promo_revenue_pct
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
@@ -342,7 +344,7 @@ def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q19_ORACLE = f"""
 SELECT
-  {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+  {dsum_sql('l_extendedprice * (1 - l_discount)', 12, 38)} AS revenue,
   COUNT(*) AS n_items
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -382,7 +384,7 @@ def tpch_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(cond)
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 12, 38).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_items"),
@@ -477,7 +479,8 @@ SELECT
   CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
   {dsum_sql(
       'l.l_extendedprice * (1 - l.l_discount)'
-      ' - 0.6 * p.p_retailprice * l.l_quantity'
+      ' - 0.6 * p.p_retailprice * l.l_quantity',
+      12, 38,
   )} AS sum_profit
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -494,8 +497,9 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q9 shape (product-type profit): per supplier-nation, per year.
     The fixture has no partsupp table (FIXTURES.md), so supply cost is
     modeled as 0.6 * p_retailprice — same join/agg shape, fixture-local
-    cost basis. The profit expression stays exact at 4 decimals (prices are
-    2-decimal, quantity integral), so the decimal sum is engine-invariant."""
+    cost basis. The profit expression is exact at 12 decimals / 17 integer
+    digits (4-decimal prices and 9.9e12 quantities since the r10 extremes
+    injection), hence the (38,12) per-row cast."""
     wh = Warehouse(spark, sf_dir)
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
         "p_retailprice"
@@ -512,7 +516,7 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             bigint(F.year("o_orderdate")).alias("o_year"),
         )
-        .agg(dsum(amount).alias("sum_profit"))
+        .agg(dsum(amount, 12, 38).alias("sum_profit"))
     )
 
 
@@ -566,7 +570,7 @@ _Q15_SQL = f"""
 WITH revenue AS (
   SELECT
     l_suppkey AS supplier_no,
-    {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+    {dsum_sql('l_extendedprice * (1 - l_discount)', 12, 38)} AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -691,11 +695,11 @@ def tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q11_SQL = f"""
 SELECT
   l_partkey,
-  {dsum_sql('l_extendedprice * (1 - l_discount)')} AS part_value
+  {dsum_sql('l_extendedprice * (1 - l_discount)', 12, 38)} AS part_value
 FROM lineitem
 GROUP BY l_partkey
-HAVING {dsum_sql('l_extendedprice * (1 - l_discount)')} > (
-  SELECT {dsum_sql('l_extendedprice * (1 - l_discount)')} * 0.0008
+HAVING {dsum_sql('l_extendedprice * (1 - l_discount)', 12, 38)} > (
+  SELECT {dsum_sql('l_extendedprice * (1 - l_discount)', 12, 38)} * 0.0008
   FROM lineitem
 )
 """

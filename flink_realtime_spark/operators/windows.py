@@ -402,13 +402,17 @@ def win_late_refire(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "win_tumble_offset",
     f"""
+    -- make_timestamp(µs), not n * INTERVAL 1 SECOND: DuckDB narrows the
+    -- interval multiplier to INT32, which overflows at year-2262 epochs
+    -- (extremes tier, r10); the µs form is int64 end to end and handles
+    -- the negative pre-1970 epochs the same floor() already does.
     SELECT
-      TIMESTAMP '1970-01-01'
-        + (CAST(floor((epoch(ts) - 10800) / 21600) AS BIGINT) * 21600 + 10800)
-          * INTERVAL 1 SECOND AS win_start,
-      TIMESTAMP '1970-01-01'
-        + (CAST(floor((epoch(ts) - 10800) / 21600) AS BIGINT) * 21600 + 10800)
-          * INTERVAL 1 SECOND + INTERVAL '6 hours' AS win_end,
+      make_timestamp(
+        (CAST(floor((epoch(ts) - 10800) / 21600) AS BIGINT) * 21600 + 10800)
+        * 1000000) AS win_start,
+      make_timestamp(
+        (CAST(floor((epoch(ts) - 10800) / 21600) AS BIGINT) * 21600 + 32400)
+        * 1000000) AS win_end,
       COUNT(*) AS n_events,
       {dsum_sql('value')} AS total_value
     FROM events
