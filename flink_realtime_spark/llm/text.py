@@ -727,14 +727,21 @@ WITH words AS (
     SELECT unnest(str_split(text, ' ')) AS word FROM documents
   ) GROUP BY word
 ),
+-- wc is MATERIALIZED so cs[i] reads a stored char list: inlining
+-- string_split(word, '') into the lambda re-splits the whole word PER
+-- ELEMENT — quadratic per word, unbounded on the extremes tier's
+-- 100k-char single-token document (the _REPETITION_ORACLE lesson).
+wc AS MATERIALIZED (
+  SELECT wf, string_split(word, '') AS cs FROM words
+),
 pairs AS (
   SELECT
     unnest(list_transform(
-      generate_series(1, len(string_split(word, '')) - 1),
-      i -> string_split(word, '')[i] || string_split(word, '')[i + 1]
+      generate_series(1, len(cs) - 1),
+      i -> cs[i] || cs[i + 1]
     )) AS pair,
     wf
-  FROM words
+  FROM wc
 ),
 scored AS (
   SELECT pair, CAST(SUM(wf) AS BIGINT) AS freq FROM pairs GROUP BY pair
@@ -759,10 +766,11 @@ def llm_bpe_pair_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one token shuffle — word types ≪ tokens), chars explode only over
     the small type table, and the pair agg is two-phase over a pair space
     bounded by alphabet². A full BPE trainer is this statistic in a loop
-    with a merge-apply step between rounds. The oracle's per-element
-    string_split lambda is quadratic per word but words are short; the
-    Spark side uses the zip_with shifted-slice builder (SCALE.md
-    Lessons)."""
+    with a merge-apply step between rounds. Both sides split each word
+    ONCE (the oracle via a materialized char-list CTE, the Spark side
+    via the zip_with shifted-slice builder — SCALE.md Lessons): the
+    extremes tier's 100k-char single-token doc broke the 'words are
+    short' assumption the old per-element lambda leaned on."""
     wh = Warehouse(spark, sf_dir)
     words = (
         rebalance(wh.documents, "doc_id")
