@@ -58,7 +58,16 @@ def dsum(col: Column, scale: int = 4, prec: int = 18) -> Column:
     stays deterministic under any partitioning. dsum_sql mirrors this."""
     nf = _nonfinite(col)
     ssum = F.sum(F.when(nf, col).otherwise(F.lit(0.0)))
-    exact = F.sum(F.when(~nf, col).cast(f"decimal({prec},{scale})")).cast("double")
+    # decimal→double via STRING on the SPARK side too (nulls-tier
+    # re-run, r10): BigDecimal.doubleValue goes 1 ulp off the
+    # correctly-rounded value once the decimal carries ~22
+    # significant digits (a (38,12) product sum at 1e9); the
+    # string parse (Double.parseDouble) is correct at any length.
+    exact = (
+        F.sum(F.when(~nf, col).cast(f"decimal({prec},{scale})"))
+        .cast("string")
+        .cast("double")
+    )
     return F.when(F.isnan(ssum) | (ssum != 0.0), ssum).otherwise(exact)
 
 
@@ -69,7 +78,9 @@ def davg(col: Column, scale: int = 4, prec: int = 18) -> Column:
     nf = _nonfinite(col)
     ssum = F.sum(F.when(nf, col).otherwise(F.lit(0.0)))
     exact = (
-        F.sum(F.when(~nf, col).cast(f"decimal({prec},{scale})")).cast("double")
+        F.sum(F.when(~nf, col).cast(f"decimal({prec},{scale})"))
+        .cast("string")
+        .cast("double")
         / F.count(col)
     ).cast("double")
     return F.when(
@@ -87,6 +98,7 @@ def dsum_over(col: Column, w, scale: int = 4, prec: int = 18) -> Column:
     exact = (
         F.sum(F.when(~nf, col).cast(f"decimal({prec},{scale})"))
         .over(w)
+        .cast("string")
         .cast("double")
     )
     return F.when(F.isnan(ssum) | (ssum != 0.0), ssum).otherwise(exact)
@@ -99,13 +111,28 @@ def dsum_over_sql(expr: str, over: str, scale: int = 4, prec: int = 18) -> str:
     ssum = f"SUM(CASE WHEN {nf} THEN {expr} ELSE 0.0 END) OVER {over}"
     exact = (
         f"CAST(CAST(SUM(CASE WHEN NOT {nf} "
-        f"THEN CAST(CAST({expr} AS STRING) AS DECIMAL({prec},{scale})) END) "
+        f"THEN {row_dec_sql(expr, scale, prec)} END) "
         f"OVER {over} AS STRING) AS DOUBLE)"
     )
     return (
         f"CASE WHEN isnan({ssum}) OR {ssum} != 0.0 THEN {ssum} "
         f"ELSE {exact} END"
     )
+
+
+
+def row_dec_sql(expr: str, scale: int, prec: int) -> str:
+    """The per-row double→DECIMAL cast of the *_sql forms: STRING-routed
+    (repr-quantize, matching Spark's BigDecimal.valueOf) with a
+    HALF-QUANTUM FLUSH — DuckDB's VARCHAR→DECIMAL parser rounds any
+    tiny '5e-N' string AWAY from zero to the smallest quantum
+    ('5e-324' → 0.0001 at scale 4; specials-tier re-run, r10), so
+    values strictly below half a quantum (whose correct rounding is
+    exactly 0 at this scale) are flushed before the parse. Spark's
+    native cast needs no guard; the flush is value-preserving."""
+    thr = f"5e-{scale + 1}"
+    guarded = f"(CASE WHEN abs({expr}) < {thr} THEN 0.0 ELSE {expr} END)"
+    return f"CAST(CAST({guarded} AS STRING) AS DECIMAL({prec},{scale}))"
 
 
 def nonfinite_sql(expr: str) -> str:
@@ -148,7 +175,7 @@ def dsum_sql(expr: str, scale: int = 4, prec: int = 18) -> str:
     ssum = f"SUM(CASE WHEN {nf} THEN {expr} ELSE 0.0 END)"
     exact = (
         f"CAST(CAST(SUM(CASE WHEN NOT {nf} "
-        f"THEN CAST(CAST({expr} AS STRING) AS DECIMAL({prec},{scale})) END) "
+        f"THEN {row_dec_sql(expr, scale, prec)} END) "
         f"AS STRING) AS DOUBLE)"
     )
     return (
@@ -162,7 +189,7 @@ def davg_sql(expr: str, scale: int = 4, prec: int = 18) -> str:
     ssum = f"SUM(CASE WHEN {nf} THEN {expr} ELSE 0.0 END)"
     exact = (
         f"CAST(CAST(CAST(SUM(CASE WHEN NOT {nf} "
-        f"THEN CAST(CAST({expr} AS STRING) AS DECIMAL({prec},{scale})) END) "
+        f"THEN {row_dec_sql(expr, scale, prec)} END) "
         f"AS STRING) AS DOUBLE) / COUNT({expr}) AS DOUBLE)"
     )
     return (
@@ -273,9 +300,14 @@ def json_strict_unique_sql(col: str) -> str:
     object keys — Spark's variant builder rejects duplicate keys.
     NESTED CASE, not AND: DuckDB's vectorized AND does not short-circuit
     and json_keys() ERRORS on malformed input, so the uniqueness check
-    must be conditionally evaluated behind json_valid."""
+    must be conditionally evaluated behind json_valid. A NULL document
+    stays NULL (not FALSE): Spark's try_parse_json(NULL) IS NULL is
+    three-valued too, and dwd_clean_route's neither-clean-nor-dirty
+    contract for missing payloads depends on it (nulls-tier re-run
+    caught the ELSE FALSE collapsing ~1k NULL-props rows into dirty)."""
     return (
-        f"(CASE WHEN json_valid({col}) "
+        f"(CASE WHEN {col} IS NULL THEN NULL "
+        f"WHEN json_valid({col}) "
         f"THEN len(json_keys({col})) = len(list_distinct(json_keys({col}))) "
         f"ELSE FALSE END)"
     )

@@ -34,6 +34,7 @@ from flink_realtime_spark.exprs import (
     json_k_path_sql,
     nonfinite,
     nonfinite_sql,
+    row_dec_sql,
     sum_bigint_safe,
     try_sum_bigint_sql,
 )
@@ -190,7 +191,7 @@ _STATS_NF_QP = (
 # doubles); `+ 0` on corr normalizes DuckDB ROUND's -0.0.
 _STATS_DQ = (
     f"(CASE WHEN NOT {_STATS_NF_Q} "
-    "THEN CAST(CAST(l_quantity AS STRING) AS DECIMAL(24,4)) END)"
+    f"THEN {row_dec_sql('l_quantity', 4, 24)} END)"
 )
 _STATS_PAIR = (
     f"(NOT {_STATS_NF_QP} AND l_quantity IS NOT NULL "
@@ -198,11 +199,11 @@ _STATS_PAIR = (
 )
 _STATS_DX = (
     f"(CASE WHEN {_STATS_PAIR} "
-    "THEN CAST(CAST(l_quantity AS STRING) AS DECIMAL(24,4)) END)"
+    f"THEN {row_dec_sql('l_quantity', 4, 24)} END)"
 )
 _STATS_DY = (
     f"(CASE WHEN {_STATS_PAIR} "
-    "THEN CAST(CAST(l_extendedprice AS STRING) AS DECIMAL(24,4)) END)"
+    f"THEN {row_dec_sql('l_extendedprice', 4, 24)} END)"
 )
 
 
@@ -302,14 +303,14 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(nf_q).alias("spec_q"),
         F.max(nf_qp).alias("spec_qp"),
         F.count(dq).alias("nq"),
-        F.sum(dq).cast("double").alias("s1"),
-        F.sum((dq * dq).cast("decimal(38,8)")).cast("double").alias("s2"),
+        F.sum(dq).cast("string").cast("double").alias("s1"),
+        F.sum((dq * dq).cast("decimal(38,8)")).cast("string").cast("double").alias("s2"),
         F.count(dx).alias("n2"),
-        F.sum(dx).cast("double").alias("sx"),
-        F.sum(dy).cast("double").alias("sy"),
-        F.sum((dx * dx).cast("decimal(38,8)")).cast("double").alias("sxx"),
-        F.sum((dy * dy).cast("decimal(38,8)")).cast("double").alias("syy"),
-        F.sum((dx * dy).cast("decimal(38,8)")).cast("double").alias("sxy"),
+        F.sum(dx).cast("string").cast("double").alias("sx"),
+        F.sum(dy).cast("string").cast("double").alias("sy"),
+        F.sum((dx * dx).cast("decimal(38,8)")).cast("string").cast("double").alias("sxx"),
+        F.sum((dy * dy).cast("decimal(38,8)")).cast("string").cast("double").alias("syy"),
+        F.sum((dx * dy).cast("decimal(38,8)")).cast("string").cast("double").alias("sxy"),
         F.round(F.median(q_fin), 4).alias("med_qty"),
         F.round(F.percentile(q_fin, 0.9), 4).alias("p90_qty"),
     )

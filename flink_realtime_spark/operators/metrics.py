@@ -652,7 +652,7 @@ def ads_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.isnan(F.col("__cum_s")) | (F.col("__cum_s") != 0.0),
                 F.col("__cum_s"),
             )
-            .otherwise(F.col("__cum_d").cast("double"))
+            .otherwise(F.col("__cum_d").cast("string").cast("double"))
             .alias("cum_rev"),
             "total_rev",
         )

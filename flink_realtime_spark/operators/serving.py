@@ -127,7 +127,7 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spec = F.col("sum_spec")
     total = F.when(F.isnan(spec) | (spec != 0.0), spec).otherwise(
-        F.col("sum_dec").cast("double")
+        F.col("sum_dec").cast("string").cast("double")
     )
     return merged.select(
         "mv_month",
@@ -535,12 +535,12 @@ def late_refire_serve(spark: SparkSession, store_dir: str) -> DataFrame:
     return st.select(
         "win_start",
         "n_on_time",
-        F.coalesce(F.col("sum_on_dec").cast("double"), F.lit(0.0)).alias(
+        F.coalesce(F.col("sum_on_dec").cast("string").cast("double"), F.lit(0.0)).alias(
             "sum_on_time"
         ),
         "n_refires",
         "n_final",
-        F.col("sum_final_dec").cast("double").alias("sum_final"),
+        F.col("sum_final_dec").cast("string").cast("double").alias("sum_final"),
         (F.col("n_refires") > 0).alias("corrected"),
     )
 
@@ -639,17 +639,18 @@ def dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = daily.withColumn("is_fin", is_fin).withColumn(
         "revenue",
         F.when(~F.col("is_fin"), spec).otherwise(
-            F.col("rev_dec").cast("double")
+            F.col("rev_dec").cast("string").cast("double")
         ),
     )
-    rev = F.col("rev_dec").cast("double")
+    rev = F.col("rev_dec").cast("string").cast("double")
     fin_dec = F.when(F.col("is_fin"), F.col("rev_dec"))
     n_fin = F.nullif(F.count(F.when(F.col("is_fin"), F.lit(1))), F.lit(0))
-    mean = F.sum(fin_dec).cast("double") / n_fin
+    mean = F.sum(fin_dec).cast("string").cast("double") / n_fin
     stats = daily.agg(
         mean.alias("mean_rev"),
         F.sqrt(
             F.sum(F.when(F.col("is_fin"), (rev * rev).cast("decimal(38,8)")))
+            .cast("string")
             .cast("double")
             / n_fin
             - mean * mean

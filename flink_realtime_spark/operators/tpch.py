@@ -123,13 +123,13 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge_ssum = F.sum(F.when(nf_charge, charge_dbl).otherwise(F.lit(0.0)))
     charge = F.when(
         F.isnan(charge_ssum) | (charge_ssum != 0.0), charge_ssum
-    ).otherwise(F.sum(F.when(~nf_charge, charge_exact)).cast("double"))
+    ).otherwise(F.sum(F.when(~nf_charge, charge_exact)).cast("string").cast("double"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity")).alias("sum_qty"),
             dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price, 12, 38).alias("sum_disc_price"),
             charge.alias("sum_charge"),
             davg(F.col("l_quantity")).alias("avg_qty"),
             davg(F.col("l_extendedprice")).alias("avg_price"),
@@ -310,7 +310,7 @@ _PROMO_CASE = (
 
 _Q14_ORACLE = f"""
 SELECT
-  100.0 * {dsum_sql(_PROMO_CASE)}
+  100.0 * {dsum_sql(_PROMO_CASE, 12, 38)}
         / {dsum_sql('l_extendedprice * (1 - l_discount)', 12, 38)} AS promo_revenue_pct
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
@@ -336,7 +336,7 @@ def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(0.0))
     return (
         li.join(F.broadcast(wh.part), F.col("l_partkey") == F.col("p_partkey"))
-        .agg((F.lit(100.0) * dsum(promo) / dsum(disc_price)).alias(
+        .agg((F.lit(100.0) * dsum(promo, 12, 38) / dsum(disc_price, 12, 38)).alias(
             "promo_revenue_pct"
         ))
     )
@@ -426,7 +426,7 @@ WITH all_nations AS (
 )
 SELECT
   o_year,
-  CAST({dsum_sql(_CASE_N5)} / {dsum_sql('volume')} AS DOUBLE) AS mkt_share
+  CAST({dsum_sql(_CASE_N5, 12, 38)} / {dsum_sql('volume', 12, 38)} AS DOUBLE) AS mkt_share
 FROM all_nations
 GROUP BY o_year
 """
@@ -469,7 +469,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(america, F.col("n_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
         .groupBy(bigint(F.year("o_orderdate")).alias("o_year"))
-        .agg((dsum(n5_volume) / dsum(volume)).cast("double").alias("mkt_share"))
+        .agg((dsum(n5_volume, 12, 38) / dsum(volume, 12, 38)).cast("double").alias("mkt_share"))
     )
 
 

@@ -57,45 +57,46 @@ _loaded = False
 # round's first 50 rotates to keys no prior CORRECTNESS_r*.json sampled
 # (after r05, EVERY oracle key has a green record — the game is now
 # freshness, stalest first).
-# Round-9 window (VERDICT r8 #2 + ADVICE r8 #3, generated from the
-# CORRECTNESS_r0*.json vintage data — not from the prior round's comment):
-# (a) the 22 oracle keys REWORKED in r09 go first so the driver
-# re-verifies the new plans/oracles — the uni tier's case-mapping
-# normalizer unified 14 dedup-family oracles (the 'İ'-marked set),
-# llm_knn_cosine's NULL/zero-norm contract (ADVICE r8), scalar_url /
-# scalar_encode's unicode mirrors, the three grouping oracles' empty-input
-# HAVING pins, and the two dq keys' nullif divisors; ordered by (latest
-# record round, position in that record). (b) the 11 remaining keys whose
-# plans commits 5c51dfc/0542353 changed AFTER the r08 window was pinned
-# (ADVICE r8 #3 — the r08 block predates those fixes), same ordering.
-# (c) the 16 remaining r04-vintage keys, in CORRECTNESS_r04 record order
-# (the other 8 of CLAUDE.md's 24-key r04 cohort were reworked or are in
-# block b). Blocks a+a2+b+c sum to exactly 50; the 39-key r05 spill
-# (named in CLAUDE.md) leads the r10 refresh pool.
+# Round-10 window (VERDICT r9 #1; generated from the CORRECTNESS_r0*.json
+# vintage data + this round's commit log — not from the prior round's
+# comment): (a) the 32 oracle keys DEEPLY REWORKED by the r10 extremes
+# tier (SCALE.md "extremes tier", 8 divergence classes: the portable
+# whitespace class, repr-quantize string routes, (38,12) product casts +
+# exact moments, the three JSON extraction contracts, segmented
+# substring mining, linear chunking, the two_stage dedicated oracle,
+# make_timestamp window bounds), in commit order, so the driver
+# re-verifies every changed contract first. (b) 18 slots of the r05
+# spill in CORRECTNESS_r05 record order (3 more spill keys — agg_stats,
+# tpch_q3_priority, ads_layered_pipeline — sit in block a; bpe too).
+# Blocks sum to exactly 50. Remaining r05-vintage pool for r11
+# (17 keys): join_outer_full, join_salted_skew, setop_union_distinct,
+# setop_intersect, setop_except, setop_intersect_all, setop_except_all,
+# agg_count_distinct, agg_collect, agg_retention, subq_scalar_corr,
+# subq_in_having, subq_exists_delayed, subq_not_exists_dormant,
+# tpch_q13_custdist, ads_daily_uv_pv, ads_retention_cohort — plus the
+# ~45 keys whose oracle TEXT changed in r10 only through the shared
+# *_sql string-route rework (outputs identical on clean fixtures;
+# verified by this round's five full-registry sweeps).
 _PRIORITY_HEAD = [
-    # (a) reworked in r09, by (latest record, position)
-    "llm_doc_fingerprint", "llm_dedup_ngram_jaccard", "llm_dedup_simhash",
-    "llm_dedup_simhash_pairs", "llm_curation_pipeline", "llm_dedup_cluster",
-    "llm_dedup_minhash", "agg_cube", "agg_grouping_sets", "agg_rollup",
-    "llm_dedup_exact", "llm_knn_cosine", "dq_anomaly_zscore",
-    "llm_dedup_containment", "pipe_split_leakage_safe",
-    "llm_dedup_incremental", "llm_dedup_editdist", "scalar_url",
-    "scalar_encode", "dq_drift_chi2", "llm_dedup_two_stage",
-    "graph_pagerank",
-    # (a2) NEW key in r09: the normalizer contract as a first-class
-    # operator — never sampled, must sit inside the window
-    "llm_text_normalize",
-    # (b) post-pin r08 rework refresh (ADVICE r8 #3)
-    "llm_token_topk", "llm_lang_id", "ads_gmv_dashboard", "ads_monthly_yoy",
-    "sort_topk", "subq_lateral_topn", "over_ranking", "ads_pareto_share",
-    "win_topn", "over_topn_pergroup", "tpch_q18_large_volume",
-    # (c) r04-cohort refresh, in CORRECTNESS_r04 order
-    "llm_token_count", "llm_repetition", "llm_chunk_split",
-    "llm_pii_redact", "llm_word_rarity", "llm_doc_keywords",
-    "llm_length_histogram", "llm_decontaminate", "llm_source_overlap",
-    "llm_centroid_dist", "llm_embedding_quantize", "llm_frame_sample",
-    "pipe_split_assign", "pipe_mixture_weighted", "pipe_pack_sequences",
-    "pipe_sample_stratified",
+    # (a) reworked in r10, in commit order
+    "llm_doc_fingerprint", "llm_dedup_simhash", "llm_dedup_exact",
+    "llm_dedup_two_stage", "llm_text_normalize", "llm_token_count",
+    "dq_anomaly_zscore", "ads_gmv_dashboard", "ads_pareto_share",
+    "llm_repetition", "llm_chunk_split", "llm_decontaminate",
+    "llm_source_overlap", "llm_dup_gram_share", "llm_dedup_substring",
+    "llm_substring_clean", "llm_top_boilerplate", "scalar_json_props",
+    "scalar_variant", "dwd_clean_route", "dwd_try_safety",
+    "ads_layered_pipeline", "agg_star_flagship", "tpch_q1_pricing",
+    "tpch_q3_priority", "tpch_q7_volume_shipping", "tpch_q9_profit",
+    "agg_stats", "cogroup_apply", "over_pct_of_total",
+    "win_tumble_offset", "llm_bpe_pair_freq",
+    # (b) r05-spill refresh, in CORRECTNESS_r05 record order
+    "llm_cooccurrence", "state_change_feed", "pipe_shuffle_shard",
+    "pipe_dataset_card", "pipe_token_budget", "tpch_q8_market_share",
+    "tpch_q17_small_qty", "tpch_q20_promo_suppliers", "tpch_q21_waiting",
+    "win_late_refire", "scalar_calendar_dow", "scalar_div_mod",
+    "sort_nulls_first", "join_interval_left", "ads_stickiness_sketch",
+    "llm_line_dedup", "agg_unpivot", "state_store_audit",
 ]
 
 # Streaming-executing / estimator-fit keys with rows-only or property
