@@ -64,6 +64,45 @@ def test_dsum_sql_requantize_uses_repr_not_binary():
     assert got == 9900016868281.22
 
 
+def test_row_dec_flush_subnormals():
+    """DuckDB's VARCHAR->DECIMAL rounds tiny '5e-N' strings AWAY from
+    zero ('5e-324' -> 0.0001 at scale 4); the per-row cast's
+    half-quantum flush must yield exactly 0 for sub-half-quantum values
+    and leave legitimate roundings alone."""
+    from flink_realtime_spark.exprs import row_dec_sql
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {row_dec_sql('v', 4, 18)} FROM (SELECT 5e-324 AS v)"
+    ).fetchone()[0]
+    assert str(got) == "0.0000"
+    got = con.execute(
+        f"SELECT {row_dec_sql('v', 4, 18)} FROM (SELECT 7e-5 AS v)"
+    ).fetchone()[0]
+    assert str(got) == "0.0001"  # above half-quantum: normal HALF_UP
+    got = con.execute(
+        f"SELECT {row_dec_sql('v', 4, 18)} FROM (SELECT -5e-300 AS v)"
+    ).fetchone()[0]
+    assert str(got) == "0.0000"
+
+
+def test_dsum_sql_decimal_to_double_22_digits():
+    """The final decimal->double leg must be correctly rounded at 22
+    significant digits: 2114356965.320999971774 parses to the
+    .3209999-double (Spark's BigDecimal.doubleValue lands on .3210 —
+    the reason the Spark side routes via STRING too)."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT 2114356965.320999971774 AS d"
+    )
+    got = con.execute(
+        "SELECT CAST(CAST(CAST(d AS DECIMAL(38,12)) AS STRING) AS DOUBLE)"
+        " FROM t"
+    ).fetchone()[0]
+    assert repr(got) == "2114356965.3209999"
+    assert float("2114356965.320999971774") == got
+
+
 def test_chunk_oracle_linear_and_exact():
     """The positional fan-out chunk oracle: same chunks as a direct
     slice reference, including the clamped final partial chunk and the
