@@ -44,11 +44,10 @@ def test_entry_smoke(spark):
 
 def test_driver_window_rotation():
     """The driver checks exactly the FIRST 50 keys of ordered_queries()
-    per round (CLAUDE.md "Driver sampling"). Lock the round-9 contract
-    (VERDICT r8 #2 + ADVICE r8 #3): the 22 keys reworked in r09 lead, the
-    11 post-pin r08 reworks follow (the r08 window predates commits
-    5c51dfc/0542353), and the remaining slots refresh only the stalest
-    (r04, then r05-cohort) evidence — no slot re-samples fresh records."""
+    per round (CLAUDE.md "Driver sampling"). Lock the round-10 contract
+    (VERDICT r9 #1): the 32 keys deeply reworked by the extremes tier
+    lead, then 18 slots refresh the r05 spill — no slot re-samples
+    fresh records."""
     import json
     import os
 
@@ -56,8 +55,9 @@ def test_driver_window_rotation():
     latest: dict[str, int] = {}
     # Deliberately pinned to the records the CURRENT rotation was built
     # against — extend this tuple together with each _PRIORITY_HEAD
-    # rotation (next round: add r09 and re-rotate onto the 39-key r05
-    # spill named in CLAUDE.md).
+    # rotation (next round: add r10 and rotate onto the 17 remaining
+    # r05-vintage keys + the r10 text-changed pool named in
+    # registry.py's rotation comment).
     for rnd, rec in (
         (1, "CORRECTNESS_r01.json"),
         (2, "CORRECTNESS_r02.json"),
@@ -67,6 +67,7 @@ def test_driver_window_rotation():
         (6, "CORRECTNESS_r06.json"),
         (7, "CORRECTNESS_r07.json"),
         (8, "CORRECTNESS_r08.json"),
+        (9, "CORRECTNESS_r09.json"),
     ):
         path = os.path.join(root, rec)
         if os.path.isfile(path):
@@ -77,59 +78,45 @@ def test_driver_window_rotation():
         pytest.skip("no prior CORRECTNESS records in this checkout")
     ordered = list(registry.ordered_queries())
     window = ordered[:50]
-    # front: every oracle key whose PLAN or ORACLE changed in r09 — the
-    # uni-tier case-mapping normalizer (the 'İ'-marked oracles), the
-    # knn_cosine NULL/zero-norm contract, the unicode scalar mirrors, the
-    # grouping empty-input HAVING pins, the dq nullif divisors — so the
-    # driver re-verifies the new forms first
-    reworked_r09 = {
-        "llm_knn_cosine", "scalar_url", "scalar_encode", "agg_rollup",
-        "agg_cube", "agg_grouping_sets", "dq_anomaly_zscore",
-        "dq_drift_chi2", "graph_pagerank", "llm_curation_pipeline",
-        "llm_dedup_cluster", "llm_dedup_containment", "llm_dedup_editdist",
-        "llm_dedup_exact", "llm_dedup_incremental", "llm_dedup_minhash",
-        "llm_dedup_ngram_jaccard", "llm_dedup_simhash",
-        "llm_dedup_simhash_pairs", "llm_dedup_two_stage",
-        "llm_doc_fingerprint", "pipe_split_leakage_safe",
+    # front: every oracle key DEEPLY reworked in r10 — the extremes
+    # tier's eight divergence classes (SCALE.md "extremes tier") — so
+    # the driver re-verifies the new contracts first
+    reworked_r10 = {
+        "llm_doc_fingerprint", "llm_dedup_simhash", "llm_dedup_exact",
+        "llm_dedup_two_stage", "llm_text_normalize", "llm_token_count",
+        "dq_anomaly_zscore", "ads_gmv_dashboard", "ads_pareto_share",
+        "llm_repetition", "llm_chunk_split", "llm_decontaminate",
+        "llm_source_overlap", "llm_dup_gram_share", "llm_dedup_substring",
+        "llm_substring_clean", "llm_top_boilerplate", "scalar_json_props",
+        "scalar_variant", "dwd_clean_route", "dwd_try_safety",
+        "ads_layered_pipeline", "agg_star_flagship", "tpch_q1_pricing",
+        "tpch_q3_priority", "tpch_q7_volume_shipping", "tpch_q9_profit",
+        "agg_stats", "cogroup_apply", "over_pct_of_total",
+        "win_tumble_offset", "llm_bpe_pair_freq",
     }
-    assert set(window[:22]) == reworked_r09
-    # the r09 normalizer-rework block is self-checking: every oracle that
-    # embeds the case-mapping canonicalization must be in the front block
-    # (or be the NEW key registering that very contract)
-    norm_marked = {
-        k for k, sql in registry.ORACLES.items() if sql and "İ" in sql
+    assert set(window[:32]) == reworked_r10
+    # self-check: every oracle embedding the strict-JSON contract
+    # (json_keys uniqueness — exprs.json_strict_unique_sql) must sit in
+    # the reworked block
+    json_marked = {
+        k for k, sql in registry.ORACLES.items()
+        if sql and "json_keys(" in sql
     }
-    assert norm_marked <= reworked_r09 | {"llm_text_normalize"}, sorted(
-        norm_marked - reworked_r09 - {"llm_text_normalize"}
-    )
-    # new-in-r09 key right after the reworked block
-    assert window[22] == "llm_text_normalize"
-    # next: the post-pin r08 rework refresh (ADVICE r8 #3)
-    post_pin = {
-        "sort_topk", "subq_lateral_topn", "tpch_q18_large_volume",
-        "over_ranking", "over_topn_pergroup", "win_topn", "llm_lang_id",
-        "llm_token_topk", "ads_pareto_share", "ads_monthly_yoy",
-        "ads_gmv_dashboard",
-    }
-    assert set(window[23:34]) == post_pin
+    assert json_marked <= reworked_r10, sorted(json_marked - reworked_r10)
+    # back: 18 slots of the r05 spill, every one r05-vintage
+    spill = window[32:]
+    assert len(spill) == 18
+    stale_wrong = [k for k in spill if latest.get(k) != 5]
+    assert stale_wrong == [], stale_wrong
     # every oracle key with no driver record yet is in the window
     never = [
         k for k in ordered if k not in latest and k in registry.ORACLES
     ]
     assert set(never) <= set(window), sorted(set(never) - set(window))
-    # beyond the reworked/new/post-pin blocks, a previously-sampled key
-    # may occupy a slot only to refresh the stalest (r04/r05) evidence
-    stale_ok = [
-        k for k in window[34:] if latest.get(k) not in (None, 4, 5)
-    ]
-    assert stale_ok == [], stale_ok
-    # after a green r09 no oracle key's latest record is older than r05
-    # except the named r05 spill: every r04-vintage key must be inside
-    # this window or the r09 reworked/post-pin blocks
-    r04_stale = [k for k, r in latest.items() if r == 4]
-    assert set(r04_stale) <= set(window), sorted(
-        set(r04_stale) - set(window)
-    )
+    # nothing older than r05 remains anywhere (r09 cleared the r04
+    # cohort)
+    pre_r05 = [k for k, r in latest.items() if r < 5 and k in registry.ORACLES]
+    assert pre_r05 == [], pre_r05
 
 
 _ASOF_RANK_SPECS = {
