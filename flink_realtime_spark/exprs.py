@@ -333,8 +333,11 @@ def json_k_variant_sql(col: str, path: str = "$.k") -> str:
     """DuckDB mirror of
     ``try_variant_get(try_parse_json(col), path, 'long')``: strict parse
     (unique keys), then the variant NUMERIC COERCION — integral numbers
-    cast, doubles round (out-of-range → NULL), integral strings coerce,
-    arrays/objects/fractional strings → NULL."""
+    cast, doubles TRUNCATE TOWARD ZERO (out-of-range → NULL; Spark's
+    variant long-coercion truncates 3.5→3 and -2.5→-2 where DuckDB's
+    bare TRY_CAST(DOUBLE AS BIGINT) would round half-even — ADVICE r10;
+    trunc() keeps the out-of-range → NULL behavior), integral strings
+    coerce, arrays/objects/fractional strings → NULL."""
     s = f"json_extract_string({col}, '{path}')"
     t = f"json_type({col}, '{path}')"
     return (
@@ -342,7 +345,7 @@ def json_k_variant_sql(col: str, path: str = "$.k") -> str:
         f"(CASE WHEN {t} IN ('BIGINT', 'UBIGINT') "
         f"THEN TRY_CAST({s} AS BIGINT) "
         f"WHEN {t} = 'DOUBLE' "
-        f"THEN TRY_CAST(TRY_CAST({s} AS DOUBLE) AS BIGINT) "
+        f"THEN TRY_CAST(trunc(TRY_CAST({s} AS DOUBLE)) AS BIGINT) "
         f"WHEN {t} = 'VARCHAR' AND regexp_matches({s}, '{_JSON_INT_RE}') "
         f"THEN TRY_CAST({s} AS BIGINT) END) END)"
     )

@@ -2172,28 +2172,30 @@ def duplicated_spans(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
     # tasks at the segment shuffle instead of pinning a single task.
     S = _SEG_S
     is_long = F.length("text") >= L + S
+    # r11 (guide §2.3 — shuffle fewer bytes): the gram relation carries
+    # only (doc_id, p:int, gh) — 24 B/row instead of the previous 40
+    # (n_chars rode every position row through two sort-merge semi-joins
+    # and p was a long; a Spark string is < 2^31 chars, so int positions
+    # are provably safe). n_chars re-attaches per-DOC at the span
+    # aggregate in llm_dedup_substring — doc-sized, not position-sized.
     g_short = base.filter(~is_long).select(
         "doc_id",
-        "n_chars",
         F.explode(F.expr(f"sequence(0, length(text) - {L})")).alias("p"),
         "text",
     ).select(
         "doc_id",
-        "n_chars",
-        F.col("p").cast("long").alias("p"),
+        F.col("p").cast("int").alias("p"),
         F.xxhash64(F.expr(f"substring(text, p + 1, {L})")).alias("gh"),
     )
     segs = _doc_segments(base.filter(is_long), L)
     g_long = segs.select(
         "doc_id",
-        "n_chars",
         F.explode(F.expr("sequence(0, npos - 1)")).alias("lp"),
         "segi",
         "seg",
     ).select(
         "doc_id",
-        "n_chars",
-        (F.col("segi").cast("long") * S + F.col("lp")).alias("p"),
+        (F.col("segi") * S + F.col("lp")).cast("int").alias("p"),
         F.xxhash64(F.expr(f"substring(seg, lp + 1, {L})")).alias("gh"),
     )
     g = g_short.unionByName(g_long)
@@ -2207,7 +2209,7 @@ def duplicated_spans(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
         .select("gh")
     )
     cand = g.join(dup_gh.hint("merge"), "gh", "left_semi").select(
-        "doc_id", "n_chars", "p"
+        "doc_id", "p"
     )
     # merge hint: cand sits above a Generate (the offset explode) whose
     # row count Catalyst underestimates at the SCAN's cardinality, so on
@@ -2225,7 +2227,6 @@ def duplicated_spans(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
         "inner",
     ).select(
         "doc_id",
-        "n_chars",
         "p",
         F.expr(f"substring(text, p + 1, {L})").alias("gram"),
     )
@@ -2238,7 +2239,6 @@ def duplicated_spans(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
         ["doc_id", "segi"],
     ).select(
         "doc_id",
-        "n_chars",
         "p",
         F.expr(f"substring(seg, p - segi * {S} + 1, {L})").alias("gram"),
     )
@@ -2250,7 +2250,7 @@ def duplicated_spans(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
         .select("gram")
     )
     dup = cg.join(dup_gram.hint("merge"), "gram", "left_semi").select(
-        "doc_id", "n_chars", "p"
+        "doc_id", "p"
     )
     w = Window.partitionBy("doc_id").orderBy("p")
     isl = dup.withColumn(
@@ -2263,7 +2263,6 @@ def duplicated_spans(docs: DataFrame, L: int = _SPAN_L) -> DataFrame:
         ).over(w),
     )
     return isl.groupBy("doc_id", "isl").agg(
-        F.min("n_chars").alias("n_chars"),
         F.min("p").alias("s0"),
         (F.max("p") + L).alias("e0"),
     )
@@ -2319,12 +2318,20 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         wh.documents.select("doc_id", "text", "n_chars"), "doc_id"
     )
     spans = duplicated_spans(docs)
-    return spans.groupBy("doc_id").agg(
+    # n_chars joins back at the per-DOC aggregate (doc-sized relation)
+    # instead of riding every gram-position row through the pipeline's
+    # sort-merge semi-joins — r11, guide §2.3; value-identical because
+    # n_chars is constant per doc_id (min(n_chars) == the joined value,
+    # including the NULL-metadata rows of the nulls tier).
+    agg = spans.groupBy("doc_id").agg(
         bigint(F.count(F.lit(1))).alias("n_spans"),
         bigint(F.sum(F.col("e0") - F.col("s0"))).alias("dup_chars"),
-        bigint(
-            F.expr("(sum(e0 - s0) * 10000) div min(n_chars)")
-        ).alias("dup_bps"),
+    )
+    return agg.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        "doc_id",
+        "n_spans",
+        "dup_chars",
+        bigint(F.expr("(dup_chars * 10000) div n_chars")).alias("dup_bps"),
     )
 
 

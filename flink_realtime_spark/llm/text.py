@@ -665,9 +665,22 @@ def llm_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = wh.documents.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
-    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = tok.select("doc_id").distinct().count()
+    # r11 (guide §2.3 "aggregate before you shuffle"): tf is the only
+    # token-level pass — df derives from tf (one row per (doc, w), so
+    # COUNT(*) == COUNT(DISTINCT doc_id)) instead of re-exploding the
+    # corpus through a second token shuffle + distinct-count, and
+    # n_docs is the doc-level scan count (split() always yields ≥ 1
+    # token for non-NULL text; NULL text explodes to nothing — same
+    # membership as the oracle's COUNT(DISTINCT doc_id) over tok).
+    # localCheckpoint pins tf's single materialization for its two
+    # consumers (the minhash-postings pattern).
+    tf = (
+        tok.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = wh.documents.filter(F.col("text").isNotNull()).count()
     scored = tf.join(F.broadcast(df), "w").select(
         "doc_id",
         F.col("w").alias("term"),
@@ -849,18 +862,35 @@ def llm_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     is two-phase. The positional self-join form the oracle uses is
     equivalent but shuffles the token relation twice at scale."""
     wh = Warehouse(spark, sf_dir)
-    tok = rebalance(wh.documents, "doc_id").select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "word")
+    # r11 (guide §2.4): the previous form posexploded tokens and ran
+    # lead(word, k) under a Window partitioned by doc_id — one full
+    # token-relation shuffle + sort whose only job was to line up
+    # ws[i] with ws[i+k]. The offsets are known inside the token ARRAY
+    # already, so build the pairs with zip_with over shifted slices
+    # (the _with_shingles pattern: arrays evaluate once per row, the
+    # lambda is a cheap per-element struct) — the WindowExec and its
+    # exchange disappear; the first and only shuffle is the two-phase
+    # pair count. Same pair multiset: (ws[i], ws[i+k]) for k in 1..WIN.
+    docs = rebalance(wh.documents, "doc_id").select(
+        F.split("text", " ").alias("ws")
     )
-    w = Window.partitionBy("doc_id").orderBy("i")
-    ctxs = F.array(
-        *[F.lead("word", k).over(w) for k in range(1, _COOC_WIN + 1)]
-    )
-    pairs = (
-        tok.select(F.col("word").alias("center"), ctxs.alias("ctxs"))
-        .select("center", F.explode("ctxs").alias("context"))
-        .filter(F.col("context").isNotNull())
-    )
+    n = F.size("ws")
+
+    def _shift_pairs(k: int):
+        ln = F.greatest(n - k, F.lit(0))
+        return F.zip_with(
+            F.slice("ws", F.lit(1), ln),
+            F.slice("ws", F.lit(k + 1), ln),
+            lambda a, b: F.struct(
+                a.alias("center"), b.alias("context")
+            ),
+        )
+
+    pairs = docs.select(
+        F.explode(
+            F.concat(*[_shift_pairs(k) for k in range(1, _COOC_WIN + 1)])
+        ).alias("p")
+    ).select("p.center", "p.context")
     counts = pairs.groupBy("center", "context").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -943,23 +973,37 @@ def llm_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-row token total broadcast against the pair table; everything
     else is the co-occurrence machinery above."""
     wh = Warehouse(spark, sf_dir)
+    # r11 (guide §2.4): pairs come from zip_with over shifted slices of
+    # the token array (see llm_cooccurrence) — the lead()-window form
+    # paid a full token shuffle + sort just to align ws[i] with
+    # ws[i+k]. The unigram table is the only token-level shuffle left,
+    # and the 1-row token total folds over it (Σ nw) instead of running
+    # a second pass over the exploded tokens.
     tok = rebalance(wh.documents, "doc_id").select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "word")
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
     uni = tok.groupBy("word").agg(F.count(F.lit(1)).alias("nw"))
-    tot = tok.agg(F.count(F.lit(1)).alias("n_tok"))
-    w = Window.partitionBy("doc_id").orderBy("i")
-    # One WindowExec emitting array(lead 1..k) + explode — not a per-k
-    # union, which would re-run the window subtree per branch (the
-    # round-2 14-exchange plan).
-    ctxs = F.array(
-        *[F.lead("word", k).over(w) for k in range(1, _COOC_WIN + 1)]
+    tot = uni.agg(F.sum("nw").alias("n_tok"))
+    docs = rebalance(wh.documents, "doc_id").select(
+        F.split("text", " ").alias("ws")
     )
-    pairs = (
-        tok.select(F.col("word").alias("center"), ctxs.alias("ctxs"))
-        .select("center", F.explode("ctxs").alias("context"))
-        .filter(F.col("context").isNotNull())
-    )
+    n = F.size("ws")
+
+    def _shift_pairs(k: int):
+        ln = F.greatest(n - k, F.lit(0))
+        return F.zip_with(
+            F.slice("ws", F.lit(1), ln),
+            F.slice("ws", F.lit(k + 1), ln),
+            lambda a, b: F.struct(
+                a.alias("center"), b.alias("context")
+            ),
+        )
+
+    pairs = docs.select(
+        F.explode(
+            F.concat(*[_shift_pairs(k) for k in range(1, _COOC_WIN + 1)])
+        ).alias("p")
+    ).select("p.center", "p.context")
     counts = (
         pairs.groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -646,13 +646,70 @@ LIMIT 10
 @query("tpch_q21_waiting", _Q21_SQL)
 def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q21 shape (suppliers who kept orders waiting): the sole late
-    supplier on a multi-supplier finished order. Dialect-shared SQL: the
-    EXISTS becomes a left-semi and the NOT EXISTS a left-anti join, both
-    correlated on l_orderkey with cross-outer-table residuals
-    (l3.l_shipdate vs o.o_orderdate) — the hardest decorrelation in the
-    suite. Top-10 with unique s_name tiebreak."""
-    return _sql(
-        spark, sf_dir, ["supplier", "lineitem", "orders", "nation"], _Q21_SQL
+    supplier on a multi-supplier finished order. Top-10 with unique
+    s_name tiebreak.
+
+    Optimization (r11, guide §2.4 "remove shuffles outright"): the
+    dialect-shared EXISTS/NOT-EXISTS form scans lineitem THREE times and
+    shuffles it three ways (l1 join + decorrelated semi + anti, each
+    keyed on l_orderkey) — at 100 TB that is 3 full fact scans. The
+    subqueries only ask per-order set questions ("another supplier
+    exists" / "no other supplier is late"), so they fold into ONE
+    per-(order, supplier) aggregate over a single scan: a line
+    qualifies iff its order has ≥ 2 distinct suppliers and exactly one
+    distinct LATE supplier (that one is then necessarily l1's own —
+    l1 itself is late). numwait = Σ late lines of that sole supplier.
+    The per-order counts ride a window over the aggregate (same
+    orderkey partitioning — no extra shuffle of a second relation), so
+    the plan is 1 lineitem scan + 2 fact-sized exchanges instead of 3
+    scans + 3 exchanges. Proven equivalent: the shared-SQL oracle text
+    is unchanged and the driver hash-checks the rewritten plan against
+    it (r11 window)."""
+    from pyspark.sql import Window
+
+    wh = Warehouse(spark, sf_dir)
+    ord_f = wh.orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAY"
+    )
+    lines = (
+        wh.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(ord_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+    )
+    per_sup = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(F.col("late"), 1)).alias("n_late")
+    )
+    w_ord = Window.partitionBy("l_orderkey")
+    qualified = (
+        per_sup.withColumn("n_supp", F.count(F.lit(1)).over(w_ord))
+        .withColumn(
+            "n_late_supp",
+            F.count(F.when(F.col("n_late") > 0, 1)).over(w_ord),
+        )
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+            & (F.col("n_late") > 0)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("n_late").alias("numwait_sup"))
+    )
+    return (
+        qualified.join(
+            wh.supplier.select("s_suppkey", "s_name", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            wh.nation.select("n_nationkey", "n_name"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("s_name", "n_name")
+        .agg(F.sum("numwait_sup").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
     )
 
 

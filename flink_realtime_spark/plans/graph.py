@@ -59,48 +59,72 @@ def pagerank(
         .select("src", "dst", "deg")
         .localCheckpoint(eager=False)
     )
-    # dangling node set is static — compute once
-    dangling_nodes = nodes.join(
-        out_deg, nodes["id"] == out_deg["src"], "left_anti"
-    ).localCheckpoint(eager=False)
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(
-        eager=False
+    # r11 restructure (guide §2.4 — remove shuffles outright): the ranks
+    # relation carries its STATIC dangling flag (deg IS NULL at seed
+    # time), so the per-round dangling mass is a filter + 1-row aggregate
+    # over ranks instead of a semi-join against a separate dangling-node
+    # relation (2 exchanges/round gone), and the per-round `nodes LEFT
+    # JOIN contribs` update (2 more exchanges) collapses into the
+    # contribution aggregate itself: union one zero-contribution row per
+    # node (carrying the flag) with the per-edge contributions, and the
+    # groupBy(id) emits EXACTLY one row per node — sum(c + 0) is the same
+    # decimal sum, a no-inflow node sums the bare zero row (= the old
+    # coalesce(inflow, 0.0)), and an edge dst outside `nodes` has
+    # max(dang) NULL and is dropped by the flag filter (the old inner
+    # membership semantics of the nodes join). Each round is now ONE
+    # fact-sized exchange (the combined contribution aggregate, map-side
+    # partial) + the node-sized ranks exchange feeding the edges join +
+    # a 1-row broadcast — versus joins keyed three different ways.
+    ranks = (
+        nodes.join(out_deg, nodes["id"] == out_deg["src"], "left")
+        .select(
+            "id",
+            F.lit(1.0 / n).alias("rank"),
+            F.col("deg").isNull().alias("dang"),
+        )
+        .localCheckpoint(eager=False)
     )
     # Lineage truncation every SECOND round, not every round: each round
-    # references ranks ~3× (contribs, dangling mass, update join), so the
+    # references ranks ~3× (contribs, zero rows, dangling mass), so the
     # un-truncated plan tree grows ~3^k across k un-checkpointed rounds —
     # but one round of that growth is cheap to plan, and each checkpoint
     # is a materialization barrier. Measured at sf0.1: every-round 3.14 s,
     # every-2 2.27 s, every-5 3.62 s (plan blowup wins again) — 2 is the
     # sweet spot. Ranks are bit-identical either way (decimal sums).
     for _i in range(iters):
-        contribs = (
-            edges_w.join(ranks, edges_w["src"] == ranks["id"])
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("rank") / F.col("deg")).cast(_DEC).alias("c"),
-            )
+        contribs_in = edges_w.join(
+            ranks, edges_w["src"] == ranks["id"]
+        ).select(
+            F.col("dst").alias("id"),
+            (F.col("rank") / F.col("deg")).cast(_DEC).alias("c"),
+            F.lit(None).cast("boolean").alias("dang"),
+        )
+        zero = ranks.select(
+            "id", F.lit(0).cast(_DEC).alias("c"), "dang"
+        )
+        agg = (
+            contribs_in.unionByName(zero)
             .groupBy("id")
-            .agg(F.sum("c").cast("double").alias("inflow"))
+            .agg(
+                F.sum("c").cast("double").alias("inflow"),
+                F.max("dang").alias("dang"),
+            )
+            .filter(F.col("dang").isNotNull())
         )
         # dangling mass as a broadcast 1-row relation: the whole round stays
         # ONE distributed plan — no driver round-trip per iteration
-        dmass = (
-            ranks.join(dangling_nodes.select("id"), "id", "left_semi")
-            .agg(F.sum(F.col("rank").cast(_DEC)).cast("double").alias("dm"))
+        dmass = ranks.filter(F.col("dang")).agg(
+            F.sum(F.col("rank").cast(_DEC)).cast("double").alias("dm")
         )
-        ranks = (
-            nodes.join(contribs, "id", "left")
-            .crossJoin(F.broadcast(dmass))
-            .select(
-                "id",
-                (
-                    F.lit((1.0 - beta) / n)
-                    + F.lit(beta) * F.coalesce("dm", F.lit(0.0)) / n
-                    + F.lit(beta) * F.coalesce("inflow", F.lit(0.0))
-                ).alias("rank"),
-            )
+        ranks = agg.crossJoin(F.broadcast(dmass)).select(
+            "id",
+            (
+                F.lit((1.0 - beta) / n)
+                + F.lit(beta) * F.coalesce("dm", F.lit(0.0)) / n
+                + F.lit(beta) * F.coalesce("inflow", F.lit(0.0))
+            ).alias("rank"),
+            "dang",
         )
         if _i % 2 == 1 or _i == iters - 1:
             ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+    return ranks.select("id", "rank")

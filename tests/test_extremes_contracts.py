@@ -103,6 +103,33 @@ def test_dsum_sql_decimal_to_double_22_digits():
     assert float("2114356965.320999971774") == got
 
 
+def test_json_k_variant_double_truncates_toward_zero():
+    """Spark's try_variant_get(..., 'long') coerces a JSON double by
+    TRUNCATION toward zero (3.5→3, -2.5→-2 — verified in Spark, ADVICE
+    r10), while DuckDB's bare TRY_CAST(DOUBLE AS BIGINT) rounds
+    half-even (3.5→4). The oracle form must route through trunc() to
+    mirror truncation and keep out-of-range → NULL."""
+    from flink_realtime_spark.exprs import json_k_variant_sql
+
+    con = duckdb.connect()
+    expr = json_k_variant_sql("p")
+    cases = {
+        '{"k": 3.7}': 3,
+        '{"k": 3.5}': 3,
+        '{"k": -2.5}': -2,
+        '{"k": -3.7}': -3,
+        '{"k": 0.30000000000000004}': 0,
+        '{"k": 1.7976931348623157e308}': None,  # out of int64 range
+        '{"k": 1e309}': None,  # Infinity
+        '{"k": 42}': 42,  # integral path untouched
+    }
+    for doc, want in cases.items():
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS p)", [doc]
+        ).fetchone()[0]
+        assert got == want, (doc, got, want)
+
+
 def test_chunk_oracle_linear_and_exact():
     """The positional fan-out chunk oracle: same chunks as a direct
     slice reference, including the clamped final partial chunk and the

@@ -623,6 +623,8 @@ EXTREME_PROPS = (
     '{"k": 1.7976931348623157e308}',  # double max
     '{"k": 1e309}',                 # overflows double (Infinity)
     '{"k": 0.30000000000000004}',   # shortest-repr boundary double
+    '{"k": 3.7}',                   # fractional ≥ .5: truncate-vs-round
+    '{"k": -2.5}',                  # negative half: trunc -2 vs half-even -2
     '{"k": "42"}',                  # type switch: string-valued k
     '{"k": [1, 2, 3]}',             # type switch: array-valued k
     '{"k": 2, "k": 3}',             # DUPLICATE key (first- vs last-wins)
