@@ -2327,7 +2327,12 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.count(F.lit(1))).alias("n_spans"),
         bigint(F.sum(F.col("e0") - F.col("s0"))).alias("dup_chars"),
     )
-    return agg.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+    # merge hint: keeps the family's no-BroadcastExchange invariant
+    # (tests/test_plans.py — the r06b OOM finding); both sides are
+    # doc-sized so the SMJ costs one doc-level exchange pair.
+    return agg.join(
+        docs.select("doc_id", "n_chars").hint("merge"), "doc_id"
+    ).select(
         "doc_id",
         "n_spans",
         "dup_chars",

@@ -112,12 +112,17 @@ def test_q10_topn_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan_of(spark, "tpch_q10_returns")
 
 
-def test_q21_decorrelates_to_semi_anti(spark):
-    # EXISTS/NOT EXISTS must become joins — no per-row subquery re-execution.
+def test_q21_single_lineitem_scan(spark):
+    """r11 rewrite: the EXISTS/NOT-EXISTS pair folds into one
+    per-(order, supplier) aggregate + per-order window — lineitem must
+    be scanned exactly ONCE (the decorrelated semi/anti form scanned it
+    three times and shuffled it three ways), with no per-row subquery
+    re-execution (no existence/semi/anti nodes at all)."""
     plan = plan_of(spark, "tpch_q21_waiting")
     low = plan.lower()
-    assert "leftsemi" in low or "existencejoin" in low
-    assert "leftanti" in low
+    assert low.count("lineitem.parquet") == 1
+    assert "leftsemi" not in low and "leftanti" not in low
+    assert "window" in low
 
 
 def test_aqe_splits_skewed_join(spark):
