@@ -220,14 +220,24 @@ def ngram_jaccard_pairs(docs: DataFrame, mode: str = "auto") -> DataFrame:
       asserted by tests and the --zipf probe."""
     spark = docs.sparkSession
     sh = _with_shingles(docs.select("doc_id", "text")).select("doc_id", "sh")
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     # Join on the 64-bit hash of the shingle, not the string: the shuffle
     # carries 8-byte keys instead of ~30-byte strings and the hash join
     # compares longs (SCALE.md Lessons: scalar join keys). A 64-bit
     # collision merging two distinct shingles has p ≈ n²/2⁶⁵ — immaterial.
+    # r11 (guide §2.3/§2.4): each posting row carries its doc's shingle
+    # count n_sh (a 4-byte int — size(sh) counts the distinct shingle
+    # STRINGS, exactly what the old `sizes` relation computed). The
+    # count rides the self-join and lands in the pair aggregate via
+    # first(), so the candidate-pair relation is never re-shuffled
+    # against a separate sizes table (2 joins gone) and the corpus is
+    # not re-scanned to rebuild shingles for it (1 full pass gone).
     postings = (
-        sh.select("doc_id", F.explode("sh").alias("shingle"))
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        sh.select(
+            "doc_id",
+            F.size("sh").cast("int").alias("n_sh"),
+            F.explode("sh").alias("shingle"),
+        )
+        .select("doc_id", "n_sh", F.xxhash64("shingle").alias("shingle"))
         .localCheckpoint(eager=False)  # build shingles once, not per join side
     )
     if mode == "auto":
@@ -263,18 +273,16 @@ def ngram_jaccard_pairs(docs: DataFrame, mode: str = "auto") -> DataFrame:
                 F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
             )
-            .agg(F.count(F.lit(1)).alias("shared"))
+            .agg(
+                F.count(F.lit(1)).alias("shared"),
+                # n_sh is constant per doc — first() under the pair key
+                # is the value the old sizes join attached
+                F.first(F.col("a.n_sh")).alias("na"),
+                F.first(F.col("b.n_sh")).alias("nb"),
+            )
         )
         return (
-            pairs.join(
-                sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}),
-                "doc_a",
-            )
-            .join(
-                sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}),
-                "doc_b",
-            )
-            .withColumn(
+            pairs.withColumn(
                 "jaccard",
                 F.col("shared").cast("double")
                 / (F.col("na") + F.col("nb") - F.col("shared")),
@@ -307,9 +315,9 @@ def ngram_jaccard_pairs(docs: DataFrame, mode: str = "auto") -> DataFrame:
         ),
     )
     pre = (
-        ranked.join(sizes, "doc_id")
-        # prefix length for t=0.5: n - ceil(n/2) + 1 = floor(n/2) + 1
-        .filter(F.col("r") <= F.floor(F.col("n_sh") / 2) + 1)
+        # prefix length for t=0.5: n - ceil(n/2) + 1 = floor(n/2) + 1;
+        # n_sh rides the posting rows (r11) — no sizes join
+        ranked.filter(F.col("r") <= F.floor(F.col("n_sh") / 2) + 1)
         .select("doc_id", "shingle")
     )
     cand = (
@@ -1484,13 +1492,14 @@ def llm_dedup_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mapped = mapped.localCheckpoint(eager=False)  # feeds reps + expansion
-    reps = (
-        mapped.filter(F.col("doc_id") == F.col("rep_exact"))
-        .select("doc_id")
-        .join(wh.documents.select("doc_id", "text"), "doc_id")
+    rep_ids = mapped.filter(F.col("doc_id") == F.col("rep_exact")).select(
+        "doc_id"
     )
+    reps = rep_ids.join(wh.documents.select("doc_id", "text"), "doc_id")
     pairs = minhash_pairs_over(reps).select("doc_a", "doc_b")
-    labels = connected_components(reps.select("doc_id"), pairs)
+    # CC's node set needs only the rep ids — same set as reps (every
+    # mapped doc_id exists in documents), minus one text join (r11).
+    labels = connected_components(rep_ids, pairs)
     expanded = mapped.join(
         labels.withColumnsRenamed({"doc_id": "rep_exact"}), "rep_exact"
     ).select("doc_id", "rep_id")

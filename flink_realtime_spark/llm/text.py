@@ -311,9 +311,13 @@ def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         _with_shingles(wh.documents.select("doc_id", "text"))
         .select("doc_id", F.explode("sh").alias("sh"))
     )
+    # sh explodes from an array_distinct'ed array (_with_shingles), so
+    # the rows are already distinct per doc: COUNT(*) == COUNT(DISTINCT)
+    # and the countDistinct Expand + double-aggregate phase is pure
+    # overhead (r11, guide §2.4).
     return shingles.groupBy("doc_id").agg(
         F.min(F.md5("sh")).alias("fingerprint"),
-        F.countDistinct("sh").alias("n_shingles"),
+        F.count(F.lit(1)).alias("n_shingles"),
     )
 
 

@@ -768,8 +768,44 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed fraction of GLOBAL revenue — a HAVING over an uncorrelated scalar
     subquery (one-row broadcast against the grouped aggregate). Both sides
     of the comparison are exact decimal sums cast to double before the
-    fraction multiply, so the cut is engine-invariant."""
-    return _sql(spark, sf_dir, ["lineitem"], _Q11_SQL)
+    fraction multiply, so the cut is engine-invariant.
+
+    Optimization (r11, guide §2.4): the shared SQL form scans lineitem
+    TWICE (per-part aggregate + global-sum subquery). The global sum
+    folds EXACTLY over the per-part aggregate instead: the decimal
+    channel re-aggregates exactly (decimal addition is associative) and
+    the specials channel sums only literal 0.0s and non-finite values
+    (order-insensitive IEEE propagation, the dsum contract) — so ONE
+    fact scan feeds both sides and the threshold rides a 1-row
+    broadcast. The per-row double→decimal cast is Spark's native cast
+    (repr-quantize, the same value the oracle's string route pins);
+    equivalence driver-hash-checked incl. the extremes tier."""
+    wh = Warehouse(spark, sf_dir)
+    expr = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    nf = nonfinite(expr)
+    per_part = wh.lineitem.groupBy("l_partkey").agg(
+        F.sum(F.when(nf, expr).otherwise(F.lit(0.0))).alias("__ss"),
+        F.sum(F.when(~nf, expr).cast("decimal(38,12)")).alias("__dec"),
+    )
+
+    def _val(ss: F.Column, dec: F.Column) -> F.Column:
+        return F.when(F.isnan(ss) | (ss != 0.0), ss).otherwise(
+            dec.cast("string").cast("double")
+        )
+
+    tot = per_part.agg(
+        F.sum("__ss").alias("__gss"), F.sum("__dec").alias("__gdec")
+    ).select(
+        (_val(F.col("__gss"), F.col("__gdec")) * F.lit(0.0008)).alias(
+            "__thr"
+        )
+    )
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .withColumn("part_value", _val(F.col("__ss"), F.col("__dec")))
+        .filter(F.col("part_value") > F.col("__thr"))
+        .select("l_partkey", "part_value")
+    )
 
 
 _Q4_ORACLE = """
