@@ -366,18 +366,36 @@ def main() -> int:
     print(f"entry() smoke: {n} rows OK", flush=True)
 
     qs, oracles = e.queries(), e.oracle_sql()
-    con = duckdb.connect()
     import os
 
-    for t in TABLES:
-        p = f"{SF}/{t}.parquet"
-        # scale_probe.py replicated dirs are Spark-written parquet
-        # DIRECTORIES; the testdata fixtures are single files.
-        if os.path.isdir(p) and not os.path.islink(p):
-            p = f"{p}/*.parquet"
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
-        )
+    def fresh_con():
+        # A FRESH connection per oracle query (r11 find): DuckDB 1.0's
+        # buffer manager leaks pinned blocks across heavy string-CTE
+        # queries on one connection — after ~16 grow100 oracles even an
+        # 8-BYTE allocation fails ("bad allocation") and every later
+        # oracle in the run "fails" with it (zero real mismatches; each
+        # key passes alone). Reconnecting returns each key a clean
+        # budget. The explicit memory_limit + temp_directory make a
+        # single heavy oracle SPILL instead of exhausting the box the
+        # Spark driver (--mem 24g) and the Python collects share
+        # (DuckDB's default limit is 80% of physical RAM and its 1.0
+        # accounting under-counts string hash aggregates ~2×).
+        c = duckdb.connect()
+        c.execute("SET memory_limit='24GB'")
+        os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
+        for t in TABLES:
+            p = f"{SF}/{t}.parquet"
+            # scale_probe.py replicated dirs are Spark-written parquet
+            # DIRECTORIES; the testdata fixtures are single files.
+            if os.path.isdir(p) and not os.path.islink(p):
+                p = f"{p}/*.parquet"
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+        return c
+
+    con = fresh_con()
 
     keys = only or list(qs)  # driver iterates queries() in insertion order
     failures = []
@@ -394,6 +412,8 @@ def main() -> int:
                 print(f"{k:28s} rows-only: {len(srows)} rows  [{t_spark:5.2f}s]", flush=True)
                 continue
             t0 = time.time()
+            con.close()
+            con = fresh_con()  # per-key budget; see fresh_con
             cur = con.execute(oracles[k])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
