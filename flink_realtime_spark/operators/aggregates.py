@@ -881,12 +881,19 @@ def ads_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         / COUNT(*) OVER w
       AS DOUBLE) AS gmv_7d_avg,
       CAST(ROW_NUMBER() OVER (
-        PARTITION BY date_trunc('month', day)
+        PARTITION BY day IS NOT DISTINCT FROM NULL,
+                     date_trunc('month', day)
         ORDER BY gmv DESC NULLS LAST, day
       ) AS BIGINT) AS rank_in_month
     FROM daily
     -- IS NOT DISTINCT FROM NULL: DuckDB 1.0 misfolds IS NULL to FALSE
-    -- on a GROUP-BY-computed key (see ads_monthly_yoy)
+    -- on a GROUP-BY-computed key (see ads_monthly_yoy). The rank
+    -- partition ALSO leads with day-nullness: DuckDB's window
+    -- partitioning of the misfolded NULL computed key is run-to-run
+    -- UNSTABLE (r11 nulls-tier find — the NULL-day row wandered into a
+    -- different real month's partition per run, shifting that month's
+    -- ranks by one), so the null row is pinned to its own partition by
+    -- a non-null boolean key on BOTH sides.
     WINDOW w AS (PARTITION BY day IS NOT DISTINCT FROM NULL
                  ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
@@ -923,9 +930,9 @@ def ads_gmv_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(-6, Window.currentRow)
     )
-    wm = Window.partitionBy(dtrunc("month", "day")).orderBy(
-        F.col("gmv").desc_nulls_last(), F.col("day")
-    )
+    wm = Window.partitionBy(
+        F.col("day").isNull(), dtrunc("month", "day")
+    ).orderBy(F.col("gmv").desc_nulls_last(), F.col("day"))
     return daily.select(
         "day",
         "gmv",

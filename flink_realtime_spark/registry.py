@@ -57,46 +57,54 @@ _loaded = False
 # round's first 50 rotates to keys no prior CORRECTNESS_r*.json sampled
 # (after r05, EVERY oracle key has a green record — the game is now
 # freshness, stalest first).
-# Round-10 window (VERDICT r9 #1; generated from the CORRECTNESS_r0*.json
+# Round-11 window (VERDICT r10 #1; generated from the CORRECTNESS_r0*.json
 # vintage data + this round's commit log — not from the prior round's
-# comment): (a) the 32 oracle keys DEEPLY REWORKED by the r10 extremes
-# tier (SCALE.md "extremes tier", 8 divergence classes: the portable
-# whitespace class, repr-quantize string routes, (38,12) product casts +
-# exact moments, the three JSON extraction contracts, segmented
-# substring mining, linear chunking, the two_stage dedicated oracle,
-# make_timestamp window bounds), in commit order, so the driver
-# re-verifies every changed contract first. (b) 18 slots of the r05
-# spill in CORRECTNESS_r05 record order (3 more spill keys — agg_stats,
-# tpch_q3_priority, ads_layered_pipeline — sit in block a; bpe too).
-# Blocks sum to exactly 50. Remaining r05-vintage pool for r11
-# (17 keys): join_outer_full, join_salted_skew, setop_union_distinct,
-# setop_intersect, setop_except, setop_intersect_all, setop_except_all,
-# agg_count_distinct, agg_collect, agg_retention, subq_scalar_corr,
-# subq_in_having, subq_exists_delayed, subq_not_exists_dormant,
-# tpch_q13_custdist, ads_daily_uv_pv, ads_retention_cohort — plus the
-# ~45 keys whose oracle TEXT changed in r10 only through the shared
-# *_sql string-route rework (outputs identical on clean fixtures;
-# verified by this round's five full-registry sweeps).
+# comment): (a) the 16 oracle keys REWORKED by the r11 optimization
+# round, in commit order — the variant long-coercion truncation fix
+# (ORACLE TEXT changed: scalar_json_props, scalar_variant,
+# dwd_clean_route), then the plan rewrites (q21 1-scan fold,
+# cooccurrence/collocation zip_with, doc_keywords single token pass,
+# substring-family narrowed gram rows, pagerank 2-exchange rounds,
+# pairs-engine n_sh carry, q11 reusable subtree, two_stage CC node set,
+# doc_fingerprint count) — so the driver re-verifies every changed plan
+# first. (b) the 17 remaining r05-vintage keys in CORRECTNESS_r05
+# record order (closes the r05 backlog: no oracle key's latest record
+# is older than r06 after this round). (c) 17 of the 49 keys whose
+# oracle TEXT changed in r10 via the shared *_sql string-route rework
+# but were never driver-sampled — the decimal-boundary ones first
+# (revenue/gmv boards, window/over dsum-davg users), stalest-first in
+# their CORRECTNESS record order. Blocks sum to exactly 50. Remaining
+# r10-text-changed pool for r12 (24 keys): agg_approx_quantile,
+# agg_cube, agg_grouping_sets, agg_histogram, agg_max_by, agg_rollup,
+# dq_drift_chi2, join_dim_broadcast, join_range_binned,
+# llm_centroid_dist, llm_curation_pipeline, llm_dedup_cluster,
+# llm_dedup_containment, llm_dedup_editdist, llm_dedup_incremental,
+# llm_dedup_minhash, llm_dedup_simhash_pairs, llm_embedding_quantize,
+# llm_knn_ivf_hash, llm_random_projection, mv_incremental_refresh,
+# scalar_math, state_rule_engine, udaf_grouped_pandas.
 _PRIORITY_HEAD = [
-    # (a) reworked in r10, in commit order
-    "llm_doc_fingerprint", "llm_dedup_simhash", "llm_dedup_exact",
-    "llm_dedup_two_stage", "llm_text_normalize", "llm_token_count",
-    "dq_anomaly_zscore", "ads_gmv_dashboard", "ads_pareto_share",
-    "llm_repetition", "llm_chunk_split", "llm_decontaminate",
-    "llm_source_overlap", "llm_dup_gram_share", "llm_dedup_substring",
-    "llm_substring_clean", "llm_top_boilerplate", "scalar_json_props",
-    "scalar_variant", "dwd_clean_route", "dwd_try_safety",
-    "ads_layered_pipeline", "agg_star_flagship", "tpch_q1_pricing",
-    "tpch_q3_priority", "tpch_q7_volume_shipping", "tpch_q9_profit",
-    "agg_stats", "cogroup_apply", "over_pct_of_total",
-    "win_tumble_offset", "llm_bpe_pair_freq",
-    # (b) r05-spill refresh, in CORRECTNESS_r05 record order
-    "llm_cooccurrence", "state_change_feed", "pipe_shuffle_shard",
-    "pipe_dataset_card", "pipe_token_budget", "tpch_q8_market_share",
-    "tpch_q17_small_qty", "tpch_q20_promo_suppliers", "tpch_q21_waiting",
-    "win_late_refire", "scalar_calendar_dow", "scalar_div_mod",
-    "sort_nulls_first", "join_interval_left", "ads_stickiness_sketch",
-    "llm_line_dedup", "agg_unpivot", "state_store_audit",
+    # (a) reworked in r11, in commit order
+    "scalar_json_props", "scalar_variant", "dwd_clean_route",
+    "tpch_q21_waiting", "llm_cooccurrence", "llm_collocation_lift",
+    "llm_doc_keywords", "llm_dedup_substring", "llm_substring_clean",
+    "llm_top_boilerplate", "graph_pagerank", "llm_dedup_ngram_jaccard",
+    "pipe_split_leakage_safe", "tpch_q11_important_parts",
+    "llm_dedup_two_stage", "llm_doc_fingerprint",
+    # (b) the r05-vintage backlog, in CORRECTNESS_r05 record order
+    "join_outer_full", "join_salted_skew", "setop_union_distinct",
+    "setop_intersect", "setop_except", "setop_intersect_all",
+    "setop_except_all", "agg_count_distinct", "agg_collect",
+    "agg_retention", "subq_scalar_corr", "subq_in_having",
+    "subq_exists_delayed", "subq_not_exists_dormant",
+    "tpch_q13_custdist", "ads_daily_uv_pv", "ads_retention_cohort",
+    # (c) r10 text-changed-but-unsampled, decimal-boundary first,
+    # stalest-first in CORRECTNESS record order
+    "agg_groupby_basic", "tpch_q6_forecast", "win_tumble",
+    "win_slide", "win_session", "over_moving_avg", "over_time_range",
+    "over_running_sum", "win_cumulate", "tpch_q5_local_supplier",
+    "tpch_q10_returns", "tpch_q14_promo", "tpch_q15_top_supplier",
+    "tpch_q19_disjunct", "tpch_q22_dormant_rich", "ads_monthly_yoy",
+    "tpch_q18_large_volume",
 ]
 
 # Streaming-executing / estimator-fit keys with rows-only or property

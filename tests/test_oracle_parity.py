@@ -44,10 +44,12 @@ def test_entry_smoke(spark):
 
 def test_driver_window_rotation():
     """The driver checks exactly the FIRST 50 keys of ordered_queries()
-    per round (CLAUDE.md "Driver sampling"). Lock the round-10 contract
-    (VERDICT r9 #1): the 32 keys deeply reworked by the extremes tier
-    lead, then 18 slots refresh the r05 spill — no slot re-samples
-    fresh records."""
+    per round (CLAUDE.md "Driver sampling"). Lock the round-11 contract
+    (VERDICT r10 #1): the 16 keys reworked by the r11 optimization
+    round lead (the driver re-verifies every changed plan/oracle), then
+    the 17 remaining r05-vintage keys close the r05 backlog, then 17 of
+    the r10 text-changed-but-unsampled pool — no slot re-samples fresh
+    records."""
     import json
     import os
 
@@ -68,6 +70,7 @@ def test_driver_window_rotation():
         (7, "CORRECTNESS_r07.json"),
         (8, "CORRECTNESS_r08.json"),
         (9, "CORRECTNESS_r09.json"),
+        (10, "CORRECTNESS_r10.json"),
     ):
         path = os.path.join(root, rec)
         if os.path.isfile(path):
@@ -78,45 +81,49 @@ def test_driver_window_rotation():
         pytest.skip("no prior CORRECTNESS records in this checkout")
     ordered = list(registry.ordered_queries())
     window = ordered[:50]
-    # front: every oracle key DEEPLY reworked in r10 — the extremes
-    # tier's eight divergence classes (SCALE.md "extremes tier") — so
-    # the driver re-verifies the new contracts first
-    reworked_r10 = {
-        "llm_doc_fingerprint", "llm_dedup_simhash", "llm_dedup_exact",
-        "llm_dedup_two_stage", "llm_text_normalize", "llm_token_count",
-        "dq_anomaly_zscore", "ads_gmv_dashboard", "ads_pareto_share",
-        "llm_repetition", "llm_chunk_split", "llm_decontaminate",
-        "llm_source_overlap", "llm_dup_gram_share", "llm_dedup_substring",
-        "llm_substring_clean", "llm_top_boilerplate", "scalar_json_props",
-        "scalar_variant", "dwd_clean_route", "dwd_try_safety",
-        "ads_layered_pipeline", "agg_star_flagship", "tpch_q1_pricing",
-        "tpch_q3_priority", "tpch_q7_volume_shipping", "tpch_q9_profit",
-        "agg_stats", "cogroup_apply", "over_pct_of_total",
-        "win_tumble_offset", "llm_bpe_pair_freq",
+    # front: every key reworked by the r11 optimization round (variant
+    # truncation oracles + the nine plan rewrites, OPTIMIZATION_r11.md)
+    # — the driver re-verifies every changed plan/oracle first
+    reworked_r11 = {
+        "scalar_json_props", "scalar_variant", "dwd_clean_route",
+        "tpch_q21_waiting", "llm_cooccurrence", "llm_collocation_lift",
+        "llm_doc_keywords", "llm_dedup_substring", "llm_substring_clean",
+        "llm_top_boilerplate", "graph_pagerank", "llm_dedup_ngram_jaccard",
+        "pipe_split_leakage_safe", "tpch_q11_important_parts",
+        "llm_dedup_two_stage", "llm_doc_fingerprint",
     }
-    assert set(window[:32]) == reworked_r10
-    # self-check: every oracle embedding the strict-JSON contract
-    # (json_keys uniqueness — exprs.json_strict_unique_sql) must sit in
-    # the reworked block
-    json_marked = {
+    assert set(window[:16]) == reworked_r11
+    # self-check: every oracle embedding the variant long-coercion
+    # truncation contract (exprs.json_k_variant_sql's trunc route —
+    # the r11 ADVICE fix) must sit in the reworked block
+    trunc_marked = {
         k for k, sql in registry.ORACLES.items()
-        if sql and "json_keys(" in sql
+        if sql and "trunc(TRY_CAST" in sql
     }
-    assert json_marked <= reworked_r10, sorted(json_marked - reworked_r10)
-    # back: 18 slots of the r05 spill, every one r05-vintage
-    spill = window[32:]
-    assert len(spill) == 18
+    assert trunc_marked <= reworked_r11, sorted(trunc_marked - reworked_r11)
+    # middle: the 17 remaining r05-vintage keys — closes the r05
+    # backlog (VERDICT r10 #1); every one must still be r05-vintage
+    spill = window[16:33]
+    assert len(spill) == 17
     stale_wrong = [k for k in spill if latest.get(k) != 5]
     assert stale_wrong == [], stale_wrong
+    # back: 17 slots of the r10 text-changed-but-unsampled pool —
+    # vintage r06-r09 (nothing fresh re-sampled)
+    tail = window[33:]
+    assert len(tail) == 17
+    fresh_wrong = [k for k in tail if not (6 <= latest.get(k, 0) <= 9)]
+    assert fresh_wrong == [], fresh_wrong
     # every oracle key with no driver record yet is in the window
     never = [
         k for k in ordered if k not in latest and k in registry.ORACLES
     ]
     assert set(never) <= set(window), sorted(set(never) - set(window))
-    # nothing older than r05 remains anywhere (r09 cleared the r04
-    # cohort)
+    # nothing older than r05 remains anywhere, and after this round's
+    # record lands the r05 cohort itself is cleared
     pre_r05 = [k for k, r in latest.items() if r < 5 and k in registry.ORACLES]
     assert pre_r05 == [], pre_r05
+    r05_left = {k for k, r in latest.items() if r == 5 and k in registry.ORACLES}
+    assert r05_left <= set(spill), sorted(r05_left - set(spill))
 
 
 _ASOF_RANK_SPECS = {
