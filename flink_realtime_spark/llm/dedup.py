@@ -1011,13 +1011,24 @@ def _symmetrize(pairs: DataFrame) -> DataFrame:
 def _large_star(adj: DataFrame) -> DataFrame:
     """Large-star round (Kiveris et al., "Connected Components in MapReduce
     and Beyond"): every node connects its strictly-larger neighbors to the
-    minimum of its closed neighborhood. One groupBy + one join, all keyed."""
+    minimum of its closed neighborhood. One groupBy + one join, all keyed.
+
+    r12 (guide §2.4 "two operations keyed the same way share one
+    exchange"): the adjacency is explicitly hash-partitioned by u ONCE,
+    so the min-aggregate AND the join-left both consume that single
+    exchange (identical subtree — AQE stage reuse shuffles the relation
+    once) instead of the planner inserting two independent adj shuffles
+    (partial-agg exchange + join-side exchange). No explicit partition
+    count: AQE coalescing keeps it scale-adaptive. The v > u filter
+    moves below the join (m is unique per u, so join-then-filter ==
+    filter-then-join) — the join's left side carries half the rows."""
+    adj = adj.repartition("u")
     m = adj.groupBy("u").agg(F.min("v").alias("mn")).select(
         "u", F.least(F.col("mn"), F.col("u")).alias("m")
     )
     return (
-        adj.join(m, "u")
-        .filter(F.col("v") > F.col("u"))
+        adj.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
         .select(F.col("v").alias("doc_a"), F.col("m").alias("doc_b"))
         .filter(F.col("doc_a") != F.col("doc_b"))
         .distinct()
@@ -1026,8 +1037,10 @@ def _large_star(adj: DataFrame) -> DataFrame:
 
 def _small_star(adj: DataFrame) -> DataFrame:
     """Small-star round: every node connects its smaller neighbors (and
-    itself) to the minimum of those neighbors."""
-    small = adj.filter(F.col("v") < F.col("u"))
+    itself) to the minimum of those neighbors. Same one-exchange shape as
+    _large_star (r12): the repartition sits AFTER the v < u filter, so
+    the single shared shuffle carries only the small-neighbor half."""
+    small = adj.filter(F.col("v") < F.col("u")).repartition("u")
     m = small.groupBy("u").agg(F.min("v").alias("m"))
     leaf_edges = (
         small.join(m, "u")
@@ -2523,8 +2536,35 @@ def llm_top_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spans = duplicated_spans(docs)
     # spans is post-aggregate and dup-rate-sized — merge hint as above.
-    snip = spans.join(docs.select("doc_id", "text").hint("merge"), "doc_id").select(
-        F.expr("substring(text, s0 + 1, e0 - s0)").alias("snippet")
+    # r12 (VERDICT r11 #6, guide §2.4/§3): the snippet re-join used to
+    # shuffle the WHOLE corpus text a second time (duplicated_spans
+    # already shuffles it once for the exact-gram recompute). Splitting
+    # the join by the same short/long predicate duplicated_spans uses
+    # makes the short side's exchange subtree BYTE-IDENTICAL to the one
+    # inside duplicated_spans (same docs object, same filter/select), so
+    # AQE stage reuse ships the short-doc text once for both consumers;
+    # the long side re-shuffles only the rare giant docs (whose segment
+    # relation, not raw text, is what duplicated_spans exchanges).
+    # Equivalent join: spans only exist for len(text) >= L docs, and
+    # short/long partition that set, so union-of-inner-joins == the old
+    # single inner join. The docs-relation filter also drops sub-L docs
+    # from the shuffle outright (they can never carry a span).
+    base = docs.filter(F.length("text") >= _SPAN_L)
+    is_long = F.length("text") >= _SPAN_L + _SEG_S
+    snip = (
+        spans.join(
+            base.filter(~is_long).select("doc_id", "text").hint("merge"),
+            "doc_id",
+        )
+        .unionByName(
+            spans.join(
+                base.filter(is_long)
+                .select("doc_id", "text")
+                .hint("merge"),
+                "doc_id",
+            )
+        )
+        .select(F.expr("substring(text, s0 + 1, e0 - s0)").alias("snippet"))
     )
     return (
         snip.groupBy("snippet")

@@ -614,17 +614,26 @@ def llm_word_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
-    total = tok.count()  # one scalar action; a literal beats a cross join
+    # r12 (guide §2.4, the doc_keywords pattern): `total = tok.count()`
+    # was a separate driver action that re-exploded the WHOLE corpus a
+    # second time just to count tokens. The total folds over the (tiny)
+    # frequency aggregate instead — SUM(n) == COUNT(*) over tok by
+    # construction — as a 1-row broadcast crossJoin, so the query is one
+    # distributed plan with one token-level pass. Per-row value
+    # identical: long->double casts on both forms, same IEEE division.
+    total = freq.agg(F.sum("n").alias("total"))
     return (
         tok.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             (
                 F.sum(
-                    (F.col("n").cast("double") / F.lit(float(total))).cast(
-                        "decimal(28,12)"
-                    )
+                    (
+                        F.col("n").cast("double")
+                        / F.col("total").cast("double")
+                    ).cast("decimal(28,12)")
                 ).cast("double")
                 / F.count(F.lit(1))
             ).cast("double").alias("mean_token_freq"),
@@ -684,11 +693,24 @@ def llm_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = wh.documents.filter(F.col("text").isNotNull()).count()
-    scored = tf.join(F.broadcast(df), "w").select(
+    # r12 (VERDICT r11 #8, guide §2.4): n_docs was a separate `.count()`
+    # DRIVER ACTION per execution (a whole extra Spark job + a doc-table
+    # scan before the real query even started). Folded as a 1-row
+    # broadcast crossJoin (the q11 threshold pattern) so the query is ONE
+    # distributed plan. Value-identical: COUNT(non-NULL text) == the old
+    # filter().count(), and tf(long) * n_docs(long) stays a long product
+    # before the same double cast/division.
+    n = wh.documents.agg(
+        F.count(F.when(F.col("text").isNotNull(), F.lit(1))).alias(
+            "n_docs"
+        )
+    )
+    scored = tf.join(F.broadcast(df), "w").crossJoin(F.broadcast(n)).select(
         "doc_id",
         F.col("w").alias("term"),
-        ((F.col("tf") * n_docs).cast("double") / F.col("df")).alias("score"),
+        ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+            "score"
+        ),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
     return (

@@ -54,11 +54,43 @@ def pagerank(
     # at 100 TB this is the classic invariant-hoisting every iterative
     # dataflow needs, the same reason Flink's iterate() keeps loop
     # constants cached).
-    edges_w = (
-        edges.join(out_deg, "src")
-        .select("src", "dst", "deg")
-        .localCheckpoint(eager=False)
-    )
+    # r12 (guide §2.4 — remove shuffles outright): the relation is
+    # hash-partitioned by src ONCE and pinned with persist(), so every
+    # round's contribution join consumes that partitioning instead of
+    # re-shuffling the edge relation per round (iters fact-sized
+    # exchanges -> 1 at scale; at fixture scale the ranks side
+    # broadcasts and the one-time repartition is the only cost).
+    # persist, not localCheckpoint: under AQE a checkpointed frame
+    # reports UnknownPartitioning (AdaptiveSparkPlanExec hides the final
+    # partitioning), while a cached plan compiles with AQE off
+    # (canChangeCachedPlanOutputPartitioning=false default) and keeps
+    # HashPartitioning visible to EnsureRequirements — measured: the
+    # checkpoint form re-shuffles edges in every round's SMJ, the
+    # persisted form never does. Safe to persist (the correctness rule
+    # reserves localCheckpoint for per-materialization values): edge
+    # content is deterministic, so an evicted partition recomputes
+    # identically. Partition count = defaultParallelism (cluster-total
+    # cores), scale-adaptive, not a local[32] constant; lineage stays
+    # shallow because pairs/out_deg above are checkpointed.
+    try:
+        # Spark Connect has no SparkContext handle (the rebalance()
+        # pattern): fall back to the checkpointed form there.
+        sc_parallelism = edges.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        sc_parallelism = None
+    if sc_parallelism:
+        edges_w = (
+            edges.join(out_deg, "src")
+            .select("src", "dst", "deg")
+            .repartition(sc_parallelism, "src")
+            .persist()
+        )
+    else:
+        edges_w = (
+            edges.join(out_deg, "src")
+            .select("src", "dst", "deg")
+            .localCheckpoint(eager=False)
+        )
     # r11 restructure (guide §2.4 — remove shuffles outright): the ranks
     # relation carries its STATIC dangling flag (deg IS NULL at seed
     # time), so the per-round dangling mass is a filter + 1-row aggregate
