@@ -169,6 +169,24 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(f"# spread {json.dumps(spread)}", file=sys.stderr)
+    # Contaminated-run self-identification (VERDICT r11 #10): the r11
+    # driver bench showed 5-50x-wide envelopes from hypervisor steal and
+    # was unusable as a cross-round comparator. A wide max/min on any
+    # non-streaming key flags the RUN (not the code) right in the stderr
+    # tail; state_change_feed is exempt (its first iteration legitimately
+    # builds the RocksDB checkpoint, ~10x the median read path).
+    noisy = {
+        k: v
+        for k, v in spread.items()
+        if k != "state_change_feed" and v[0] > 0 and v[1] / v[0] > 5.0
+    }
+    if noisy:
+        print(
+            f"# WARNING: spread max/min > 5x on {sorted(noisy)} — "
+            "likely machine contention during this run; prefer the "
+            "median-of-iso re-run before reading regressions from it",
+            file=sys.stderr,
+        )
     try:
         with open("/tmp/spark_graft_bench_spread.json", "w") as fh:
             json.dump({"spread": spread, **payload}, fh)

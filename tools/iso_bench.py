@@ -7,7 +7,8 @@ plans/r11/<key>_<tag>.txt so plan claims are reviewable without Spark.
 
 Usage:
   python tools/iso_bench.py KEY [KEY...] [--sf DIR] [--iters N]
-                            [--plan-tag before|after] [--count]
+                            [--plan-tag before|after] [--plan-dir DIR]
+                            [--count]
 
 --count uses df.count() as the action instead of the noop sink (the
 bench.py methodology) for apples-to-apples comparison with bench numbers.
@@ -30,6 +31,7 @@ def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     iters = 3
     plan_tag = None
+    plan_dir = "plans/r12"
     use_count = False
     keys: list[str] = []
     i = 0
@@ -43,6 +45,9 @@ def main() -> None:
             i += 2
         elif a == "--plan-tag":
             plan_tag = args[i + 1]
+            i += 2
+        elif a == "--plan-dir":
+            plan_dir = args[i + 1]
             i += 2
         elif a == "--count":
             use_count = True
@@ -82,7 +87,7 @@ def main() -> None:
             flush=True,
         )
         if plan_tag:
-            os.makedirs("plans/r11", exist_ok=True)
+            os.makedirs(plan_dir, exist_ok=True)
             df = fn(spark, sf_dir)
             import contextlib
             import io
@@ -90,7 +95,7 @@ def main() -> None:
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
-            with open(f"plans/r11/{key}_{plan_tag}.txt", "w") as fh:
+            with open(f"{plan_dir}/{key}_{plan_tag}.txt", "w") as fh:
                 fh.write(buf.getvalue())
     spark.stop()
 
