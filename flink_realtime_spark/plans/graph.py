@@ -29,6 +29,29 @@ from pyspark.sql import functions as F
 
 _DEC = "decimal(28,15)"
 
+# The previous invocation's persisted edge relation. persist() registers
+# the plan in Spark's CacheManager, whose lookup is by plan equality — a
+# SECOND invocation of the same query in the same session would silently
+# reuse the first invocation's materialized cache instead of recomputing
+# from parquet, which the bench/oracle contract forbids (every invocation
+# must compute from the inputs). Dropping the previous pin at build time
+# keeps the persist strictly per-invocation: within one invocation the
+# 10 rounds share the single materialization; across invocations nothing
+# is reused.
+_PINNED_EDGES: list = []
+
+
+def _pin_per_invocation(df: DataFrame) -> DataFrame:
+    while _PINNED_EDGES:
+        old = _PINNED_EDGES.pop()
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # session of the old pin may be stopped; nothing to free
+    pinned = df.persist()
+    _PINNED_EDGES.append(pinned)
+    return pinned
+
 
 def pagerank(
     nodes: DataFrame,
@@ -71,7 +94,9 @@ def pagerank(
     # content is deterministic, so an evicted partition recomputes
     # identically. Partition count = defaultParallelism (cluster-total
     # cores), scale-adaptive, not a local[32] constant; lineage stays
-    # shallow because pairs/out_deg above are checkpointed.
+    # shallow because pairs/out_deg above are checkpointed. The pin is
+    # strictly per-invocation (_pin_per_invocation drops the previous
+    # one) so no bench/oracle invocation reuses a prior run's cache.
     try:
         # Spark Connect has no SparkContext handle (the rebalance()
         # pattern): fall back to the checkpointed form there.
@@ -79,11 +104,10 @@ def pagerank(
     except Exception:
         sc_parallelism = None
     if sc_parallelism:
-        edges_w = (
+        edges_w = _pin_per_invocation(
             edges.join(out_deg, "src")
             .select("src", "dst", "deg")
             .repartition(sc_parallelism, "src")
-            .persist()
         )
     else:
         edges_w = (
