@@ -1013,16 +1013,19 @@ def _large_star(adj: DataFrame) -> DataFrame:
     and Beyond"): every node connects its strictly-larger neighbors to the
     minimum of its closed neighborhood. One groupBy + one join, all keyed.
 
-    r12 (guide §2.4 "two operations keyed the same way share one
-    exchange"): the adjacency is explicitly hash-partitioned by u ONCE,
-    so the min-aggregate AND the join-left both consume that single
-    exchange (identical subtree — AQE stage reuse shuffles the relation
-    once) instead of the planner inserting two independent adj shuffles
-    (partial-agg exchange + join-side exchange). No explicit partition
-    count: AQE coalescing keeps it scale-adaptive. The v > u filter
-    moves below the join (m is unique per u, so join-then-filter ==
-    filter-then-join) — the join's left side carries half the rows."""
-    adj = adj.repartition("u")
+    r12 NOTE (an explicit-repartition attempt was tried and REVERTED —
+    plan evidence in plans/r12/*_cc_star_round.txt): unlike _small_star,
+    the two consumers here read DIFFERENT row sets (the min-aggregate
+    needs the full neighborhood, the join-left only v > u), and Catalyst
+    pushes the v > u filter below any shared repartition, so the two
+    exchange subtrees are never identical and AQE stage reuse cannot
+    fire. The planner's own shape is strictly better: the aggregate's
+    exchange carries per-partition PARTIAL rows ([u, min] — vocabulary-
+    sized), not the adjacency, and the join-left exchange carries the
+    v > u half. An explicit repartition replaced that tiny partial-agg
+    exchange with a full-adjacency shuffle. The v > u filter stays below
+    the join (m is unique per u, so join-then-filter == filter-then-join
+    — the join's left exchange carries half the rows either way)."""
     m = adj.groupBy("u").agg(F.min("v").alias("mn")).select(
         "u", F.least(F.col("mn"), F.col("u")).alias("m")
     )
@@ -1037,9 +1040,17 @@ def _large_star(adj: DataFrame) -> DataFrame:
 
 def _small_star(adj: DataFrame) -> DataFrame:
     """Small-star round: every node connects its smaller neighbors (and
-    itself) to the minimum of those neighbors. Same one-exchange shape as
-    _large_star (r12): the repartition sits AFTER the v < u filter, so
-    the single shared shuffle carries only the small-neighbor half."""
+    itself) to the minimum of those neighbors.
+
+    r12 (guide §2.4 "two operations keyed the same way share one
+    exchange"): here BOTH consumers (the min-aggregate and the join-left)
+    read the SAME v < u row set, so an explicit repartition placed after
+    the filter gives them byte-identical exchange subtrees — AQE stage
+    reuse shuffles the small-neighbor half exactly once and m comes out
+    already hashpartitioned(u) for the join (zero further exchanges).
+    This does NOT transfer to _large_star (see its docstring): its two
+    consumers read different row sets, so its planner shape (tiny
+    partial-agg exchange + filtered join exchange) is kept instead."""
     small = adj.filter(F.col("v") < F.col("u")).repartition("u")
     m = small.groupBy("u").agg(F.min("v").alias("m"))
     leaf_edges = (
