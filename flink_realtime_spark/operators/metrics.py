@@ -13,10 +13,9 @@ Scale notes (100 TB):
 - retention: the (user, day) distinct relation is one shuffle on user_id;
   the cohort join is a self-join on user_id (AQE handles skewed power
   users). State is (users × active-days), far below event volume.
-- windowed funnel: ONE events scan and ONE user-keyed exchange (r12 —
-  was three time-bound joins over four scans): the chained per-user
-  conditional minimums ride unbounded windows and the final per-user
-  aggregate on that same partitioning; never a per-event global sort.
+- windowed funnel: three keyed min-aggregations chained by time-bound
+  joins on user_id — each is one shuffle on the same key, so a cluster
+  co-partitions them; never a per-event sort.
 - histogram: fixed bucket arithmetic → plain two-phase hash agg; bucket
   count bounds the output regardless of input volume.
 """
@@ -132,64 +131,52 @@ def agg_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is the level distribution. Greedy-min chaining makes the result
     deterministic and SQL-checkable, unlike full NFA backtracking — the
     stateful streaming NFA lives in streaming/stateful.py (cep_funnel)."""
-    # r12 rewrite (guide §2.4 / §1.2 "the distributed algorithm"): the
-    # original join form scanned events FOUR ways (distinct users, views,
-    # click join, purchase join — 8 scans in the adaptive plan) and
-    # shuffled per funnel stage. Every stage is a per-user conditional
-    # minimum, so the whole funnel folds onto ONE events scan with ONE
-    # user-keyed exchange: t1/t2 as chained unbounded-window minimums
-    # (same partitioning — the second window and the final per-user
-    # aggregate reuse the first exchange; t2's predicate needs t1 per
-    # row, which is why they are windows and not aggregates), and t3
-    # folded directly into the aggregate (nothing downstream needs it
-    # per row). Equivalence argument vs the join form, case by case:
-    # min(when(cond, ts)) is NULL iff no qualifying row, exactly when
-    # the old inner-join-then-groupBy produced no row, so the isNotNull
-    # level tests coincide; predicates chain NULLs identically (t1 NULL
-    # makes t2's condition NULL, as the old c derived from v). The one
-    # divergence a single grouping WOULD introduce: GROUP BY/WINDOW
-    # collapse all NULL user_ids into one group and would give it a
-    # funnel level, while the old equi-joins never match NULL and left
-    # it at level 0 — pinned explicitly (nulls-tier surface).
     wh = Warehouse(spark, sf_dir)
     ev = wh.events.select("user_id", "event_type", "ts")
+    u = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
     day = F.expr("INTERVAL 1 DAY")
-    w = Window.partitionBy("user_id")
-    ev = ev.withColumn(
-        "t1",
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    c = (
+        v.join(
+            ev.filter(F.col("event_type") == "click").withColumnRenamed(
+                "user_id", "e_user"
+            ),
+            (F.col("e_user") == v["user_id"])
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + day),
+        )
+        .groupBy(v["user_id"])
+        .agg(F.min("ts").alias("t2"))
     )
-    ev = ev.withColumn(
-        "t2",
-        F.min(
-            F.when(
-                (F.col("event_type") == "click")
-                & (F.col("ts") > F.col("t1"))
-                & (F.col("ts") <= F.col("t1") + day),
-                F.col("ts"),
-            )
-        ).over(w),
+    p = (
+        c.join(v.withColumnRenamed("user_id", "v_user"), c["user_id"] == F.col("v_user"))
+        .join(
+            ev.filter(F.col("event_type") == "purchase").withColumnRenamed(
+                "user_id", "e_user"
+            ),
+            (F.col("e_user") == c["user_id"])
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + day),
+        )
+        .groupBy(c["user_id"])
+        .agg(F.min("ts").alias("t3"))
     )
-    per_user = ev.groupBy("user_id").agg(
-        F.max("t1").alias("t1"),  # constant per user: max == the value
-        F.max("t2").alias("t2"),
-        F.min(
-            F.when(
-                (F.col("event_type") == "purchase")
-                & (F.col("ts") > F.col("t2"))
-                & (F.col("ts") <= F.col("t1") + day),
-                F.col("ts"),
-            )
-        ).alias("t3"),
-    )
-    lvl = per_user.select(
-        bigint(
-            F.when(F.col("user_id").isNull(), 0)
-            .when(F.col("t3").isNotNull(), 3)
-            .when(F.col("t2").isNotNull(), 2)
-            .when(F.col("t1").isNotNull(), 1)
-            .otherwise(0)
-        ).alias("funnel_level")
+    lvl = (
+        u.join(v.select(F.col("user_id").alias("vu")), u["user_id"] == F.col("vu"), "left")
+        .join(c.select(F.col("user_id").alias("cu")), u["user_id"] == F.col("cu"), "left")
+        .join(p.select(F.col("user_id").alias("pu")), u["user_id"] == F.col("pu"), "left")
+        .select(
+            bigint(
+                F.when(F.col("pu").isNotNull(), 3)
+                .when(F.col("cu").isNotNull(), 2)
+                .when(F.col("vu").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("funnel_level")
+        )
     )
     return lvl.groupBy("funnel_level").agg(F.count(F.lit(1)).alias("n_users"))
 
