@@ -381,7 +381,15 @@ def main() -> int:
         # (DuckDB's default limit is 80% of physical RAM and its 1.0
         # accounting under-counts string hash aggregates ~2×).
         c = duckdb.connect()
-        c.execute("SET memory_limit='24GB'")
+        # 24GB default keeps a heavy oracle from exhausting the box the
+        # Spark driver shares; the quadratic dup10/grow100 oracles can
+        # out-spill the DISK instead (r12: two_stage's dup10 oracle
+        # filled 80 GB of /tmp/duckdb_spill) — override upward on a
+        # big-RAM box so they spill less.
+        c.execute(
+            "SET memory_limit='%s'"
+            % os.environ.get("SPARK_GRAFT_ORACLE_MEM", "24GB")
+        )
         os.makedirs("/tmp/duckdb_spill", exist_ok=True)
         c.execute("SET temp_directory='/tmp/duckdb_spill'")
         for t in TABLES:
