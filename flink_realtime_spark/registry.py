@@ -57,54 +57,50 @@ _loaded = False
 # round's first 50 rotates to keys no prior CORRECTNESS_r*.json sampled
 # (after r05, EVERY oracle key has a green record — the game is now
 # freshness, stalest first).
-# Round-11 window (VERDICT r10 #1; generated from the CORRECTNESS_r0*.json
+# Round-12 window (VERDICT r11 #4; generated from the CORRECTNESS_r0*.json
 # vintage data + this round's commit log — not from the prior round's
-# comment): (a) the 16 oracle keys REWORKED by the r11 optimization
-# round, in commit order — the variant long-coercion truncation fix
-# (ORACLE TEXT changed: scalar_json_props, scalar_variant,
-# dwd_clean_route), then the plan rewrites (q21 1-scan fold,
-# cooccurrence/collocation zip_with, doc_keywords single token pass,
-# substring-family narrowed gram rows, pagerank 2-exchange rounds,
-# pairs-engine n_sh carry, q11 reusable subtree, two_stage CC node set,
-# doc_fingerprint count) — so the driver re-verifies every changed plan
-# first. (b) the 17 remaining r05-vintage keys in CORRECTNESS_r05
-# record order (closes the r05 backlog: no oracle key's latest record
-# is older than r06 after this round). (c) 17 of the 49 keys whose
-# oracle TEXT changed in r10 via the shared *_sql string-route rework
-# but were never driver-sampled — the decimal-boundary ones first
-# (revenue/gmv boards, window/over dsum-davg users), stalest-first in
-# their CORRECTNESS record order. Blocks sum to exactly 50. Remaining
-# r10-text-changed pool for r12 (24 keys): agg_approx_quantile,
-# agg_cube, agg_grouping_sets, agg_histogram, agg_max_by, agg_rollup,
-# dq_drift_chi2, join_dim_broadcast, join_range_binned,
-# llm_centroid_dist, llm_curation_pipeline, llm_dedup_cluster,
-# llm_dedup_containment, llm_dedup_editdist, llm_dedup_incremental,
-# llm_dedup_minhash, llm_dedup_simhash_pairs, llm_embedding_quantize,
-# llm_knn_ivf_hash, llm_random_projection, mv_incremental_refresh,
-# scalar_math, state_rule_engine, udaf_grouped_pandas.
+# comment): (a) the 8 keys TOUCHED by the r12 optimization round, in
+# commit order — the driver-action folds (llm_doc_keywords,
+# llm_word_rarity), the CC small-star shared exchange
+# (llm_dedup_cluster, llm_dedup_two_stage, pipe_split_leakage_safe),
+# pagerank's scoped persisted src-partitioning, boilerplate's snippet
+# exchange reuse, and agg_funnel_window (single-scan form tried and
+# REVERTED — final plan == r11's, re-verified anyway since the file
+# was rewritten twice in-round). (b) ads_gmv_dashboard FIRST AFTER
+# THOSE: its r11 NULL-day rank-partition edit landed post-pin and
+# carries no driver evidence (VERDICT r11 gate item). (c) the 23
+# remaining r10-text-changed pool keys (the documented r12 pool minus
+# llm_dedup_cluster, which block (a) already fronts). (d) the 18
+# stalest records — all r06-vintage, in CORRECTNESS_r06 record order.
+# Blocks sum to exactly 50. Remaining r06-vintage pool for r13
+# (10 keys, stalest-first): join_anti, join_interval_time,
+# join_theta_range, agg_pivot, scalar_datetime, cdc_latest_image,
+# llm_text_stats, pipe_sample_hash, llm_multimodal_join,
+# udf_scalar_pandas.
 _PRIORITY_HEAD = [
-    # (a) reworked in r11, in commit order
-    "scalar_json_props", "scalar_variant", "dwd_clean_route",
-    "tpch_q21_waiting", "llm_cooccurrence", "llm_collocation_lift",
-    "llm_doc_keywords", "llm_dedup_substring", "llm_substring_clean",
-    "llm_top_boilerplate", "graph_pagerank", "llm_dedup_ngram_jaccard",
-    "pipe_split_leakage_safe", "tpch_q11_important_parts",
-    "llm_dedup_two_stage", "llm_doc_fingerprint",
-    # (b) the r05-vintage backlog, in CORRECTNESS_r05 record order
-    "join_outer_full", "join_salted_skew", "setop_union_distinct",
-    "setop_intersect", "setop_except", "setop_intersect_all",
-    "setop_except_all", "agg_count_distinct", "agg_collect",
-    "agg_retention", "subq_scalar_corr", "subq_in_having",
-    "subq_exists_delayed", "subq_not_exists_dormant",
-    "tpch_q13_custdist", "ads_daily_uv_pv", "ads_retention_cohort",
-    # (c) r10 text-changed-but-unsampled, decimal-boundary first,
-    # stalest-first in CORRECTNESS record order
-    "agg_groupby_basic", "tpch_q6_forecast", "win_tumble",
-    "win_slide", "win_session", "over_moving_avg", "over_time_range",
-    "over_running_sum", "win_cumulate", "tpch_q5_local_supplier",
-    "tpch_q10_returns", "tpch_q14_promo", "tpch_q15_top_supplier",
-    "tpch_q19_disjunct", "tpch_q22_dormant_rich", "ads_monthly_yoy",
-    "tpch_q18_large_volume",
+    # (a) touched in r12, in commit order
+    "llm_doc_keywords", "llm_word_rarity", "llm_dedup_cluster",
+    "llm_dedup_two_stage", "pipe_split_leakage_safe", "graph_pagerank",
+    "llm_top_boilerplate", "agg_funnel_window",
+    # (b) the r11 post-pin edit with no driver evidence (VERDICT r11 #4)
+    "ads_gmv_dashboard",
+    # (c) the r10 text-changed pool, as documented in the r11 comment
+    "agg_approx_quantile", "agg_cube", "agg_grouping_sets",
+    "agg_histogram", "agg_max_by", "agg_rollup", "dq_drift_chi2",
+    "join_dim_broadcast", "join_range_binned", "llm_centroid_dist",
+    "llm_curation_pipeline", "llm_dedup_containment",
+    "llm_dedup_editdist", "llm_dedup_incremental", "llm_dedup_minhash",
+    "llm_dedup_simhash_pairs", "llm_embedding_quantize",
+    "llm_knn_ivf_hash", "llm_random_projection",
+    "mv_incremental_refresh", "scalar_math", "state_rule_engine",
+    "udaf_grouped_pandas",
+    # (d) the 18 stalest records (r06-vintage), CORRECTNESS_r06 order
+    "cep_funnel_batch", "cep_error_burst", "cep_absence",
+    "join_asof_temporal", "join_asof_nearest", "join_asof_forward",
+    "cep_retry_then_success", "cep_funnel_within", "cep_bounded_burst",
+    "cep_strict_next", "cep_funnel_any", "filter_predicates",
+    "flatmap_explode", "dedup_exact", "setop_union_all",
+    "join_inner_equi", "join_outer_left", "join_semi",
 ]
 
 # Streaming-executing / estimator-fit keys with rows-only or property

@@ -44,11 +44,12 @@ def test_entry_smoke(spark):
 
 def test_driver_window_rotation():
     """The driver checks exactly the FIRST 50 keys of ordered_queries()
-    per round (CLAUDE.md "Driver sampling"). Lock the round-11 contract
-    (VERDICT r10 #1): the 16 keys reworked by the r11 optimization
-    round lead (the driver re-verifies every changed plan/oracle), then
-    the 17 remaining r05-vintage keys close the r05 backlog, then 17 of
-    the r10 text-changed-but-unsampled pool — no slot re-samples fresh
+    per round (CLAUDE.md "Driver sampling"). Lock the round-12 contract
+    (VERDICT r11 #4): the 8 keys touched by the r12 optimization round
+    lead (the driver re-verifies every changed plan), then
+    ads_gmv_dashboard (its r11 post-pin edit carries no driver
+    evidence), then the 23 remaining r10-text-changed pool keys, then
+    the 18 stalest (r06-vintage) records — no slot re-samples fresh
     records."""
     import json
     import os
@@ -57,9 +58,9 @@ def test_driver_window_rotation():
     latest: dict[str, int] = {}
     # Deliberately pinned to the records the CURRENT rotation was built
     # against — extend this tuple together with each _PRIORITY_HEAD
-    # rotation (next round: add r10 and rotate onto the 17 remaining
-    # r05-vintage keys + the r10 text-changed pool named in
-    # registry.py's rotation comment).
+    # rotation (next round: add r12 and rotate onto the 10 remaining
+    # r06-vintage keys named in registry.py's rotation comment, then
+    # the r07 cohort).
     for rnd, rec in (
         (1, "CORRECTNESS_r01.json"),
         (2, "CORRECTNESS_r02.json"),
@@ -71,6 +72,7 @@ def test_driver_window_rotation():
         (8, "CORRECTNESS_r08.json"),
         (9, "CORRECTNESS_r09.json"),
         (10, "CORRECTNESS_r10.json"),
+        (11, "CORRECTNESS_r11.json"),
     ):
         path = os.path.join(root, rec)
         if os.path.isfile(path):
@@ -81,49 +83,59 @@ def test_driver_window_rotation():
         pytest.skip("no prior CORRECTNESS records in this checkout")
     ordered = list(registry.ordered_queries())
     window = ordered[:50]
-    # front: every key reworked by the r11 optimization round (variant
-    # truncation oracles + the nine plan rewrites, OPTIMIZATION_r11.md)
-    # — the driver re-verifies every changed plan/oracle first
-    reworked_r11 = {
-        "scalar_json_props", "scalar_variant", "dwd_clean_route",
-        "tpch_q21_waiting", "llm_cooccurrence", "llm_collocation_lift",
-        "llm_doc_keywords", "llm_dedup_substring", "llm_substring_clean",
-        "llm_top_boilerplate", "graph_pagerank", "llm_dedup_ngram_jaccard",
-        "pipe_split_leakage_safe", "tpch_q11_important_parts",
-        "llm_dedup_two_stage", "llm_doc_fingerprint",
+    # front: every key touched by the r12 optimization round
+    # (OPTIMIZATION_r12.md — incl. agg_funnel_window, rewritten then
+    # reverted in-round) — the driver re-verifies every changed plan
+    touched_r12 = {
+        "llm_doc_keywords", "llm_word_rarity", "llm_dedup_cluster",
+        "llm_dedup_two_stage", "pipe_split_leakage_safe",
+        "graph_pagerank", "llm_top_boilerplate", "agg_funnel_window",
     }
-    assert set(window[:16]) == reworked_r11
-    # self-check: every oracle embedding the variant long-coercion
-    # truncation contract (exprs.json_k_variant_sql's trunc route —
-    # the r11 ADVICE fix) must sit in the reworked block
+    assert set(window[:8]) == touched_r12
+    # then the one key whose r11 edit landed after the r11 pin and so
+    # carries no driver evidence (VERDICT r11 #4 mandatory item)
+    assert window[8] == "ads_gmv_dashboard"
+    # self-check (ADVICE r11: derive the marker from the exprs helper,
+    # never a hand-typed SQL literal): every oracle embedding the
+    # variant long-coercion truncation contract must already carry r11
+    # driver evidence — the contract shipped and was sampled in r11.
+    from flink_realtime_spark import exprs
+
+    markers = [exprs.json_k_variant_sql("props"), exprs.json_k_variant_sql("p")]
     trunc_marked = {
         k for k, sql in registry.ORACLES.items()
-        if sql and "trunc(TRY_CAST" in sql
+        if sql and any(m in sql for m in markers)
     }
-    assert trunc_marked <= reworked_r11, sorted(trunc_marked - reworked_r11)
-    # middle: the 17 remaining r05-vintage keys — closes the r05
-    # backlog (VERDICT r10 #1); every one must still be r05-vintage
-    spill = window[16:33]
-    assert len(spill) == 17
-    stale_wrong = [k for k in spill if latest.get(k) != 5]
-    assert stale_wrong == [], stale_wrong
-    # back: 17 slots of the r10 text-changed-but-unsampled pool —
-    # vintage r06-r09 (nothing fresh re-sampled)
-    tail = window[33:]
-    assert len(tail) == 17
-    fresh_wrong = [k for k in tail if not (6 <= latest.get(k, 0) <= 9)]
+    assert trunc_marked, "variant-contract oracles disappeared"
+    not_evidenced = [k for k in trunc_marked if latest.get(k, 0) < 11]
+    assert not_evidenced == [], not_evidenced
+    # middle: the 23 remaining r10-text-changed pool keys — vintage
+    # r06-r10 (nothing fresh re-sampled; llm_dedup_cluster sits in the
+    # touched block instead)
+    pool = window[9:32]
+    assert len(pool) == 23
+    fresh_wrong = [k for k in pool if not (6 <= latest.get(k, 0) <= 10)]
     assert fresh_wrong == [], fresh_wrong
+    # back: the 18 stalest records — every one r06-vintage
+    back = window[32:]
+    assert len(back) == 18
+    stale_wrong = [k for k in back if latest.get(k) != 6]
+    assert stale_wrong == [], stale_wrong
     # every oracle key with no driver record yet is in the window
     never = [
         k for k in ordered if k not in latest and k in registry.ORACLES
     ]
     assert set(never) <= set(window), sorted(set(never) - set(window))
-    # nothing older than r05 remains anywhere, and after this round's
-    # record lands the r05 cohort itself is cleared
-    pre_r05 = [k for k, r in latest.items() if r < 5 and k in registry.ORACLES]
-    assert pre_r05 == [], pre_r05
-    r05_left = {k for k, r in latest.items() if r == 5 and k in registry.ORACLES}
-    assert r05_left <= set(spill), sorted(r05_left - set(spill))
+    # nothing older than r06 remains anywhere (r05 backlog closed in
+    # r11); after this round's record lands the r06 cohort shrinks to
+    # the 10 keys the rotation comment names for r13
+    pre_r06 = [k for k, r in latest.items() if r < 6 and k in registry.ORACLES]
+    assert pre_r06 == [], pre_r06
+    r06_left = {
+        k for k, r in latest.items()
+        if r == 6 and k in registry.ORACLES and k not in set(window)
+    }
+    assert len(r06_left) == 10, sorted(r06_left)
 
 
 _ASOF_RANK_SPECS = {
